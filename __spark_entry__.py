@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the ``postgres_es_cdc_spark`` engine: a PySpark-native
+re-expression of the reference CDC pipeline
+(nitin-kumar-verma/postgres-es-cdc) plus the [EXT] relational and
+LLM-data-pipeline surface. See SURVEY.md §2 for the inventory and
+postgres_es_cdc_spark/queries.py for the registry behind these hooks.
 """
 
 from __future__ import annotations
@@ -15,24 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query at sf0.001: the CDC apply_changes fold — the
+    reference consumer's whole semantics (es.go:47-144) as one
+    shuffle-by-key DataFrame program."""
+    from postgres_es_cdc_spark.cdc.queries import cdc_apply_changes
+
+    return cdc_apply_changes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from postgres_es_cdc_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from postgres_es_cdc_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing = full execution to a count/collect (forces the whole
+plan, including parquet scan), after one warm-up query to absorb JVM/
+codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from postgres_es_cdc_spark.queries import REGISTRY  # noqa: E402
+from postgres_es_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "cdc_apply_changes",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_outer",
+    "window_running_sum",
+    "topk_per_group",
+    "events_session",
+    "events_asof_join",
+    "docs_token_stats",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df) -> None:
+        # noop sink: forces full materialization of every column JVM-side
+        # (a bare count() would let Catalyst prune projection-only plans).
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up pass: JVM JIT + whole-stage-codegen compilation + parquet
+    # footer caches dominate first execution of a complex plan in a fresh
+    # local JVM (~10x the steady-state time); report steady state, which
+    # is what a long-lived cluster actually runs at.
+    for name in HEADLINE:
+        run(REGISTRY[name].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""CDC query-surface wrappers: the reference's consumer semantics
+(es.go:47-144, utils.go:92-117) as oracle-checkable queries over the
+deterministic synthesized event stream (cdc/generate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.cdc.apply import apply_changes, latest_events
+from postgres_es_cdc_spark.cdc.envelope import dead_letters, is_valid
+from postgres_es_cdc_spark.cdc.generate import (
+    ORDERS_CDC_EXPECTED_SQL,
+    orders_cdc_events,
+    orders_cdc_value_schema,
+)
+
+# The synthesized event stream re-expressed as DuckDB SQL (keys + ops only;
+# corrupt events carry no parseable key and are excluded, utils.go:99-102).
+EVENTS_SYNTH_SQL = """
+  SELECT o_orderkey*10 AS ev_offset, 'INSERT' AS op, o_orderkey AS id FROM orders
+  UNION ALL SELECT o_orderkey*10+3, 'UPDATE', o_orderkey FROM orders WHERE o_orderkey%5=0
+  UNION ALL SELECT o_orderkey*10+4, 'UPDATE', o_orderkey FROM orders WHERE o_orderkey%7=0
+  UNION ALL SELECT o_orderkey*10+5, 'DELETE', o_orderkey FROM orders WHERE o_orderkey%9=0
+  UNION ALL SELECT o_orderkey*10+7, 'INSERT', o_orderkey FROM orders WHERE o_orderkey%9=0 AND o_orderkey%2=1
+  UNION ALL SELECT o_orderkey*10+8, 'UPDATE', -o_orderkey FROM orders WHERE o_orderkey%17=0
+"""
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: fold the full I/U/D event stream (sparse updates,
+    explicit nulls, deletes, reinserts, corrupt rows, orphan updates)
+    into final per-key state. Oracle computes the expected state
+    independently as a CASE projection — not by refolding."""
+    ev = orders_cdc_events(spark, sf_dir)
+    return apply_changes(ev, orders_cdc_value_schema())
+
+
+CDC_APPLY_SQL = ORDERS_CDC_EXPECTED_SQL
+
+
+def cdc_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay tolerance: the whole stream delivered twice (the reference
+    consumer replays from OffsetOldest on every restart, utils.go:49, and
+    duplicates documents, es.go:95-98 — our keyed fold is idempotent)."""
+    ev = orders_cdc_events(spark, sf_dir)
+    return apply_changes(ev.unionByName(ev), orders_cdc_value_schema())
+
+
+def cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key latest event metadata (row_number-over-offset dedup)."""
+    ev = orders_cdc_events(spark, sf_dir).filter(is_valid(F.col("payload")))
+    latest = latest_events(ev)
+    return latest.select(
+        F.col("_key").cast("long").alias("id"),
+        F.col("operationType").alias("last_op"),
+        F.col("offset").alias("last_offset"),
+    )
+
+
+CDC_LATEST_EVENT_SQL = f"""
+WITH ev AS ({EVENTS_SYNTH_SQL})
+SELECT id, op AS last_op, ev_offset AS last_offset
+FROM (SELECT id, op, ev_offset,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY ev_offset DESC) AS rn
+      FROM ev)
+WHERE rn = 1
+"""
+
+
+def cdc_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-message isolation: corrupt payloads are quarantined, not
+    fatal (the reference skips with a log, utils.go:99-102; its ES errors
+    kill the process, es.go:84,107,142 — ours never do)."""
+    dl = dead_letters(orders_cdc_events(spark, sf_dir))
+    return dl.agg(
+        F.count("*").alias("n_dead"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+CDC_DEAD_LETTERS_SQL = """
+SELECT COUNT(*) AS n_dead,
+       MIN(o_orderkey*10+6) AS min_offset,
+       MAX(o_orderkey*10+6) AS max_offset
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tableName routing (one ES index per table, utils.go:105-107):
+    a second table's stream interleaved with the first; each fold only
+    sees its own rows."""
+    from postgres_es_cdc_spark.cdc.apply import apply_all
+
+    ev = orders_cdc_events(spark, sf_dir)
+    # Second table: INSERT-only stream of even keys, routed as orders_v2.
+    ev2 = (
+        ev.filter((F.col("operationType") == "INSERT") & is_valid(F.col("payload")))
+          .withColumn("tableName", F.lit("orders_v2"))
+          .filter(F.get_json_object("payload", "$.id").cast("long") % 2 == 0)
+    )
+    schema = orders_cdc_value_schema()
+    folded = apply_all(ev.unionByName(ev2),
+                       {"orders": schema, "orders_v2": schema})
+    per_table = [
+        # scale 8, not 2: folded prices include *1.1 products whose
+        # shortest-repr can tie at the 3rd decimal, where Spark
+        # (BigDecimal.valueOf = repr-based) and DuckDB (exact binary)
+        # round differently. At scale 8 no tie is reachable.
+        df.agg(F.count("*").alias("n_rows"),
+               F.sum(F.col("totalprice").cast("decimal(28,8)"))
+                .cast("double").alias("total_price"))
+          .select(F.lit(name).alias("table_name"), "n_rows", "total_price")
+        for name, df in sorted(folded.items())
+    ]
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+CDC_MULTI_TABLE_SQL = f"""
+WITH expected AS ({ORDERS_CDC_EXPECTED_SQL})
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+FROM expected
+UNION ALL
+SELECT 'orders_v2' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+FROM (
+  -- INSERT-only stream for even keys: last INSERT wins per key.
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 2 = 1
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+"""

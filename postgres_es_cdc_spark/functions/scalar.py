@@ -1,0 +1,152 @@
+"""Scalar-function battery: string / date / math / conditional surface.
+
+REF-derived scope: the reference's only scalar work is pgtype text
+decode (producer.go:176-181) and JSON encode/decode (utils.go:74,98) —
+mapped to casts + to_json/from_json/get_json_object. The rest is the
+[EXT] function surface oracle queries need. All JVM-side built-ins —
+no Python UDFs anywhere (whole-stage codegen keeps these in Tungsten).
+
+Cross-engine notes: only functions with identical semantics in Spark
+and DuckDB are used in hash-checked outputs (e.g. instr==strpos both
+1-based/0-absent; round() is half-away-from-zero on doubles in both;
+transcendentals like exp/ln are libm-dependent and excluded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_type").cast("long").alias("type_len"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), "a", "@").alias("name_subst"),
+        F.instr(F.col("p_name"), "o").cast("long").alias("first_o_pos"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.lpad(F.col("p_brand"), 12, "_").alias("brand_padded"),
+        F.trim(F.col("p_name")).alias("name_trimmed"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_first_word"),
+        F.regexp_extract(F.col("p_type"), "([a-zA-Z]+)", 1).alias("type_first_token"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey AS partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       LENGTH(p_type) AS type_len,
+       SUBSTR(p_name, 1, 10) AS name_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_subst,
+       STRPOS(p_name, 'o') AS first_o_pos,
+       REVERSE(p_brand) AS brand_rev,
+       LPAD(p_brand, 12, '_') AS brand_padded,
+       TRIM(p_name) AS name_trimmed,
+       STRING_SPLIT(p_name, ' ')[1] AS name_first_word,
+       REGEXP_EXTRACT(p_type, '([a-zA-Z]+)', 1) AS type_first_token
+FROM part
+"""
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year(d).cast("long").alias("o_year"),
+        F.month(d).cast("long").alias("o_month"),
+        F.dayofmonth(d).cast("long").alias("o_day"),
+        F.quarter(d).cast("long").alias("o_quarter"),
+        F.dayofyear(d).cast("long").alias("o_doy"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 1 MONTH")).alias("next_month"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("long").alias("days_to_y2k"),
+        # string, not DATE: pandas/Arrow widen DATE to datetime64
+        # differently per engine, which breaks value comparison.
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey AS orderkey,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate) AS o_day,
+       quarter(o_orderdate) AS o_quarter,
+       dayofyear(o_orderdate) AS o_doy,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 1 MONTH AS next_month,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+"""
+
+
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.abs(b).alias("bal_abs"),
+        F.ceil(b).alias("bal_ceil"),
+        F.floor(b).alias("bal_floor"),
+        F.round(b, 1).alias("bal_round1"),
+        F.sqrt(F.abs(b)).alias("bal_sqrt"),
+        (b * b).alias("bal_sq"),
+        F.signum(b).cast("int").alias("bal_sign"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.greatest(b, F.lit(0.0)).alias("bal_clamped"),
+        F.least(b, F.lit(1000.0)).alias("bal_capped"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT c_custkey AS custkey,
+       ABS(c_acctbal) AS bal_abs,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+       ROUND(c_acctbal, 1) AS bal_round1,
+       SQRT(ABS(c_acctbal)) AS bal_sqrt,
+       c_acctbal * c_acctbal AS bal_sq,
+       CAST(SIGN(c_acctbal) AS INT) AS bal_sign,
+       c_custkey % 7 AS key_mod7,
+       GREATEST(c_acctbal, 0.0) AS bal_clamped,
+       LEAST(c_acctbal, 1000.0) AS bal_capped
+FROM customer
+"""
+
+
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif — the expression forms the CDC partial
+    merge is built from (per-column coalesce; SURVEY.md §4.2)."""
+    c = table(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(b < 0, "overdrawn").when(b < 1000, "low")
+         .when(b < 5000, "mid").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("(redacted)")).alias("segment_masked"),
+        F.when(F.col("c_nationkey") % 2 == 0, b).alias("even_nation_bal"),
+    )
+
+
+SCALAR_COND_SQL = """
+SELECT c_custkey AS custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS segment_masked,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END AS even_nation_bal
+FROM customer
+"""

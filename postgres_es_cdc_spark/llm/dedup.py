@@ -1,0 +1,275 @@
+"""Deduplication operators ([EXT] surface): exact, MinHash+LSH banding,
+SimHash, and n-gram Jaccard — the standard near-dup arsenal of an LLM
+training-data pipeline, expressed array-native (no Python UDFs).
+
+Portability design: every hash is derived from md5 (identical bytes in
+Spark and DuckDB) reduced to a 32-bit int; MinHash permutations are
+``(a*h + b) mod p`` with ``a < 2^30`` so products stay inside int64.
+
+Scale design: signatures are computed with higher-order array functions
+(transform/array_min) directly on each document row — NO explode, NO
+shuffle for the signature stage. Only the LSH band self-join shuffles,
+and it shuffles 4 short rows per document (band_idx, band_key), not
+shingles. That's the shape that survives 100 TB: the candidate-pair join
+is on O(docs·bands), never O(docs²) and never O(shingles).
+
+Because the driver corpus has no duplicates, near-dup queries run on a
+"mutated corpus": documents ∪ copies with the last token dropped
+(doc_id + 1_000_000) — deterministic in SQL on both engines, giving the
+detectors real positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, tokens
+
+# MinHash permutation params: a < 2^30 (a*h32 < 2^62), p prime < 2^32.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1000000007, 12345), (998244353, 54321), (805306457, 2468),
+    (469762049, 13579), (167772161, 97531), (754974721, 11111),
+    (613566757, 222), (536870909, 99999),
+)
+MINHASH_P = 4294967291  # largest prime < 2^32
+LSH_BANDS = tuple((i, i + 1) for i in range(0, len(MINHASH_PERMS), 2))
+
+_MUTATED_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({TOKENS_SQL.format(col='text')}, 1,
+             len({TOKENS_SQL.format(col='text')}) - 1), ' ') AS text
+  FROM documents
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(toks)-2, 0)),
+             i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+2), ' ')),1,8))::BIGINT
+         )) AS sh
+  FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({_MUTATED_SQL}))
+"""
+
+
+def mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants (last token dropped)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+def _shingle_hashes(df: DataFrame) -> DataFrame:
+    """doc_id -> distinct hashed 3-token shingles, array-native."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    return df.select(
+        "doc_id", F.array_distinct(F.transform(shingles, h32)).alias("sh"))
+
+
+def _signatures(df: DataFrame) -> DataFrame:
+    """8-permutation MinHash signature per doc (array_min of (a*h+b)%p)."""
+    sh = _shingle_hashes(df)
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("sh"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+        )).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.select("doc_id", *sig_cols)
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the mutated corpus: md5-keyed groups, canonical =
+    min doc_id. One hash shuffle on a 16-byte key; the 100 TB shape."""
+    d = mutated_corpus(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_md5"))
+         .agg(F.min("doc_id").alias("canonical_id"),
+              F.count("*").alias("n_copies"))
+    )
+
+
+DOCS_EXACT_DEDUP_SQL = f"""
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM ({_MUTATED_SQL})
+GROUP BY md5(text)
+"""
+
+
+def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures on the original corpus (deterministic, portable)."""
+    return _signatures(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_ORIG_SHINGLES_SQL = _SHINGLES_SQL.replace(f"({_MUTATED_SQL})", "documents")
+
+DOCS_MINHASH_SIG_SQL = f"""
+SELECT doc_id,
+""" + ",\n".join(
+    f"       list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+) + f"""
+FROM ({_ORIG_SHINGLES_SQL})
+"""
+
+
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs on the mutated corpus: 4 bands of 2 signature
+    slots; docs sharing any band key become candidates.
+
+    The join key is (band_idx, md5(sig_a||'_'||sig_b)) — O(docs·4) rows
+    shuffled, self-joined, deduped to (doc_a, doc_b)."""
+    sigs = _signatures(mutated_corpus(spark, sf_dir))
+    bands = F.array(*[
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.md5(F.concat_ws("_",
+                                   F.col(f"sig{a}").cast("string"),
+                                   F.col(f"sig{b}").cast("string"))).alias("band_key"))
+        for bi, (a, b) in enumerate(LSH_BANDS)
+    ])
+    banded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band_idx", "bk.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct()
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, "
+    f"md5(CAST(sig{a} AS VARCHAR) || '_' || CAST(sig{b} AS VARCHAR)) AS band_key "
+    f"FROM sigs"
+    for bi, (a, b) in enumerate(LSH_BANDS)
+)
+
+DOCS_MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+) + f"""
+  FROM sh
+),
+banded AS ({_BANDS_SQL})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one shingle (shared-shingle blocking), threshold 0.5.
+
+    Explode-join-group: shuffles (shingle_hash, doc_id); blocking keeps
+    the pair space sparse. At 100 TB you'd run LSH first and verify only
+    candidates — that composition is docs_minhash_lsh_pairs + this."""
+    sh = _shingle_hashes(mutated_corpus(spark, sf_dir))
+    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
+                      F.explode("sh").alias("h"))
+    a = sized.alias("a")
+    b = sized.alias("b")
+    shared = (
+        a.join(b, "h")
+         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+         .groupBy(F.col("a.doc_id").alias("doc_a"),
+                  F.col("b.doc_id").alias("doc_b"),
+                  F.col("a.n_sh").alias("na"),
+                  F.col("b.n_sh").alias("nb"))
+         .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.withColumn("jaccard", jac)
+              .filter(F.col("jaccard") >= 0.5)
+              .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DOCS_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS inter
+  FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE)/(na + nb - inter) AS jaccard
+FROM shared
+WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+"""
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct token hashes, array-native.
+
+    Bit j of the signature = sign of sum over tokens of (+1 if bit j of
+    the token hash else -1). No shuffle at all — pure per-row transform."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    th = F.array_distinct(F.transform(tokens(F.col("text")), h32))
+    n = F.size(th)
+
+    def bit_sum(j: int):
+        # factory keeps the merge lambda binary — PySpark dispatches
+        # higher-order lambdas on arity, so a captured-default third
+        # parameter would break F.aggregate.
+        return F.aggregate(
+            th, F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+        ).alias(f"b{j}")
+
+    bit_sums = [bit_sum(j) for j in range(16)]
+    sim = d.select("doc_id", n.cast("long").alias("n_uniq_tokens"), *bit_sums)
+    simhash = sum(
+        (F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(16)
+    )
+    return sim.select("doc_id", "n_uniq_tokens",
+                      simhash.cast("long").alias("simhash16"))
+
+
+_BITSUM_SQL = ",\n".join(
+    f"         list_sum(list_transform(th, h -> ((h >> {j}) & 1)*2 - 1)) AS b{j}"
+    for j in range(16)
+)
+
+DOCS_SIMHASH_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_distinct(list_transform({TOKENS_SQL.format(col='text')},
+             t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS th
+  FROM documents
+), bits AS (
+  SELECT doc_id, len(th) AS n_uniq_tokens,
+{_BITSUM_SQL}
+  FROM th
+)
+SELECT doc_id, CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
+       CAST({' + '.join(f'(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)' for j in range(16))} AS BIGINT) AS simhash16
+FROM bits
+"""

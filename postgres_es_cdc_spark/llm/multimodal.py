@@ -1,0 +1,111 @@
+"""Multimodal column support ([EXT]): image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED: ``decode_stub`` raises NotImplementedError by design, and
+``fake_decode`` is the deterministic stand-in used by tests. Everything
+around the stub — the schema contract, the mapInPandas batch shape, the
+partition sizing — is real Spark plumbing and is what actually matters
+at 100 TB (binary payloads stream through Arrow record batches;
+``spark.sql.files.maxPartitionBytes`` bounds per-task memory; metadata
+predicates prune before any decode runs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
+    StructType,
+)
+
+# Typed envelope for a multimodal asset: opaque bytes + routing metadata.
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),   # image | audio | video
+    StructField("mime_type", StringType(), True),
+    StructField("payload", BinaryType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("meta_json", StringType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),
+    StructField("n_bytes", LongType(), True),
+    StructField("feature", ArrayType(FloatType()), True),
+])
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic multimodal table from the documents fixture:
+    payload = UTF-8 bytes of the text (a stand-in for real media bytes)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str):
+    """Real decode kernel slot (PIL/libav/torchaudio in production).
+
+    Deliberately unimplemented in this container — see module docstring.
+    """
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decode for deterministic tests")
+
+
+def fake_decode(payload: bytes, modality: str, dim: int = 8) -> list[float]:
+    """Deterministic stand-in 'feature extractor': folds payload bytes
+    into a fixed-size float vector. Same signature/shape as a real
+    decoder -> the Spark plumbing is exercised for real."""
+    acc = [0] * dim
+    for i, b in enumerate(payload or b""):
+        acc[i % dim] = (acc[i % dim] * 31 + b) % 1_000_003
+    return [float(v) / 1_000_003.0 for v in acc]
+
+
+def extract_features(assets: DataFrame, batch_hint: int = 1024,
+                     use_stub: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches.
+
+    Batches arrive as pandas DataFrames (Arrow-deserialized); each batch
+    is processed vectorized-per-row and yielded back — the 100 TB shape
+    for opaque-binary processing (no row-at-a-time Python UDF overhead).
+    """
+    decoder = decode_stub if use_stub else fake_decode
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pdf["n_bytes"],
+                "feature": [decoder(p, m) for p, m in
+                            zip(pdf["payload"], pdf["modality"])],
+            })
+
+    return assets.mapInPandas(_proc, schema=FEATURE_SCHEMA)
+
+
+def modality_stats(assets: DataFrame) -> DataFrame:
+    """Metadata-only aggregation: prunes the binary column entirely —
+    the scan never materializes payload bytes (column pruning)."""
+    return assets.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

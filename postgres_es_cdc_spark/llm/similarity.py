@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns ([EXT] surface).
+
+``embeddings.embedding`` is array<float> (64-dim, L2-normalized). Two
+formulations of every kernel:
+
+* production path (``*_fast`` / ``dot_fast`` / ``cosine_fast``):
+  pure-double ``zip_with`` + ``aggregate`` — array-native, whole-stage
+  codegen, no explode, no shuffle per pair. This is what bench.py runs
+  and what you'd run at 100 TB.
+* oracle path (the ``queries()`` entries): embeddings quantized to
+  fixed-point int64 (×1e6) so every dot product / norm / distance is
+  EXACT integer arithmetic — order-independent and bit-identical across
+  engines. (Double→decimal casts are NOT portable: Spark rounds the
+  shortest string repr, DuckDB the exact binary value; integers have no
+  such ambiguity.)
+
+Scale design: the query set is broadcast (top-k search is a broadcast
+nested loop against a small query side); candidates stream through
+executors with no shuffle until the per-query top-k (WindowGroupLimit).
+The sign-LSH bucket prefilter bounds candidates per query for the
+really-large case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from postgres_es_cdc_spark.catalog import table
+
+Q_SCALE = 1_000_000  # fixed-point quantization for exact cross-engine math
+
+
+def dot_fast(a: Column, b: Column) -> Column:
+    """Production dot product: double accumulation, array-native."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    return dot_fast(a, b) / (F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b)))
+
+
+def quantize(a: Column) -> Column:
+    """array<float> -> array<long>: round(x * 1e6). DuckDB twin:
+    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)."""
+    return F.transform(
+        a, lambda x: F.round(x.cast("double") * Q_SCALE, 0).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of quantized vectors (≤ 64·1e12, fits
+    int64; integer folds are order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= k)
+    )
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 3,
+                    n_queries: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < n_queries, broadcast
+    against the full candidate set. Quantized-exact kernel (see module
+    docstring); emb_cosine_topk_fast is the float production variant."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 quantize(F.col("embedding")).alias("cq"))
+    cos = (
+        dot_q(F.col("qq"), F.col("cq")).cast("double")
+        / (F.sqrt(dot_q(F.col("qq"), F.col("qq")).cast("double"))
+           * F.sqrt(dot_q(F.col("cq"), F.col("cq")).cast("double")))
+    )
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("qid") != F.col("cid"))
+         .select("qid", "cid", cos.alias("cos_sim"))
+    )
+    return _topk(scored, k).select("qid", "cid", "rank", "cos_sim")
+
+
+_XQ = "CAST(round(CAST({v}[i.i] AS DOUBLE) * 1000000) AS BIGINT)"
+
+EMB_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q.qid, c.cid,
+         CAST(CAST(SUM({_XQ.format(v='q_emb')} * {_XQ.format(v='c_emb')}) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM({_XQ.format(v='q_emb')} * {_XQ.format(v='q_emb')}) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM({_XQ.format(v='c_emb')} * {_XQ.format(v='c_emb')}) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM q, c, generate_series(1, 64) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+)
+SELECT qid, cid, rank, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+def emb_cosine_topk_fast(spark: SparkSession, sf_dir: str, k: int = 3,
+                         n_queries: int = 5) -> DataFrame:
+    """Production top-k: array-native double dot products — the plan to
+    run at 100 TB (broadcast queries, scan candidates, WindowGroupLimit
+    top-k, no explode)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("qid") != F.col("cid"))
+         .select("qid", "cid",
+                 cosine_fast(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+    )
+    return _topk(scored, k).select("qid", "cid", "rank", "cos_sim")
+
+
+def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means step / IVF coarse
+    quantize), quantized-exact.
+
+    All-integer distance comparison: with per-label count n and per-dim
+    quantized sums S_d, argmin_c Σ_d (x_d - S_d/n)² is computed on the
+    integer-scaled form Σ_d (x_d·n - S_d)² (DECIMAL(38,0) products —
+    exact in both engines since inputs are integers). The reported dist2
+    is descaled to real units. Centroids are tiny -> broadcast; the scan
+    side never shuffles except the final per-vector argmin window."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label",
+                  F.posexplode(quantize(F.col("embedding"))).alias("dim", "xq"))
+    sums = ex.groupBy(F.col("label").alias("cand_label"), "dim").agg(
+        F.count("*").alias("n"), F.sum("xq").alias("sq"))
+    delta = (F.col("xq") * F.col("n") - F.col("sq")).cast("decimal(38,0)")
+    scored = (
+        ex.join(F.broadcast(sums), "dim")
+          .groupBy("vec_id", F.col("label").alias("true_label"), "cand_label")
+          .agg(
+              (F.sum(delta * delta).cast("double")
+               / (F.max("n") * F.max("n")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2)).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", "true_label",
+                      F.col("cand_label").alias("assigned_label"), "dist2")
+    )
+
+
+EMB_CENTROID_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, i.i AS dim,
+         {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+), sums AS (
+  SELECT label AS cand_label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sq
+  FROM ex GROUP BY label, dim
+), dists AS (
+  SELECT ex.vec_id, ex.label AS true_label, s.cand_label,
+         CAST(SUM(CAST(ex.xq*s.n - s.sq AS HUGEINT) * CAST(ex.xq*s.n - s.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(s.n*s.n AS DOUBLE) / 1e12 AS dist2
+  FROM ex JOIN sums s ON ex.dim = s.dim
+  GROUP BY ex.vec_id, ex.label, s.cand_label, s.n
+)
+SELECT vec_id, true_label, cand_label AS assigned_label, dist2
+FROM (SELECT vec_id, true_label, cand_label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cand_label ASC) AS rn
+      FROM dists)
+WHERE rn = 1
+"""
+
+
+def emb_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: 8-bit hash from the signs of the first 8
+    dimensions — the candidate-prefilter that turns brute-force top-k
+    into a bucket-local search at scale."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.element_at("embedding", j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(8)
+    )
+    return (
+        e.withColumn("bucket", bucket.cast("long"))
+         .groupBy("bucket")
+         .agg(F.count("*").alias("n_vectors"),
+              F.min("vec_id").alias("min_vec_id"),
+              F.countDistinct("label").alias("n_labels"))
+    )
+
+
+EMB_LSH_BUCKETS_SQL = """
+SELECT CAST({bucket} AS BIGINT) AS bucket,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id,
+       COUNT(DISTINCT label) AS n_labels
+FROM embeddings
+GROUP BY 1
+""".format(bucket=" + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)))

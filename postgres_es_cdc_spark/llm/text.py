@@ -1,0 +1,172 @@
+"""Text-analysis operators over the ``documents`` table ([EXT] surface).
+
+Token counting, per-language profiling, quality scoring, and document
+fingerprinting — all as JVM-side expressions (split / regexp /
+higher-order array functions), no Python UDFs, so they run inside
+whole-stage codegen and scale linearly with a parquet scan.
+
+Cross-engine notes: tokenization is ``split(trim(text), '\\s+')`` in both
+engines; integer division uses explicit double semantics; hashes are
+md5-hex-prefix -> bigint (identical in Spark `conv` and DuckDB hex cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+# DuckDB twin of tokens()
+TOKENS_SQL = "string_split_regex(trim({col}), '\\s+')"
+
+
+def h32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex digits of md5 as bigint.
+
+    DuckDB twin: ('0x' || substr(md5(x), 1, 8))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts — whitespace tokenizer + distinct count."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        (chars_no_ws.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+DOCS_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({TOKENS_SQL.format(col='text')}) AS n_tokens,
+       len(list_distinct({TOKENS_SQL.format(col='text')})) AS n_uniq_tokens,
+       LENGTH(text) AS n_chars_text,
+       CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / len({TOKENS_SQL.format(col='text')}) AS avg_token_len
+FROM documents
+"""
+
+
+def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag: doc counts, token mass, avg length."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        d.withColumn("n_tokens", n_tokens)
+         .groupBy("lang")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n_tokens").alias("total_tokens"),
+              (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+              F.countDistinct("source").alias("n_sources"))
+    )
+
+
+DOCS_LANG_PROFILE_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({TOKENS_SQL.format(col='text')})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic: length, lexical diversity, stopword
+    coverage — the standard cheap pre-filters of an LLM data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    quality = 0.4 * uniq_ratio + 0.3 * len_score + 0.3 * stop_score
+    return d.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+DOCS_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {TOKENS_SQL.format(col='text')} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, n_stopwords,
+       CAST(n_uniq AS DOUBLE)/n_tokens AS uniq_ratio,
+       CAST(n_stopwords AS DOUBLE)/n_tokens AS stop_ratio,
+       0.4*(CAST(n_uniq AS DOUBLE)/n_tokens)
+     + 0.3*LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+     + 0.3*LEAST(CAST(n_stopwords AS DOUBLE)/n_tokens*5.0, 1.0) AS quality
+FROM m
+"""
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 + 60-bit int prefix + shingle
+    min-hash (single function) — the primitives exact/near dedup builds on."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # Guard: Spark sequence(1, 0) counts DOWN ([1,0]), unlike DuckDB's
+    # empty generate_series(1,0) — short docs must yield no shingles.
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    shingle_hashes = F.transform(F.array_distinct(shingles), h32)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("fp60"),
+        F.size(F.array_distinct(shingles)).cast("long").alias("n_shingles"),
+        F.array_min(shingle_hashes).alias("min_shingle_h"),
+        F.array_max(shingle_hashes).alias("max_shingle_h"),
+    )
+
+
+DOCS_FINGERPRINT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, text,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(toks)-2, 0)),
+             i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS shingles
+  FROM t
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
+       len(shingles) AS n_shingles,
+       list_min(list_transform(shingles, x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS min_shingle_h,
+       list_max(list_transform(shingles, x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS max_shingle_h
+FROM s
+"""

@@ -1,0 +1,125 @@
+"""Window-function battery: ranking, offsets, frames, per-group top-k.
+
+REF-derived: the CDC latest-state fold is itself a window
+(row_number over offset desc — SURVEY.md §2 Table B); these queries are
+the general surface. All windows partition by a real key, so the single
+hash shuffle per window is the whole cost at scale; running sums use the
+decimal trick because windowed double addition trees differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank per market segment."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_custkey AS custkey, c_mktsegment AS mktsegment, c_acctbal AS acctbal,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline with lag/lead over a deterministic order."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       o_totalprice - LAG(o_totalprice) OVER w AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer; decimal-exact so the frame
+    aggregation tree shape can't perturb low bits cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        running.alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("long").alias("order_seq"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — row_number filter pattern.
+
+    Scales as one shuffle; Spark pushes the rank filter into the window
+    via WindowGroupLimit (rank-based top-k pushdown), so no group blowup.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("price_rank", F.row_number().over(w).cast("long"))
+         .filter(F.col("price_rank") <= 3)
+         .select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderkey").alias("orderkey"),
+                 F.col("o_totalprice").alias("totalprice"),
+                 F.col("price_rank"))
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       o_totalprice AS totalprice, price_rank
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+      FROM orders)
+WHERE price_rank <= 3
+"""

@@ -1,0 +1,93 @@
+"""Central query registry: every implemented operator from SURVEY.md §2
+as a named (spark_fn, duckdb_oracle_sql) pair.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+REGISTRY. Queries whose oracle is None get the driver's weaker rows-only
+check (approximate sketches whose exact value is engine-specific).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgres_es_cdc_spark.cdc import queries as cdcq
+from postgres_es_cdc_spark.functions import scalar
+from postgres_es_cdc_spark.llm import dedup, similarity, text
+from postgres_es_cdc_spark.operators import events_q, relational, setops, windows
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # --- CDC core (REF semantics: es.go:47-144, utils.go:92-117) ---
+    "cdc_apply_changes": QuerySpec(cdcq.cdc_apply_changes, cdcq.CDC_APPLY_SQL),
+    "cdc_replay_dedup": QuerySpec(cdcq.cdc_replay_dedup, cdcq.CDC_APPLY_SQL),
+    "cdc_latest_event": QuerySpec(cdcq.cdc_latest_event, cdcq.CDC_LATEST_EVENT_SQL),
+    "cdc_dead_letters": QuerySpec(cdcq.cdc_dead_letters, cdcq.CDC_DEAD_LETTERS_SQL),
+    "cdc_multi_table_route": QuerySpec(cdcq.cdc_multi_table_route, cdcq.CDC_MULTI_TABLE_SQL),
+    # --- relational: scans/filters/joins/aggs ---
+    "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
+    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_SQL),
+    "q5_region_revenue": QuerySpec(relational.q5_region_revenue, relational.Q5_SQL),
+    "q6_revenue_forecast": QuerySpec(relational.q6_revenue_forecast, relational.Q6_SQL),
+    "q10_returned_items": QuerySpec(relational.q10_returned_items, relational.Q10_SQL),
+    "join_left_outer": QuerySpec(relational.join_left_outer, relational.JOIN_LEFT_SQL),
+    "join_semi": QuerySpec(relational.join_semi, relational.JOIN_SEMI_SQL),
+    "join_anti": QuerySpec(relational.join_anti, relational.JOIN_ANTI_SQL),
+    "agg_distinct": QuerySpec(relational.agg_distinct, relational.AGG_DISTINCT_SQL),
+    "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
+    "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
+    "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, None),
+    # --- window functions ---
+    "window_rank": QuerySpec(windows.window_rank, windows.WINDOW_RANK_SQL),
+    "window_lag_lead": QuerySpec(windows.window_lag_lead, windows.WINDOW_LAG_SQL),
+    "window_running_sum": QuerySpec(windows.window_running_sum, windows.WINDOW_RUNNING_SQL),
+    "topk_per_group": QuerySpec(windows.topk_per_group, windows.TOPK_PER_GROUP_SQL),
+    # --- set operations ---
+    "setop_union": QuerySpec(setops.setop_union, setops.SETOP_UNION_SQL),
+    "setop_intersect": QuerySpec(setops.setop_intersect, setops.SETOP_INTERSECT_SQL),
+    "setop_except": QuerySpec(setops.setop_except, setops.SETOP_EXCEPT_SQL),
+    # --- scalar function surface ---
+    "scalar_string_funcs": QuerySpec(scalar.scalar_string_funcs, scalar.SCALAR_STRING_SQL),
+    "scalar_date_funcs": QuerySpec(scalar.scalar_date_funcs, scalar.SCALAR_DATE_SQL),
+    "scalar_math_funcs": QuerySpec(scalar.scalar_math_funcs, scalar.SCALAR_MATH_SQL),
+    "scalar_conditional_funcs": QuerySpec(scalar.scalar_conditional_funcs, scalar.SCALAR_COND_SQL),
+    # --- event-stream analytics (batch twins of streaming ops) ---
+    "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
+    "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
+    "events_sliding": QuerySpec(events_q.events_sliding, events_q.EVENTS_SLIDING_SQL),
+    "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
+    "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
+    "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
+    # --- LLM data pipeline: text analysis ---
+    "docs_token_stats": QuerySpec(text.docs_token_stats, text.DOCS_TOKEN_STATS_SQL),
+    "docs_lang_profile": QuerySpec(text.docs_lang_profile, text.DOCS_LANG_PROFILE_SQL),
+    "docs_quality_score": QuerySpec(text.docs_quality_score, text.DOCS_QUALITY_SQL),
+    "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
+    # --- LLM data pipeline: dedup ---
+    "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
+    "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
+    "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
+    "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
+    "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
+    # --- LLM data pipeline: similarity search ---
+    "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
+    "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
+    "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}

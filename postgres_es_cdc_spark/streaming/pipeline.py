@@ -1,0 +1,152 @@
+"""Structured Streaming frontend — the reference's two processes as one
+Spark streaming pipeline.
+
+Reference architecture (SURVEY.md §0): producer tails Postgres WAL and
+publishes JSON ``DatabaseEvent``s to Kafka topic "CDC" partition 0
+(producer.go:60-174, utils.go:67-90); consumer replays the topic and
+applies each event to Elasticsearch one HTTP call at a time
+(utils.go:92-117, es.go:47-144).
+
+Spark-first replacement:
+  * source  — ``readStream`` from Kafka (production) or a file/parquet
+    directory (tests); the Kafka ``offset`` column replaces the LSN
+    (producer.go:171) as the version key, and the streaming CHECKPOINT
+    replaces the reference's in-memory-only LSN + temporary slot
+    (producer.go:55) — durable, resumable, no data-loss window.
+  * apply   — ``foreachBatch``: per micro-batch, run the same
+    ``apply_changes`` fold per table and MERGE into the materialized
+    sink. State lives in the sink table, exactly like the reference
+    keeps state in ES — minus its at-most-once/replay-always bugs
+    (utils.go:84-89, utils.go:49, es.go:95-98).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from postgres_es_cdc_spark.cdc.apply import apply_changes
+from postgres_es_cdc_spark.cdc.envelope import EVENT_SCHEMA, parse_envelope
+
+
+def kafka_event_stream(spark: SparkSession, bootstrap_servers: str,
+                       topic: str = "CDC",
+                       starting_offsets: str = "earliest") -> DataFrame:
+    """Production source: Kafka topic of JSON DatabaseEvent envelopes
+    (topic name per utils.go:31; earliest ≙ OffsetOldest utils.go:49 —
+    but replay-once thanks to checkpointing, not replay-always)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_envelope(raw, value_col="value", offset_col="offset")
+
+
+def file_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Test source: a directory of parquet files already in envelope
+    shape (offset, operationType, tableName, payload)."""
+    reader = (spark.readStream.schema(EVENT_SCHEMA).format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+class UpsertSink:
+    """foreachBatch sink that maintains latest-state-per-key per table in
+    parquet directories — the engine's stand-in for one ES index per
+    table (utils.go:104-108), with MERGE semantics instead of per-event
+    HTTP calls.
+
+    Merge strategy: fold the incoming micro-batch with ``apply_changes``
+    -> combine with existing state via the same per-column
+    last-writer-wins rules -> atomically overwrite. (With a Delta/Iceberg
+    sink this becomes MERGE INTO; plain parquet keeps the dependency
+    surface of this repo minimal while the fold logic — the part under
+    test — is identical.)
+    """
+
+    def __init__(self, base_dir: str, schemas: dict[str, StructType],
+                 key: str = "id", order_col: str = "offset"):
+        self.base_dir = base_dir
+        self.schemas = schemas
+        self.key = key
+        self.order_col = order_col
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def _merge(self, spark: SparkSession, name: str, batch: DataFrame) -> None:
+        schema = self.schemas[name]
+        path = self.table_path(name)
+        # Represent existing state as synthetic INSERT events at offset -1:
+        # batch events (all offsets >= 0) then override per column/key by
+        # exactly the apply_changes rules. DELETEs in the batch drop
+        # existing keys; sparse UPDATEs merge onto existing rows.
+        events = batch
+        if os.path.exists(path):
+            prior = spark.read.parquet(path)
+            prior_ev = prior.select(
+                F.lit(-1).cast("long").alias(self.order_col),
+                F.lit("INSERT").alias("operationType"),
+                F.lit(name).alias("tableName"),
+                F.to_json(F.struct(*[F.col(f.name) for f in schema.fields]),
+                          {"ignoreNullFields": "false"}).alias("payload"),
+            )
+            events = batch.unionByName(prior_ev)
+        state = apply_changes(events, schema, self.key, self.order_col)
+        tmp = path + ".tmp"
+        state.write.mode("overwrite").parquet(tmp)
+        final_df = spark.read.parquet(tmp)
+        final_df.write.mode("overwrite").parquet(path)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        for name in self.schemas:
+            table_events = batch.filter(F.col("tableName") == name)
+            self._merge(spark, name, table_events)
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.apply_batch
+
+
+def run_cdc_pipeline(events: DataFrame, sink: UpsertSink,
+                     checkpoint_dir: str, trigger_once: bool = True):
+    """Wire an event stream into the upsert sink with a durable
+    checkpoint (the reference's missing durability: producer.go:55
+    temporary slot, utils.go:49 no offset commit)."""
+    writer = (
+        events.writeStream
+        .foreachBatch(sink.writer())
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_aggregate(events: DataFrame, ts_col: str = "ts",
+                             watermark: str = "10 minutes",
+                             window_duration: str = "5 minutes",
+                             slide: str | None = None) -> DataFrame:
+    """Streaming tumbling/sliding aggregation with late-data watermark —
+    [EXT]: the reference has no event-time notion at all (arrival order
+    only, SURVEY.md §2)."""
+    win = (F.window(F.col(ts_col), window_duration, slide)
+           if slide else F.window(F.col(ts_col), window_duration))
+    return (
+        events.withWatermark(ts_col, watermark)
+              .groupBy(win.alias("win"), F.col("event_type"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum("value").alias("sum_value"))
+              .select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      "event_type", "n_events", "sum_value")
+    )

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from postgres_es_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="pytest", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    from tests.oracle_harness import duck_connection
+
+    return duck_connection(SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

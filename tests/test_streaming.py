@@ -1,0 +1,114 @@
+"""Streaming frontend tests: batch-vs-stream equivalence of the CDC fold
+(Structured Streaming prefix consistency makes this a fair check —
+SURVEY.md §5.4) and the windowed event aggregate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.cdc.apply import apply_changes
+from postgres_es_cdc_spark.cdc.generate import (
+    orders_cdc_events, orders_cdc_value_schema)
+from postgres_es_cdc_spark.streaming.pipeline import (
+    UpsertSink, file_event_stream, run_cdc_pipeline, windowed_event_aggregate)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc_events"))
+    ev = orders_cdc_events(spark, sf_dir)
+    # Split into several files so the stream sees multiple input splits.
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_fold_equals_batch_fold(spark, sf_dir, event_dir, tmp_path):
+    schema = orders_cdc_value_schema()
+    sink = UpsertSink(str(tmp_path / "state"), {"orders": schema})
+    stream = file_event_stream(spark, event_dir, max_files_per_trigger=2)
+    q = run_cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink.table_path("orders"))
+    want = apply_changes(orders_cdc_events(spark, sf_dir), schema)
+    sym_diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert got.count() == want.count()
+    assert sym_diff == 0
+
+
+def test_incremental_batches_converge(spark, tmp_path):
+    """Feed two micro-batches by hand through the sink: state after both
+    equals a single fold over the concatenation."""
+    from pyspark.sql import Row
+    from postgres_es_cdc_spark.cdc.envelope import EVENT_SCHEMA
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string("id long, name string, qty long")
+    b1 = spark.createDataFrame([
+        Row(offset=1, operationType="INSERT", tableName="t",
+            payload='{"id":1,"name":"a","qty":1}'),
+        Row(offset=2, operationType="INSERT", tableName="t",
+            payload='{"id":2,"name":"b","qty":2}'),
+    ], EVENT_SCHEMA)
+    b2 = spark.createDataFrame([
+        Row(offset=3, operationType="UPDATE", tableName="t",
+            payload='{"id":1,"qty":9}'),
+        Row(offset=4, operationType="DELETE", tableName="t",
+            payload='{"id":2}'),
+    ], EVENT_SCHEMA)
+    sink = UpsertSink(str(tmp_path / "state"), {"t": schema})
+    sink.apply_batch(b1, 0)
+    sink.apply_batch(b2, 1)
+    rows = {r.id: (r.name, r.qty)
+            for r in spark.read.parquet(sink.table_path("t")).collect()}
+    assert rows == {1: ("a", 9)}
+
+
+def test_windowed_aggregate_stream_matches_batch(spark, tmp_path):
+    """Tumbling-window streaming agg == the equivalent batch groupBy."""
+    rows = [(i, f"2024-01-01 00:{i % 30:02d}:{(7 * i) % 60:02d}",
+             "click" if i % 2 else "view", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, ts_str string, event_type string, value double") \
+              .select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+                      "event_type", "value")
+    src = str(tmp_path / "events")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema).parquet(src))
+    agg = windowed_event_aggregate(stream, ts_col="ts")
+    out = str(tmp_path / "out")
+    q = (agg.writeStream.outputMode("append")
+            .format("memory").queryName("win_agg")
+            .option("checkpointLocation", out)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; check subset match
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM win_agg").collect()}
+    batch = {(r.win.start, r.event_type): (r.n_events, r.sum_value)
+             for r in df.groupBy(F.window("ts", "5 minutes").alias("win"),
+                                 "event_type")
+                        .agg(F.count("*").alias("n_events"),
+                             F.sum("value").alias("sum_value")).collect()}
+    assert set(got).issubset(set(batch))
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_kafka_envelope_parse(spark):
+    """parse_envelope decodes the Kafka-wire JSON DatabaseEvent shape
+    (utils.go:69-74) without a Kafka broker."""
+    from pyspark.sql import Row
+    from postgres_es_cdc_spark.cdc.envelope import parse_envelope
+
+    raw = spark.createDataFrame([
+        Row(value=bytearray(
+            b'{"operationType":"INSERT","tableName":"t",'
+            b'"payload":"{\\"id\\":1}"}'), offset=42),
+    ], "value binary, offset long")
+    out = parse_envelope(raw).collect()[0]
+    assert (out.offset, out.operationType, out.tableName, out.payload) == \
+        (42, "INSERT", "t", '{"id":1}')
