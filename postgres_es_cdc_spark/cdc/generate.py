@@ -52,54 +52,48 @@ def orders_cdc_events(spark, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
     )
 
-    def env(offset, op, payload):
-        return [
-            offset.cast("long").alias("offset"),
-            F.lit(op).alias("operationType"),
-            F.lit("orders").alias("tableName"),
-            payload.alias("payload"),
-        ]
-
     k = F.col("k")
-    inserts = o.select(*env(
-        k * 10, "INSERT",
-        F.to_json(F.struct(
-            k.alias("id"), F.col("custkey"), F.col("status"),
-            F.col("totalprice"), F.col("priority")), _J),
-    ))
-    upd_price = o.filter(k % 5 == 0).select(*env(
-        k * 10 + 3, "UPDATE",
-        F.to_json(F.struct(
-            k.alias("id"), (F.col("totalprice") * F.lit(1.1)).alias("totalprice")), _J),
-    ))
-    upd_null = o.filter(k % 7 == 0).select(*env(
-        k * 10 + 4, "UPDATE",
-        F.to_json(F.struct(
-            k.alias("id"), F.lit(None).cast("string").alias("priority")), _J),
-    ))
-    deletes = o.filter(k % 9 == 0).select(*env(
-        k * 10 + 5, "DELETE", F.to_json(F.struct(k.alias("id")), _J),
-    ))
-    corrupt = o.filter(k % 13 == 0).select(*env(
-        k * 10 + 6, "INSERT", F.lit("{oops"),
-    ))
-    reinserts = o.filter((k % 9 == 0) & (k % 2 == 1)).select(*env(
-        k * 10 + 7, "INSERT",
-        F.to_json(F.struct(
-            k.alias("id"), F.col("custkey"), F.lit("R").alias("status"),
-            (F.col("totalprice") + F.lit(1000.0)).alias("totalprice"),
-            F.col("priority")), _J),
-    ))
-    orphan_upd = o.filter(k % 17 == 0).select(*env(
-        k * 10 + 8, "UPDATE",
-        F.to_json(F.struct((-k).alias("id"),
-                           F.lit("ORPHAN").alias("status")), _J),
-    ))
 
+    def ev(cond, offset, op, payload):
+        """One conditional event as a nullable struct element."""
+        e = F.struct(offset.cast("long").alias("offset"),
+                     F.lit(op).alias("operationType"),
+                     payload.alias("payload"))
+        return e if cond is None else F.when(cond, e)
+
+    # Single parquet scan: each order row emits its whole event subset as
+    # an array (nulls filtered), exploded — no 7-way union of re-scans.
+    events = F.array(
+        ev(None, k * 10, "INSERT",
+           F.to_json(F.struct(
+               k.alias("id"), F.col("custkey"), F.col("status"),
+               F.col("totalprice"), F.col("priority")), _J)),
+        ev(k % 5 == 0, k * 10 + 3, "UPDATE",
+           F.to_json(F.struct(
+               k.alias("id"),
+               (F.col("totalprice") * F.lit(1.1)).alias("totalprice")), _J)),
+        ev(k % 7 == 0, k * 10 + 4, "UPDATE",
+           F.to_json(F.struct(
+               k.alias("id"),
+               F.lit(None).cast("string").alias("priority")), _J)),
+        ev(k % 9 == 0, k * 10 + 5, "DELETE",
+           F.to_json(F.struct(k.alias("id")), _J)),
+        ev(k % 13 == 0, k * 10 + 6, "INSERT", F.lit("{oops")),
+        ev((k % 9 == 0) & (k % 2 == 1), k * 10 + 7, "INSERT",
+           F.to_json(F.struct(
+               k.alias("id"), F.col("custkey"), F.lit("R").alias("status"),
+               (F.col("totalprice") + F.lit(1000.0)).alias("totalprice"),
+               F.col("priority")), _J)),
+        ev(k % 17 == 0, k * 10 + 8, "UPDATE",
+           F.to_json(F.struct((-k).alias("id"),
+                              F.lit("ORPHAN").alias("status")), _J)),
+    )
     return (
-        inserts.unionByName(upd_price).unionByName(upd_null)
-        .unionByName(deletes).unionByName(corrupt)
-        .unionByName(reinserts).unionByName(orphan_upd)
+        o.select(F.explode(F.filter(events, lambda e: e.isNotNull())).alias("e"))
+         .select(F.col("e.offset").alias("offset"),
+                 F.col("e.operationType").alias("operationType"),
+                 F.lit("orders").alias("tableName"),
+                 F.col("e.payload").alias("payload"))
     )
 
 

@@ -142,14 +142,22 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     banded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", "bk.band_idx", "bk.band_key")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Group-then-pair instead of a self-join: a self-join would evaluate
+    # the whole signature pipeline twice (both join inputs are the same
+    # unmaterialized subplan). collect_list computes signatures ONCE,
+    # shuffles only (band_idx, band_key, doc_id), and emits pairs from
+    # each bucket's id array — in-bucket work is quadratic only in the
+    # duplicate-cluster size, which is exactly what LSH bounds.
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+              .agg(F.collect_list("doc_id").alias("ids"))
+              .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(right, ["band_idx", "band_key"])
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"))
-            .distinct()
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+               .select("doc_a", F.explode("ids").alias("doc_b"))
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .distinct()
     )
 
 
@@ -188,16 +196,24 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_hashes(mutated_corpus(spark, sf_dir))
     sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
                       F.explode("sh").alias("h"))
-    a = sized.alias("a")
-    b = sized.alias("b")
+    # Same group-then-pair shape as the LSH stage (see there): one
+    # computation of the shingle pipeline, shuffle by shingle hash,
+    # per-shingle doc lists expanded to ordered pairs.
+    docs_per_shingle = (
+        sized.groupBy("h")
+             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+             .filter(F.size("ds") > 1)
+    )
     shared = (
-        a.join(b, "h")
-         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-         .groupBy(F.col("a.doc_id").alias("doc_a"),
-                  F.col("b.doc_id").alias("doc_b"),
-                  F.col("a.n_sh").alias("na"),
-                  F.col("b.n_sh").alias("nb"))
-         .agg(F.count("*").alias("inter"))
+        docs_per_shingle
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (

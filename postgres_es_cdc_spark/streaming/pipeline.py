@@ -71,7 +71,22 @@ class UpsertSink:
     sink this becomes MERGE INTO; plain parquet keeps the dependency
     surface of this repo minimal while the fold logic — the part under
     test — is identical.)
+
+    Versioning: each state row carries ``_cdc_version`` — the max offset
+    that contributed to it. Prior state enters the next micro-batch's
+    fold as an INSERT at that true offset, so replayed events (same
+    offsets redelivered after a restart) are idempotent and cross-batch
+    per-key ordering is respected as long as the source delivers each
+    key's events with monotone offsets across triggers (what a Kafka
+    partition provides, and the same assumption as the reference's
+    sequential consumer, utils.go:92-117). A late event older than a
+    row's materialized version is ignored as a whole — per-column late
+    resolution would need per-column versions; deleted keys keep no
+    tombstone, matching the reference (delete_by_query leaves nothing,
+    es.go:112-144).
     """
+
+    VERSION_COL = "_cdc_version"
 
     def __init__(self, base_dir: str, schemas: dict[str, StructType],
                  key: str = "id", order_col: str = "offset"):
@@ -90,18 +105,19 @@ class UpsertSink:
         # batch events (all offsets >= 0) then override per column/key by
         # exactly the apply_changes rules. DELETEs in the batch drop
         # existing keys; sparse UPDATEs merge onto existing rows.
-        events = batch
+        events = batch.select(self.order_col, "operationType", "tableName", "payload")
         if os.path.exists(path):
             prior = spark.read.parquet(path)
             prior_ev = prior.select(
-                F.lit(-1).cast("long").alias(self.order_col),
+                F.col(self.VERSION_COL).alias(self.order_col),
                 F.lit("INSERT").alias("operationType"),
                 F.lit(name).alias("tableName"),
                 F.to_json(F.struct(*[F.col(f.name) for f in schema.fields]),
                           {"ignoreNullFields": "false"}).alias("payload"),
             )
-            events = batch.unionByName(prior_ev)
-        state = apply_changes(events, schema, self.key, self.order_col)
+            events = events.unionByName(prior_ev)
+        state = apply_changes(events, schema, self.key, self.order_col,
+                              version_col=self.VERSION_COL)
         tmp = path + ".tmp"
         state.write.mode("overwrite").parquet(tmp)
         final_df = spark.read.parquet(tmp)

@@ -20,8 +20,11 @@ from postgres_es_cdc_spark.streaming.pipeline import (
 def event_dir(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("cdc_events"))
     ev = orders_cdc_events(spark, sf_dir)
-    # Split into several files so the stream sees multiple input splits.
-    ev.repartition(4).write.mode("overwrite").parquet(path)
+    # Range-partition by offset so the file stream delivers micro-batches
+    # in global offset order — the Kafka-partition delivery model the
+    # sink's cross-batch versioning assumes (per-key monotone offsets).
+    ev.repartitionByRange(4, "offset").sortWithinPartitions("offset") \
+      .write.mode("overwrite").parquet(path)
     return path
 
 
@@ -32,7 +35,7 @@ def test_stream_fold_equals_batch_fold(spark, sf_dir, event_dir, tmp_path):
     q = run_cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    got = spark.read.parquet(sink.table_path("orders"))
+    got = spark.read.parquet(sink.table_path("orders")).drop("_cdc_version")
     want = apply_changes(orders_cdc_events(spark, sf_dir), schema)
     sym_diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     assert got.count() == want.count()
@@ -62,9 +65,15 @@ def test_incremental_batches_converge(spark, tmp_path):
     sink = UpsertSink(str(tmp_path / "state"), {"t": schema})
     sink.apply_batch(b1, 0)
     sink.apply_batch(b2, 1)
-    rows = {r.id: (r.name, r.qty)
-            for r in spark.read.parquet(sink.table_path("t")).collect()}
-    assert rows == {1: ("a", 9)}
+    state = spark.read.parquet(sink.table_path("t"))
+    rows = {r.id: (r.name, r.qty, r._cdc_version) for r in state.collect()}
+    assert rows == {1: ("a", 9, 3)}  # version = last contributing offset
+
+    # Redelivery of the same micro-batch (restart replay) is idempotent.
+    sink.apply_batch(b2, 2)
+    again = {r.id: (r.name, r.qty, r._cdc_version)
+             for r in spark.read.parquet(sink.table_path("t")).collect()}
+    assert again == rows
 
 
 def test_windowed_aggregate_stream_matches_batch(spark, tmp_path):
