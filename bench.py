@@ -34,6 +34,9 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "emb_cosine_topk",
+    "emb_ivf_topk",
+    "having_big_orders",
+    "range_join_price_bands",
 ]
 
 

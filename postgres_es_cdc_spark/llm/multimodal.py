@@ -100,6 +100,37 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024,
     return assets.mapInPandas(_proc, schema=FEATURE_SCHEMA)
 
 
+def multimodal_meta_stats(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal surface: binary payload
+    construction + metadata-only aggregation (the binary column itself
+    never leaves the executors — only its byte length)."""
+    from postgres_es_cdc_spark.catalog import table
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return assets.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT modality, COUNT(*) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(n_bytes) AS min_bytes,
+       MAX(n_bytes) AS max_bytes
+FROM assets GROUP BY modality
+"""
+
+
 def modality_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only aggregation: prunes the binary column entirely —
     the scan never materializes payload bytes (column pruning)."""

@@ -204,6 +204,69 @@ def emb_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_bucket_col():
+    return sum(
+        (F.when(F.element_at("embedding", j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(8)
+    ).cast("long")
+
+
+_BUCKET_SQL = "CAST(" + " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(8)) + " AS BIGINT)"
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 2,
+                 n_queries: int = 20) -> DataFrame:
+    """IVF-style approximate top-k: search only candidates in the query's
+    own sign-LSH cell instead of the full corpus.
+
+    This is the 100 TB shape: the coarse quantizer (here the sign
+    bucket; a trained IVF would use emb_centroid_assign cells) turns the
+    O(|queries|·|corpus|) brute force into O(|queries|·cell_size) — an
+    equi-join on bucket id instead of a cross join. Quantized-exact
+    kernel so the oracle matches bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings").withColumn("bucket", _sign_bucket_col())
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "bucket",
+        quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cid"), "bucket",
+                 quantize(F.col("embedding")).alias("cq"))
+    cos = (
+        dot_q(F.col("qq"), F.col("cq")).cast("double")
+        / (F.sqrt(dot_q(F.col("qq"), F.col("qq")).cast("double"))
+           * F.sqrt(dot_q(F.col("cq"), F.col("cq")).cast("double")))
+    )
+    scored = (
+        F.broadcast(q).join(c, "bucket")
+         .filter(F.col("qid") != F.col("cid"))
+         .select("qid", "cid", cos.alias("cos_sim"))
+    )
+    return _topk(scored, k).select("qid", "cid", "rank", "cos_sim")
+
+
+EMB_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, bucket, embedding AS q_emb FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, bucket, embedding AS c_emb FROM e),
+scored AS (
+  SELECT q.qid, c.cid,
+         CAST(CAST(SUM({_XQ.format(v='q_emb')} * {_XQ.format(v='c_emb')}) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM({_XQ.format(v='q_emb')} * {_XQ.format(v='q_emb')}) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM({_XQ.format(v='c_emb')} * {_XQ.format(v='c_emb')}) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket, generate_series(1, 64) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+)
+SELECT qid, cid, rank, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+      FROM scored)
+WHERE rank <= 2
+"""
+
+
 EMB_LSH_BUCKETS_SQL = """
 SELECT CAST({bucket} AS BIGINT) AS bucket,
        COUNT(*) AS n_vectors,

@@ -15,8 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.functions import scalar
-from postgres_es_cdc_spark.llm import dedup, similarity, text
-from postgres_es_cdc_spark.operators import events_q, relational, setops, windows
+from postgres_es_cdc_spark.llm import dedup, multimodal, similarity, text
+from postgres_es_cdc_spark.operators import (
+    advanced, events_q, relational, setops, windows)
 
 
 @dataclass(frozen=True)
@@ -45,6 +46,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
     "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
     "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, None),
+    # --- advanced relational ---
+    "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
+    "grouping_sets_mix": QuerySpec(advanced.grouping_sets_mix, advanced.GROUPING_SETS_SQL),
+    "having_big_orders": QuerySpec(advanced.having_big_orders, advanced.HAVING_SQL),
+    "subquery_above_nation_avg": QuerySpec(advanced.subquery_above_nation_avg, advanced.SUBQUERY_AVG_SQL),
+    "range_join_price_bands": QuerySpec(advanced.range_join_price_bands, advanced.RANGE_JOIN_SQL),
+    "percentile_disc_prices": QuerySpec(advanced.percentile_disc_prices, advanced.PERCENTILE_SQL),
+    "string_agg_nation_customers": QuerySpec(advanced.string_agg_nation_customers, advanced.STRING_AGG_SQL),
     # --- window functions ---
     "window_rank": QuerySpec(windows.window_rank, windows.WINDOW_RANK_SQL),
     "window_lag_lead": QuerySpec(windows.window_lag_lead, windows.WINDOW_LAG_SQL),
@@ -81,6 +90,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
     "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
+    "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
+    # --- LLM data pipeline: multimodal columns ---
+    "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
 }
 
 

@@ -148,6 +148,38 @@ def run_cdc_pipeline(events: DataFrame, sink: UpsertSink,
     return writer.start()
 
 
+def sessionized_event_aggregate(events: DataFrame, ts_col: str = "ts",
+                                gap: str = "30 minutes",
+                                watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gap-based sessionization per user via the native
+    session_window operator ([EXT]; batch twin: operators/events_q.py
+    events_session's lag+cumsum islands). The watermark bounds session
+    state: sessions older than it are finalized and evicted."""
+    return (
+        events.withWatermark(ts_col, watermark)
+              .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                       F.col("user_id"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum("value").alias("sum_value"))
+              .select("user_id",
+                      F.col("sw.start").alias("session_start"),
+                      F.col("sw.end").alias("session_end"),
+                      "n_events", "sum_value")
+    )
+
+
+def dedup_events_within_watermark(events: DataFrame, keys: list[str],
+                                  ts_col: str = "ts",
+                                  watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key only as long as the
+    watermark requires — the streaming fix for the reference's
+    duplicate-on-replay behavior (es.go:95-98) when the source itself
+    redelivers (at-least-once Kafka producers)."""
+    return (events.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(keys))
+
+
 def windowed_event_aggregate(events: DataFrame, ts_col: str = "ts",
                              watermark: str = "10 minutes",
                              window_duration: str = "5 minutes",

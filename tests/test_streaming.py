@@ -107,6 +107,54 @@ def test_windowed_aggregate_stream_matches_batch(spark, tmp_path):
         assert batch[k] == v
 
 
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window agg == the same operator run in batch."""
+    rows = [(i, f"2024-01-01 {i % 4:02d}:{(13 * i) % 60:02d}:00",
+             (i % 5) + 1, float(i)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_str string, user_id long, value double"
+    ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    src = str(tmp_path / "events")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+
+    from postgres_es_cdc_spark.streaming.pipeline import sessionized_event_aggregate
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = sessionized_event_aggregate(stream, gap="10 minutes")
+    q = (agg.writeStream.outputMode("complete")
+            .format("memory").queryName("sess_agg")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM sess_agg").collect()}
+    batch = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+             for r in sessionized_event_aggregate(df, gap="10 minutes").collect()}
+    assert got == batch
+    assert len(got) > 5
+
+
+def test_dedup_within_watermark_removes_redeliveries(spark, tmp_path):
+    rows = [(i % 50, "2024-01-01 00:10:00", float(i % 50)) for i in range(150)]
+    df = spark.createDataFrame(rows, "event_id long, ts_str string, value double") \
+              .select("event_id", F.col("ts_str").cast("timestamp").alias("ts"), "value")
+    src = str(tmp_path / "dups")
+    df.write.mode("overwrite").parquet(src)
+
+    from postgres_es_cdc_spark.streaming.pipeline import dedup_events_within_watermark
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = dedup_events_within_watermark(stream, ["event_id"])
+    q = (deduped.writeStream.outputMode("append")
+            .format("memory").queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id, count(*) c FROM dedup_out GROUP BY 1").collect()
+    assert len(out) == 50 and all(r.c == 1 for r in out)
+
+
 def test_kafka_envelope_parse(spark):
     """parse_envelope decodes the Kafka-wire JSON DatabaseEvent shape
     (utils.go:69-74) without a Kafka broker."""
