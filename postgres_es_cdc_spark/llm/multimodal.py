@@ -77,6 +77,68 @@ def fake_decode(payload: bytes, modality: str, dim: int = 8) -> list[float]:
     return [float(v) / 1_000_003.0 for v in acc]
 
 
+def resize_stub(payload: bytes, width: int, height: int):
+    """Image-resize kernel slot (PIL in production) — unimplemented here."""
+    raise NotImplementedError("image codecs unavailable; use fake_resize")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: repeats/truncates the payload to exactly
+    width*height bytes (shape contract of a real resize)."""
+    target = max(width * height, 1)
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def frame_sample_stub(payload: bytes, every_n: int):
+    """Video frame-sampling kernel slot (libav in production)."""
+    raise NotImplementedError("video codecs unavailable; use fake_frame_sample")
+
+
+def fake_frame_sample(payload: bytes, every_n: int, frame_size: int = 64) -> list[bytes]:
+    """Deterministic stand-in: treats the payload as fixed-size frames
+    and keeps every n-th — the batch shape of real frame sampling."""
+    frames = [payload[i:i + frame_size]
+              for i in range(0, len(payload or b""), frame_size)]
+    return frames[::max(every_n, 1)]
+
+
+def transform_assets(assets: DataFrame, width: int = 8, height: int = 8,
+                     every_n: int = 4) -> DataFrame:
+    """mapInPandas media transform: images resized, videos frame-sampled,
+    audio passed through — modality routing inside the Arrow batch, the
+    per-row kernel swap a real pipeline does."""
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("out_bytes", LongType(), True),
+        StructField("n_frames", LongType(), True),
+    ])
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, frames = [], []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                if m == "image":
+                    outs.append(len(fake_resize(p, width, height)))
+                    frames.append(1)
+                elif m == "video":
+                    fs = fake_frame_sample(p, every_n)
+                    outs.append(sum(len(f) for f in fs))
+                    frames.append(len(fs))
+                else:
+                    outs.append(len(p or b""))
+                    frames.append(0)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"], "modality": pdf["modality"],
+                "out_bytes": outs, "n_frames": frames,
+            })
+
+    return assets.mapInPandas(_proc, schema=out_schema)
+
+
 def extract_features(assets: DataFrame, batch_hint: int = 1024,
                      use_stub: bool = False) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.

@@ -17,7 +17,7 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.functions import scalar
 from postgres_es_cdc_spark.llm import dedup, multimodal, similarity, text
 from postgres_es_cdc_spark.operators import (
-    advanced, events_q, relational, setops, windows)
+    advanced, events_q, relational, setops, tpch_extra, windows)
 
 
 @dataclass(frozen=True)
@@ -46,6 +46,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
     "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
     "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, None),
+    "q2_min_balance_supplier": QuerySpec(tpch_extra.q2_min_balance_supplier, tpch_extra.Q2_SQL),
+    "q4_priority_with_lineitems": QuerySpec(tpch_extra.q4_priority_with_lineitems, tpch_extra.Q4_SQL),
+    "q14_promo_revenue_ratio": QuerySpec(tpch_extra.q14_promo_revenue_ratio, tpch_extra.Q14_SQL),
+    "q15_top_supplier": QuerySpec(tpch_extra.q15_top_supplier, tpch_extra.Q15_SQL),
+    "q16_supplier_variety": QuerySpec(tpch_extra.q16_supplier_variety, tpch_extra.Q16_SQL),
+    "q19_or_of_ands": QuerySpec(tpch_extra.q19_or_of_ands, tpch_extra.Q19_SQL),
+    "q22_idle_rich_customers": QuerySpec(tpch_extra.q22_idle_rich_customers, tpch_extra.Q22_SQL),
+    "events_funnel": QuerySpec(tpch_extra.events_funnel, tpch_extra.EVENTS_FUNNEL_SQL),
     # --- advanced relational ---
     "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
     "grouping_sets_mix": QuerySpec(advanced.grouping_sets_mix, advanced.GROUPING_SETS_SQL),

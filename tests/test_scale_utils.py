@@ -1,0 +1,62 @@
+"""Skew/bucketing utilities and multimodal transforms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.llm.multimodal import (
+    assets_from_documents, fake_frame_sample, fake_resize, frame_sample_stub,
+    resize_stub, transform_assets)
+from postgres_es_cdc_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(o, c, "o_custkey", n_salts=4).select(
+        "o_orderkey", "c_mktsegment")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    plain_cnt = c.join(o, "c_custkey", "left").count()
+    salted_cnt = salted_join(c, o, "c_custkey", n_salts=4, how="left").count()
+    assert plain_cnt == salted_cnt
+
+
+def test_salted_join_rejects_other_join_types(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError):
+        salted_join(c, c, "c_custkey", how="full")
+
+
+def test_resize_and_frame_sample_contracts():
+    assert len(fake_resize(b"abc", 4, 4)) == 16
+    assert fake_resize(b"", 2, 2) == bytes(4)
+    frames = fake_frame_sample(b"x" * 640, every_n=2, frame_size=64)
+    assert len(frames) == 5  # 10 frames, every 2nd
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"x", 2, 2)
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"x", 2)
+
+
+def test_transform_assets_routes_by_modality(spark, sf_dir):
+    assets = assets_from_documents(table(spark, sf_dir, "documents")).limit(60)
+    out = transform_assets(assets, width=8, height=8, every_n=4).collect()
+    assert len(out) == 60
+    for r in out:
+        if r.modality == "image":
+            assert r.out_bytes == 64 and r.n_frames == 1
+        elif r.modality == "video":
+            assert r.n_frames >= 1
+        else:
+            assert r.n_frames == 0

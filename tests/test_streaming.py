@@ -20,11 +20,22 @@ from postgres_es_cdc_spark.streaming.pipeline import (
 def event_dir(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("cdc_events"))
     ev = orders_cdc_events(spark, sf_dir)
-    # Range-partition by offset so the file stream delivers micro-batches
-    # in global offset order — the Kafka-partition delivery model the
-    # sink's cross-batch versioning assumes (per-key monotone offsets).
-    ev.repartitionByRange(4, "offset").sortWithinPartitions("offset") \
-      .write.mode("overwrite").parquet(path)
+    # The sink's cross-batch versioning assumes Kafka-partition delivery:
+    # per-key monotone offsets across triggers. FileStreamSource orders
+    # files by MODIFICATION TIME (ties arbitrary), so write one file per
+    # offset quartile and force strictly increasing mtimes.
+    hi = ev.agg(F.max("offset")).collect()[0][0] + 1
+    seen: set[str] = set()
+    base = 1_700_000_000
+    for i in range(4):
+        lo_b, hi_b = i * hi // 4, (i + 1) * hi // 4
+        (ev.filter((F.col("offset") >= lo_b) & (F.col("offset") < hi_b))
+           .coalesce(1).write.mode("append").parquet(path))
+        for fname in os.listdir(path):
+            full = os.path.join(path, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                os.utime(full, (base + i, base + i))
+                seen.add(full)
     return path
 
 
