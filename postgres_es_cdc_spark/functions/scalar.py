@@ -125,6 +125,49 @@ FROM customer
 """
 
 
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface with scalar outputs (arrays
+    themselves aren't hash-compared: engines render them differently).
+    Covers construct/size/contains/position/transform/filter/sort/
+    distinct/aggregate — the primitives the dedup+similarity operators
+    compose."""
+    c = table(spark, sf_dir, "customer")
+    arr = F.sequence(F.lit(1), (F.col("c_nationkey") % 4 + 2).cast("int"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.size(arr).cast("long").alias("arr_len"),
+        F.aggregate(arr, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("arr_sum"),
+        F.array_max(arr).cast("long").alias("arr_max"),
+        F.array_contains(arr, 3).alias("has_3"),
+        F.array_position(arr, 2).cast("long").alias("pos_of_2"),
+        F.element_at(F.reverse(F.array_sort(arr)), 1).cast("long").alias("desc_first"),
+        F.size(F.array_distinct(F.concat(arr, arr))).cast("long").alias("distinct_len"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.aggregate(F.transform(arr, lambda x: x * x),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_squares"),
+    )
+
+
+SCALAR_ARRAY_SQL = """
+WITH t AS (
+  SELECT c_custkey, generate_series(1, c_nationkey % 4 + 2) AS arr
+  FROM customer
+)
+SELECT c_custkey AS custkey,
+       len(arr) AS arr_len,
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+       CAST(list_max(arr) AS BIGINT) AS arr_max,
+       list_contains(arr, 3) AS has_3,
+       CAST(list_position(arr, 2) AS BIGINT) AS pos_of_2,
+       CAST(list_reverse_sort(arr)[1] AS BIGINT) AS desc_first,
+       len(list_distinct(list_concat(arr, arr))) AS distinct_len,
+       len(list_filter(arr, x -> x % 2 = 0)) AS n_even,
+       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_squares
+FROM t
+"""
+
+
 def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE / coalesce / nullif — the expression forms the CDC partial
     merge is built from (per-column coalesce; SURVEY.md §4.2)."""

@@ -12,7 +12,7 @@ md5-hex-prefix -> bigint (identical in Spark `conv` and DuckDB hex cast).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
@@ -127,6 +127,74 @@ SELECT doc_id, lang, n_tokens, n_stopwords,
      + 0.3*LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
      + 0.3*LEAST(CAST(n_stopwords AS DOUBLE)/n_tokens*5.0, 1.0) AS quality
 FROM m
+"""
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID, trained and applied in one plan.
+
+    Train: per language tag, the top-20 character bigrams by frequency
+    (tie-break bigram asc) over the labeled corpus. Classify: each doc
+    scores every language by |distinct doc bigrams ∩ top-20|; argmax
+    wins (tie-break lang asc). Fully deterministic, no external model —
+    the n-gram heuristic an LLM-data pipeline runs before a real
+    classifier. Scale shape: profile table is tiny -> broadcast; docs
+    stream through one explode + join + argmax window.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pos = F.posexplode(F.sequence(F.lit(1), F.length("text") - 1))
+    bigrams = d.select("doc_id", "lang", "text", pos.alias("_i", "i")) \
+               .select("doc_id", "lang", F.expr("substr(text, i, 2)").alias("bg"))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
+    profiles = (
+        bigrams.groupBy("lang", "bg").agg(F.count("*").alias("cnt"))
+               .withColumn("rn", F.row_number().over(w_rank))
+               .filter(F.col("rn") <= 20)
+               .select(F.col("lang").alias("cand_lang"), "bg")
+    )
+    doc_bg = bigrams.select("doc_id", "lang", "bg").distinct()
+    scores = (
+        doc_bg.join(F.broadcast(profiles), "bg")
+              .groupBy("doc_id", "lang", "cand_lang")
+              .agg(F.count("*").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w_best))
+              .filter(F.col("rn") == 1)
+              .select("doc_id", "lang",
+                      F.col("cand_lang").alias("pred_lang"),
+                      F.col("score"),
+                      (F.col("cand_lang") == F.col("lang")).alias("correct"))
+    )
+
+
+DOCS_LANG_ID_SQL = """
+WITH bigrams AS (
+  SELECT doc_id, lang, substr(text, i, 2) AS bg
+  FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1, LENGTH(text) - 1)) AS i
+        FROM documents)
+), profiles AS (
+  SELECT lang AS cand_lang, bg
+  FROM (SELECT lang, bg, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg ASC) AS rn
+        FROM bigrams GROUP BY lang, bg)
+  WHERE rn <= 20
+), doc_bg AS (
+  SELECT DISTINCT doc_id, lang, bg FROM bigrams
+), scores AS (
+  SELECT d.doc_id, d.lang, p.cand_lang, COUNT(*) AS score
+  FROM doc_bg d JOIN profiles p ON d.bg = p.bg
+  GROUP BY d.doc_id, d.lang, p.cand_lang
+)
+SELECT doc_id, lang, cand_lang AS pred_lang, score,
+       cand_lang = lang AS correct
+FROM (SELECT doc_id, lang, cand_lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scores)
+WHERE rn = 1
 """
 
 

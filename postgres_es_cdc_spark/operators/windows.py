@@ -96,6 +96,51 @@ FROM orders
 """
 
 
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-clause battery: first_value / nth_value, rolling ROWS
+    max, and a value-based RANGE frame (30-day rolling spend) over a
+    numeric day axis — the frame semantics streaming rollups build on."""
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1995-01-01").cast("date"))
+    o = o.withColumn("order_day", day.cast("long"))
+    w = Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    wr = (Window.partitionBy("o_custkey").orderBy("order_day")
+                .rangeBetween(-30, Window.currentRow))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("order_day"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.max("o_totalprice").over(w3).alias("rolling3_max"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wr)
+         .cast("double").alias("spend_30d"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS order_day
+  FROM orders
+)
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, order_day,
+       o_totalprice AS totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_max,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY order_day
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey)
+"""
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per customer — row_number filter pattern.
 

@@ -66,6 +66,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_rank": QuerySpec(windows.window_rank, windows.WINDOW_RANK_SQL),
     "window_lag_lead": QuerySpec(windows.window_lag_lead, windows.WINDOW_LAG_SQL),
     "window_running_sum": QuerySpec(windows.window_running_sum, windows.WINDOW_RUNNING_SQL),
+    "window_frames": QuerySpec(windows.window_frames, windows.WINDOW_FRAMES_SQL),
     "topk_per_group": QuerySpec(windows.topk_per_group, windows.TOPK_PER_GROUP_SQL),
     # --- set operations ---
     "setop_union": QuerySpec(setops.setop_union, setops.SETOP_UNION_SQL),
@@ -76,6 +77,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_date_funcs": QuerySpec(scalar.scalar_date_funcs, scalar.SCALAR_DATE_SQL),
     "scalar_math_funcs": QuerySpec(scalar.scalar_math_funcs, scalar.SCALAR_MATH_SQL),
     "scalar_conditional_funcs": QuerySpec(scalar.scalar_conditional_funcs, scalar.SCALAR_COND_SQL),
+    "scalar_array_funcs": QuerySpec(scalar.scalar_array_funcs, scalar.SCALAR_ARRAY_SQL),
     # --- event-stream analytics (batch twins of streaming ops) ---
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
@@ -88,6 +90,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_lang_profile": QuerySpec(text.docs_lang_profile, text.DOCS_LANG_PROFILE_SQL),
     "docs_quality_score": QuerySpec(text.docs_quality_score, text.DOCS_QUALITY_SQL),
     "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
+    "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),

@@ -166,6 +166,54 @@ def test_dedup_within_watermark_removes_redeliveries(spark, tmp_path):
     assert len(out) == 50 and all(r.c == 1 for r in out)
 
 
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two batches of events -> final totals equal the batch aggregate."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.stateful import running_user_totals
+
+    rows1 = [(i, (i % 7) + 1, float(i)) for i in range(100)]
+    rows2 = [(100 + i, (i % 7) + 1, float(i) / 2) for i in range(80)]
+    schema = "event_id long, user_id long, value double"
+    src = str(tmp_path / "events")
+    base = 1_700_000_000
+    for j, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet"):
+                cur = _os.stat(full).st_mtime
+                if cur > base + j or cur < base:
+                    _os.utime(full, (base + j, base + j))
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+                   .option("maxFilesPerTrigger", "1").load(src))
+    q = (running_user_totals(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("running_totals")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends each batch's emissions; the
+    # final state per user is the LAST emission.
+    out = spark.sql("""
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM running_totals) WHERE rn = 1""").collect()
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out}
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r.user_id: (r.n, r.s) for r in both.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-9
+
+
 def test_kafka_envelope_parse(spark):
     """parse_envelope decodes the Kafka-wire JSON DatabaseEvent shape
     (utils.go:69-74) without a Kafka broker."""
