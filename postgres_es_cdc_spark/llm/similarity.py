@@ -186,6 +186,45 @@ WHERE rn = 1
 """
 
 
+def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
+                       iters: int = 3) -> DataFrame:
+    """Full k-means loop (iterative algorithm representative).
+
+    Driver-side loop over DataFrame ops — the standard Spark shape for
+    iterative ML: per iteration one shuffle (centroid means) + one
+    broadcast (centroids to the assign step). Nothing is collected; the
+    loop body is the quantized-exact assign step of emb_centroid_assign.
+    Initialization: centroids = vectors with vec_id < k (deterministic).
+    Non-SQL-expressible across iterations -> rows-only driver check; the
+    per-run determinism is pinned by tests/test_similarity.py.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode(quantize(F.col("embedding")))
+                  .alias("dim", "xq"))
+    # init: first k vectors are the centroids (scaled ints -> double)
+    cent = (ex.filter(F.col("vec_id") < k)
+              .select(F.col("vec_id").alias("cid"), "dim",
+                      F.col("xq").cast("double").alias("c")))
+    assign = None
+    for _ in range(iters):
+        delta = F.col("xq").cast("double") - F.col("c")
+        scored = (
+            ex.join(F.broadcast(cent), "dim")
+              .groupBy("vec_id", "cid")
+              .agg(F.sum((delta * delta).cast("decimal(38,6)"))
+                    .cast("double").alias("dist2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+        assign = (scored.withColumn("rn", F.row_number().over(w))
+                        .filter(F.col("rn") == 1)
+                        .select("vec_id", "cid", "dist2"))
+        cent = (ex.join(assign.select("vec_id", "cid"), "vec_id")
+                  .groupBy("cid", "dim")
+                  .agg((F.sum("xq").cast("double") / F.count("*")).alias("c")))
+    return assign.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist2"))
+
+
 def emb_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketing: 8-bit hash from the signs of the first 8
     dimensions — the candidate-prefilter that turns brute-force top-k

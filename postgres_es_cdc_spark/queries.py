@@ -102,6 +102,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
     "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
     "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
+    # iterative (driver-loop) algorithm — not single-statement SQL; the
+    # driver records the weaker rows-only check, determinism pinned in
+    # tests/test_similarity.py.
+    "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, None),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
 }
