@@ -10,26 +10,32 @@ the ordered event log into latest-state-per-id per table, where
 applied one HTTP call per event in arrival order (utils.go:92-117).
 
 Spark-first formulation (batch; the streaming frontend reuses it via
-``foreachBatch``): one hash-shuffle by key, then pure column expressions —
-no UDFs, no per-event loop, no driver-side state.
+``foreachBatch``): ONE aggregation pass — no window, no UDFs, no
+per-event loop, no driver-side state. Per key:
 
-  1. reset point  = max offset of any non-UPDATE event per key
-                    (INSERT replaces the document wholesale under keyed
+  1. reset        = max-offset non-UPDATE event (as struct(offset, op)):
+                    INSERT replaces the document wholesale under keyed
                     upsert semantics — fixing the reference's
-                    duplicate-on-replay bug es.go:95-98; DELETE empties it).
-  2. live events  = events at/after the reset point (updates that arrived
-                    before the last INSERT/DELETE can never affect final
-                    state; updates after a DELETE match nothing, exactly
-                    like update_by_query on a deleted id).
-  3. final value per column = value from the latest live event whose
-                    payload *contains* that key (presence map — see
-                    envelope.py), via ``max_by`` over a struct ordering.
-  4. key survives iff the reset event is an INSERT.
+                    duplicate-on-replay bug es.go:95-98; DELETE empties it.
+  2. per column   = max-offset event whose payload *contains* the key
+                    (presence map — see envelope.py), as
+                    struct(offset, value).
+  3. final value  = that candidate's value IF its offset is at/after the
+                    reset offset, else NULL — which simultaneously
+                    discards stale pre-reset updates (they can't outrank
+                    live writes) and resets columns a sparse re-INSERT
+                    omitted (fresh document semantics).
+  4. key survives iff the reset op is INSERT (updates to missing or
+                    deleted ids are no-ops, like update_by_query against
+                    nothing; deletes drop the row).
 
-Scale notes: the window (partitionBy key, no orderBy => single shuffle)
-and the following groupBy share the same hash partitioning, so Catalyst
-plans exactly one Exchange. Skewed keys are handled by AQE skew-join
-settings; there is no driver-side collect anywhere.
+Scale notes: a pure commutative aggregation means Catalyst plans
+map-side PARTIAL aggregation — the one Exchange carries one partial row
+per (key, mapper), not the event stream itself. (The previous
+formulation windowed over the events and shuffled every event; at CDC
+volumes the partial-agg shuffle is arbitrarily smaller.) Skew is
+absorbed the same way partial aggregation always absorbs it; there is
+no driver-side collect anywhere.
 """
 
 from __future__ import annotations
@@ -89,38 +95,44 @@ def apply_changes(events: DataFrame, value_schema: StructType,
         "_present",
     ).filter(F.col(key).isNotNull())
 
-    # Reset point per key: the one required shuffle.
-    w = Window.partitionBy(key)
-    ev = ev.withColumn(
-        "_reset", F.max(F.when(F.col("_op") != OP_UPDATE, F.col("_off"))).over(w)
-    )
-    # Keys that only ever saw UPDATEs have _reset null -> filtered, matching
-    # update_by_query against a nonexistent doc (a no-op).
-    live = ev.filter(F.col("_off") >= F.col("_reset"))
-
+    # Reset marker: max-offset non-UPDATE event. (struct max compares
+    # offset first; on an exact offset tie — a replayed event meeting an
+    # incremental sink's stored state — 'INSERT' > 'DELETE' resolves to
+    # the surviving row, and UPDATEs never participate so they can't
+    # shadow the INSERT.)
+    reset = F.max(
+        F.when(F.col("_op") != OP_UPDATE,
+               F.struct(F.col("_off").alias("o"), F.col("_op").alias("op")))
+    ).alias("_reset")
+    # Per-column latest-carrier candidate (offset, value).
     per_col = [
         F.max(
             F.when(F.map_contains_key("_present", c),
-                   F.struct(F.col("_off"),
+                   F.struct(F.col("_off").alias("o"),
                             F.col("_present")[c].cast(types[c]).alias("v")))
-        )["v"].alias(c)
+        ).alias(f"_m_{c}")
         for c in value_cols if c != key
     ]
-    # Only non-UPDATE events can define the reset op: an UPDATE sharing
-    # the reset offset (e.g. a replayed event tying the stored state
-    # version in an incremental sink) must not shadow the INSERT.
-    base_op = F.max(
-        F.when((F.col("_off") == F.col("_reset")) & (F.col("_op") != OP_UPDATE),
-               F.col("_op"))
-    ).alias("_base_op")
-
-    aggs = [base_op, *per_col]
-    out_cols = list(value_cols)
+    aggs = [reset, *per_col]
     if version_col is not None:
         aggs.append(F.max("_off").alias(version_col))
-        out_cols.append(version_col)
-    state = live.groupBy(key).agg(*aggs)
-    return state.filter(F.col("_base_op") == OP_INSERT).drop("_base_op").select(*out_cols)
+    agg = ev.groupBy(key).agg(*aggs)
+
+    # Keys that only ever saw UPDATEs have a null reset; keys whose reset
+    # is a DELETE are dropped — both matching the reference's
+    # apply-to-nothing semantics (es.go:47-86, es.go:112-144).
+    live = agg.filter(F.col("_reset")["op"] == OP_INSERT)
+
+    def final(c: str):
+        if c == key:
+            return F.col(key)
+        return F.when(F.col(f"_m_{c}")["o"] >= F.col("_reset")["o"],
+                      F.col(f"_m_{c}")["v"]).alias(c)
+
+    out = [final(c) for c in value_cols]
+    if version_col is not None:
+        out.append(F.col(version_col))
+    return live.select(*out)
 
 
 def apply_all(events: DataFrame, schemas: dict[str, StructType],

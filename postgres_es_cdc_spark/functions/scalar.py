@@ -168,6 +168,39 @@ FROM t
 """
 
 
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface with scalar outputs (DuckDB map access
+    yields single-element lists, scalarized with [1] in the oracle)."""
+    c = table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nation"), F.col("c_nationkey").cast("string"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.size(m).cast("long").alias("m_size"),
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m, "nation").cast("long").alias("nation_val"),
+        F.array_contains(F.map_keys(m), "seg").alias("has_seg"),
+        F.element_at(F.array_sort(F.map_keys(m)), 1).alias("first_key"),
+    )
+
+
+SCALAR_MAP_SQL = """
+WITH t AS (
+  SELECT c_custkey,
+         map(['seg','nation'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)]) AS m
+  FROM customer
+)
+SELECT c_custkey AS custkey,
+       CAST(cardinality(m) AS BIGINT) AS m_size,
+       m['seg'][1] AS seg_val,
+       CAST(m['nation'][1] AS BIGINT) AS nation_val,
+       list_contains(map_keys(m), 'seg') AS has_seg,
+       list_sort(map_keys(m))[1] AS first_key
+FROM t
+"""
+
+
 def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE / coalesce / nullif — the expression forms the CDC partial
     merge is built from (per-column coalesce; SURVEY.md §4.2)."""

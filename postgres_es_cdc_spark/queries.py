@@ -78,6 +78,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_math_funcs": QuerySpec(scalar.scalar_math_funcs, scalar.SCALAR_MATH_SQL),
     "scalar_conditional_funcs": QuerySpec(scalar.scalar_conditional_funcs, scalar.SCALAR_COND_SQL),
     "scalar_array_funcs": QuerySpec(scalar.scalar_array_funcs, scalar.SCALAR_ARRAY_SQL),
+    "scalar_map_funcs": QuerySpec(scalar.scalar_map_funcs, scalar.SCALAR_MAP_SQL),
     # --- event-stream analytics (batch twins of streaming ops) ---
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
