@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
-from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, tokens
+from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, shingles3, tokens
 
 # MinHash permutation params: a < 2^30 (a*h32 < 2^62), p prime < 2^32.
 MINHASH_PERMS: tuple[tuple[int, int], ...] = (
@@ -67,12 +67,9 @@ def mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_hashes(df: DataFrame) -> DataFrame:
-    """doc_id -> distinct hashed 3-token shingles, array-native."""
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    """doc_id -> distinct hashed 3-token shingles, array-native (zip-based
+    shingling — see text.shingles3's performance contract)."""
+    shingles = shingles3(tokens(F.col("text")))
     return df.select(
         "doc_id", F.array_distinct(F.transform(shingles, h32)).alias("sh"))
 

@@ -37,6 +37,26 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def shingles3(toks: Column) -> Column:
+    """Word 3-gram shingles, zip-based.
+
+    PERFORMANCE CONTRACT: no lambda here references an outer column —
+    an outer expression inside a higher-order lambda is re-evaluated per
+    array element (tokenize-per-shingle turned the naive
+    slice-by-index formulation quadratic per document). The shifted
+    copies are built once as transform *arguments*; the zip lambdas only
+    touch their own variables. Tail positions concat to null (concat
+    propagates null) and are sliced away.
+    """
+    n = F.size(toks)
+    t2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(n - 2, F.lit(0)))
+    joined = F.zip_with(
+        F.zip_with(toks, t2, lambda x, y: F.concat(x, F.lit(" "), y)),
+        t3, lambda xy, z: F.concat(xy, F.lit(" "), z))
+    return F.slice(joined, 1, F.greatest(n - 2, F.lit(0)))
+
+
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts — whitespace tokenizer + distinct count."""
     d = table(spark, sf_dir, "documents")
@@ -203,12 +223,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hash (single function) — the primitives exact/near dedup builds on."""
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n = F.size(toks)
-    # Guard: Spark sequence(1, 0) counts DOWN ([1,0]), unlike DuckDB's
-    # empty generate_series(1,0) — short docs must yield no shingles.
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    shingles = shingles3(toks)
     shingle_hashes = F.transform(F.array_distinct(shingles), h32)
     return d.select(
         "doc_id",
