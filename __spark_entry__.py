@@ -9,9 +9,17 @@ postgres_es_cdc_spark/queries.py for the registry behind these hooks.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Ensure the engine package resolves even if this module is imported by
+# file path rather than from the repo root.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,7 +40,7 @@ no driver-side collect anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -49,19 +49,27 @@ from postgres_es_cdc_spark.cdc.envelope import OP_INSERT, OP_UPDATE
 
 def latest_events(events: DataFrame, key: str = "id",
                   order_col: str = "offset") -> DataFrame:
-    """Per (tableName, key): the single latest event (row_number = 1).
+    """Per (tableName, key): the single latest event.
 
     The reference gets this ordering implicitly from single-partition
-    Kafka (utils.go:49); we recover it per-key with a window — per-key
-    order is all the fold needs, and per-key is what scales.
+    Kafka (utils.go:49); we recover it per-key — and as a max-struct
+    aggregation rather than a row_number window, so the shuffle carries
+    map-side partial maxima instead of every event (same partial-agg
+    shape as apply_changes).
     """
     keyc = F.get_json_object("payload", f"$.{key}").alias("_key")
-    w = Window.partitionBy("tableName", "_key").orderBy(F.desc(order_col))
+    top = F.max(F.struct(
+        F.col(order_col).alias("offset"),
+        F.col("operationType").alias("operationType"),
+        F.col("payload").alias("payload"))).alias("_top")
     return (
         events.withColumn("_key", keyc)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+              .groupBy("tableName", "_key")
+              .agg(top)
+              .select("tableName", "_key",
+                      F.col("_top")["offset"].alias("offset"),
+                      F.col("_top")["operationType"].alias("operationType"),
+                      F.col("_top")["payload"].alias("payload"))
     )
 
 
