@@ -39,6 +39,32 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_APPLY_SQL = ORDERS_CDC_EXPECTED_SQL
 
 
+def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot ∪ change-stream bootstrap (the reference starts
+    replication at the current WAL position with NO snapshot,
+    producer.go:50,60 — rows existing before startup never reach ES;
+    this is the fix: snapshot rows enter the fold as INSERTs below every
+    stream offset, then the change stream applies on top)."""
+    from postgres_es_cdc_spark.catalog import table
+
+    snap = table(spark, sf_dir, "orders").select(
+        F.lit(-1).cast("long").alias("offset"),
+        F.lit("INSERT").alias("operationType"),
+        F.lit("orders").alias("tableName"),
+        F.to_json(F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderpriority").alias("priority")),
+            {"ignoreNullFields": "false"}).alias("payload"),
+    )
+    # Stream = everything EXCEPT the base inserts (they live in the
+    # snapshot now): updates, deletes, reinserts, corruption, orphans.
+    stream = orders_cdc_events(spark, sf_dir).filter(F.col("offset") % 10 != 0)
+    return apply_changes(snap.unionByName(stream), orders_cdc_value_schema())
+
+
 def cdc_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay tolerance: the whole stream delivered twice (the reference
     consumer replays from OffsetOldest on every restart, utils.go:49, and

@@ -38,6 +38,31 @@ def test_salted_join_rejects_other_join_types(spark, sf_dir):
         salted_join(c, c, "c_custkey", how="full")
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key sort-merge-join with NO
+    Exchange — the pre-shuffled co-located join layout."""
+    from postgres_es_cdc_spark.operators.skew import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            "orders_bucketed", "o_custkey", n_buckets=8)
+        write_bucketed(
+            table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "customer_bucketed", "o_custkey", n_buckets=8)
+        joined = spark.table("orders_bucketed").join(
+            spark.table("customer_bucketed"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
 def test_resize_and_frame_sample_contracts():
     assert len(fake_resize(b"abc", 4, 4)) == 16
     assert fake_resize(b"", 2, 2) == bytes(4)
