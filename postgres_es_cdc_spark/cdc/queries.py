@@ -131,13 +131,14 @@ def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = apply_all(ev.unionByName(ev2),
                        {"orders": schema, "orders_v2": schema})
     per_table = [
-        # scale 8, not 2: folded prices include *1.1 products whose
-        # shortest-repr can tie at the 3rd decimal, where Spark
-        # (BigDecimal.valueOf = repr-based) and DuckDB (exact binary)
-        # round differently. At scale 8 no tie is reachable.
+        # quantized sum (see operators/common.qsum): folded prices are
+        # *1.1 products — fractional-scale decimal casts of computed
+        # doubles round differently across engines; integer quantization
+        # at 1e4 (products have <=3 true decimals) is exact in both.
         df.agg(F.count("*").alias("n_rows"),
-               F.sum(F.col("totalprice").cast("decimal(28,8)"))
-                .cast("double").alias("total_price"))
+               (F.sum(F.round(F.col("totalprice") * 10000, 0)
+                       .cast("decimal(38,0)")).cast("double") / 10000.0)
+                .alias("total_price"))
           .select(F.lit(name).alias("table_name"), "n_rows", "total_price")
         for name, df in sorted(folded.items())
     ]
@@ -150,11 +151,11 @@ def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_MULTI_TABLE_SQL = f"""
 WITH expected AS ({ORDERS_CDC_EXPECTED_SQL})
 SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(round(totalprice*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS total_price
 FROM expected
 UNION ALL
 SELECT 'orders_v2' AS table_name, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(round(totalprice*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS total_price
 FROM (
   -- INSERT-only stream for even keys: last INSERT wins per key.
   SELECT o_orderkey AS id,

@@ -238,6 +238,43 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
+                        max_iters: int = 5) -> DataFrame:
+    """Near-duplicate clustering: connected components over the LSH
+    candidate-pair graph (iterative label propagation — each doc takes
+    the min label among itself and its neighbors until fixpoint).
+
+    This is the step that turns pairwise near-dup detection into
+    dedup *groups* (keep one canonical doc per cluster). Iterative like
+    k-means: per iteration one join + one aggregation, nothing
+    collected; max_iters bounds label-chain depth (pairs from mutant
+    corpora are 1-hop, so this converges immediately; chains converge in
+    O(log n) iterations with doubling, linear here).
+
+    Rows-only driver check (iterative); pinned by tests/test_dedup.py.
+    """
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    # undirected edge list + self-loops for isolated-node identity
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+                  .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                            F.col("doc_a").alias("dst"))))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges.dst == labels.doc_id)
+                      .groupBy(F.col("src").alias("doc_id"))
+                      .agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, "doc_id", "left")
+                        .select("doc_id",
+                                F.least(F.col("label"),
+                                        F.coalesce("nlabel", F.col("label")))
+                                 .alias("label")))
+    return (labels.groupBy("label")
+                  .agg(F.count("*").alias("cluster_size"),
+                       F.min("doc_id").alias("canonical_id"),
+                       F.max("doc_id").alias("max_member_id")))
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct token hashes, array-native.
 

@@ -38,6 +38,35 @@ def davg(col: Column, precision: int = 18, scale: int = 2) -> Column:
             / F.count(col))
 
 
+def qsum(expr: Column, dec: int) -> Column:
+    """Exact, order-independent SUM of a computed double expression via
+    fixed-point quantization: round(expr * 10^dec) -> integer -> exact
+    decimal sum -> descale.
+
+    Why not CAST(expr AS DECIMAL(p,s))? Spark rounds the double's
+    SHORTEST REPR while DuckDB rounds the exact binary value, and the
+    tie points of a fractional decimal scale (odd multiples of
+    5*10^-(s+1)) are not representable doubles — so the two roundings
+    can disagree (observed at sf0.1 on q1). After scaling to an integer
+    boundary the ties (N.5) ARE representable doubles, so shortest-repr
+    rounding and exact-binary rounding provably agree; and for products
+    of exact-2dp inputs, dec >= the product's true decimal places means
+    the quantization recovers the exact abstract value.
+
+    Requires |expr| * 10^dec < 2^52. DuckDB twin:
+    CAST(SUM(CAST(round((expr)*10^dec) AS HUGEINT)) AS DOUBLE)/10^dec.
+    """
+    k = 10 ** dec
+    return (F.sum(F.round(expr * k, 0).cast("decimal(38,0)"))
+             .cast("double") / float(k))
+
+
+def qsum_sql(expr: str, dec: int) -> str:
+    """DuckDB twin of qsum (see there)."""
+    k = 10 ** dec
+    return f"CAST(SUM(CAST(round(({expr})*{k}) AS HUGEINT)) AS DOUBLE)/{k}.0"
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream table with ``ts_us`` (bigint epoch microseconds).
 

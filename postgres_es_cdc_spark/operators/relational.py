@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
-from postgres_es_cdc_spark.operators.common import dsum
+from postgres_es_cdc_spark.operators.common import dsum, qsum, qsum_sql
 
 _CUTOFF = "1998-01-01 00:00:00"
 
@@ -39,8 +39,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
         dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-        dsum(disc_price, 28, 8).alias("sum_disc_price"),
-        dsum(charge, 28, 8).alias("sum_charge"),
+        qsum(disc_price, 4).alias("sum_disc_price"),
+        qsum(charge, 6).alias("sum_charge"),
         (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
         (dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
         (dsum(F.col("l_discount"), 18, 4) / F.count("*")).alias("avg_disc"),
@@ -52,8 +52,8 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS HUGEINT)) AS DOUBLE)/1000000.0 AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
@@ -81,7 +81,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-         .agg(dsum(revenue, 28, 8).alias("revenue"))
+         .agg(qsum(revenue, 4).alias("revenue"))
          .select(F.col("l_orderkey").alias("orderkey"),
                  F.col("revenue"),
                  F.col("o_orderdate").alias("orderdate"),
@@ -93,7 +93,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = f"""
 SELECT l_orderkey AS orderkey,
-       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue,
        o_orderdate AS orderdate,
        o_orderpriority AS orderpriority
 FROM customer
@@ -130,14 +130,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
          .groupBy(F.col("r_name").alias("region_name"),
                   F.col("n_name").alias("nation_name"))
-         .agg(dsum(revenue, 28, 8).alias("revenue"),
+         .agg(qsum(revenue, 4).alias("revenue"),
               F.count("*").alias("n_items"))
     )
 
 
 Q5_SQL = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -157,12 +157,12 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 24))
     return l.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), 28, 8).alias("revenue"),
+        qsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
         F.count("*").alias("n_items"))
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(round(l_extendedprice*l_discount*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -187,7 +187,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("c_name").alias("cust_name"),
                   F.col("n_name").alias("nation_name"),
                   F.col("c_acctbal").alias("acctbal"))
-         .agg(dsum(revenue, 28, 8).alias("revenue"))
+         .agg(qsum(revenue, 4).alias("revenue"))
          .orderBy(F.desc("revenue"), "custkey")
          .limit(20)
     )
@@ -196,7 +196,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT c_custkey AS custkey, c_name AS cust_name, n_name AS nation_name,
        c_acctbal AS acctbal,
-       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

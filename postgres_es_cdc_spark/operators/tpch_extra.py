@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
-from postgres_es_cdc_spark.operators.common import dsum
+from postgres_es_cdc_spark.operators.common import dsum, qsum, qsum_sql
 
 
 def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,17 +72,14 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
     return joined.agg(
-        (100.0 * F.sum(promo.cast("decimal(28,8)")).cast("double")
-         / F.sum(rev.cast("decimal(28,8)")).cast("double")).alias("promo_pct"),
+        (100.0 * qsum(promo, 4) / qsum(rev, 4)).alias("promo_pct"),
         F.count("*").alias("n_items"))
 
 
 Q14_SQL = """
-SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
-                        AS DECIMAL(28,8))) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-                        AS DECIMAL(28,8))) AS DOUBLE) AS promo_pct,
+SELECT 100.0 * (CAST(SUM(CAST(round((CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)*10000) AS HUGEINT)) AS DOUBLE)/10000.0)
+             / (CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0) AS promo_pct,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -94,7 +91,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     supp_rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        dsum(rev, 28, 8).alias("total_revenue"))
+        qsum(rev, 4).alias("total_revenue"))
     max_rev = supp_rev.agg(F.max("total_revenue").alias("m"))
     return (
         supp_rev.join(F.broadcast(max_rev),
@@ -106,7 +103,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH sr AS (
   SELECT l_suppkey AS suppkey,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS total_revenue
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS total_revenue
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT suppkey, total_revenue FROM sr
@@ -153,13 +150,13 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
          .filter(cond)
-         .agg(dsum(rev, 28, 8).alias("revenue"),
+         .agg(qsum(rev, 4).alias("revenue"),
               F.count("*").alias("n_items"))
     )
 
 
 Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
@@ -197,6 +194,115 @@ WHERE c_acctbal > ab.avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
 GROUP BY c_nationkey
+"""
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: trade volume between (supplier nation, customer nation)
+    pairs per year — two independent dim paths joined to one fact row."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+         .filter(F.col("supp_nation") != F.col("cust_nation"))
+         .groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("long").alias("l_year"))
+         .agg(qsum(rev, 4).alias("revenue"), F.count("*").alias("n_items"))
+         .filter(F.col("n_items") >= 5)
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+HAVING COUNT(*) >= 5
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: profit by supplier nation and year for one part type
+    (revenue minus a cost proxy of 60% of retail price)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = table(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation_name"),
+                  F.year("o_orderdate").cast("long").alias("o_year"))
+         .agg(qsum(profit, 5).alias("profit"),
+              F.count("*").alias("n_items"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation_name, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(round((l_extendedprice*(1-l_discount)
+                     - 0.6*p_retailprice*l_quantity)*100000) AS HUGEINT)) AS DOUBLE)/100000.0 AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: histogram of customers by order count (including
+    zero-order customers via left join) — the double-grouping shape."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+         .groupBy("c_custkey")
+         .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+                .agg(F.count("*").alias("n_customers"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
 """
 
 

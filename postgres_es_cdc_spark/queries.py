@@ -54,6 +54,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q16_supplier_variety": QuerySpec(tpch_extra.q16_supplier_variety, tpch_extra.Q16_SQL),
     "q19_or_of_ands": QuerySpec(tpch_extra.q19_or_of_ands, tpch_extra.Q19_SQL),
     "q22_idle_rich_customers": QuerySpec(tpch_extra.q22_idle_rich_customers, tpch_extra.Q22_SQL),
+    "q7_nation_trade": QuerySpec(tpch_extra.q7_nation_trade, tpch_extra.Q7_SQL),
+    "q9_product_profit": QuerySpec(tpch_extra.q9_product_profit, tpch_extra.Q9_SQL),
+    "q13_order_count_distribution": QuerySpec(tpch_extra.q13_order_count_distribution, tpch_extra.Q13_SQL),
     "events_funnel": QuerySpec(tpch_extra.events_funnel, tpch_extra.EVENTS_FUNNEL_SQL),
     # --- advanced relational ---
     "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
@@ -99,6 +102,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
+    # iterative label propagation over the LSH pair graph — rows-only;
+    # semantics pinned in tests/test_dedup.py.
+    "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, None),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),

@@ -214,6 +214,37 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-9
 
 
+def test_stream_static_join_enriches_events(spark, sf_dir, tmp_path):
+    """Stream-static join ([EXT], SURVEY Table B): a streaming event feed
+    joined to a static dimension table, batch==stream result."""
+    from postgres_es_cdc_spark.catalog import table as _table
+
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    rows = [(i, (i % 100) + 1, float(i)) for i in range(500)]
+    schema = "event_id long, user_id long, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "events")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    enriched = (stream.join(cust, "user_id")
+                      .groupBy("c_mktsegment")
+                      .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
+    q = (enriched.writeStream.outputMode("complete")
+            .format("memory").queryName("enriched")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.c_mktsegment: (r.n, r.s)
+           for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {r.c_mktsegment: (r.n, r.s)
+            for r in df.join(cust, "user_id").groupBy("c_mktsegment")
+                       .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                       .collect()}
+    assert got == want and len(got) == 5
+
+
 def test_kafka_envelope_parse(spark):
     """parse_envelope decodes the Kafka-wire JSON DatabaseEvent shape
     (utils.go:69-74) without a Kafka broker."""
