@@ -143,6 +143,26 @@ def apply_changes(events: DataFrame, value_schema: StructType,
     return live.select(*out)
 
 
+def apply_changes_with_truncate(events: DataFrame, value_schema: StructType,
+                                key: str = "id",
+                                order_col: str = "offset") -> DataFrame:
+    """apply_changes honoring TRUNCATE events (table-wide wipe at an
+    offset). The reference silently DROPS TruncateMessage
+    (producer.go:162-166) — truncating the source desyncs its sink; here
+    a TRUNCATE discards every event at a lower offset before the keyed
+    fold (one tiny aggregate broadcast into the scan filter; the fold
+    itself is unchanged, still one partial-agg shuffle)."""
+    trunc = events.filter(F.col("operationType") == "TRUNCATE").agg(
+        F.coalesce(F.max(F.col(order_col)), F.lit(-1)).alias("_t"))
+    survivors = (
+        events.filter(F.col("operationType") != "TRUNCATE")
+              .crossJoin(F.broadcast(trunc))
+              .filter(F.col(order_col) > F.col("_t"))
+              .drop("_t")
+    )
+    return apply_changes(survivors, value_schema, key, order_col)
+
+
 def apply_all(events: DataFrame, schemas: dict[str, StructType],
               key: str = "id", order_col: str = "offset") -> dict[str, DataFrame]:
     """Route a mixed-table event stream (utils.go:105-112: one ES index per

@@ -36,6 +36,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("p_name")).alias("name_trimmed"),
         F.split(F.col("p_name"), " ").getItem(0).alias("name_first_word"),
         F.regexp_extract(F.col("p_type"), "([a-zA-Z]+)", 1).alias("type_first_token"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]+"), 0))
+         .cast("long").alias("n_vowel_runs"),
     )
 
 
@@ -52,7 +54,8 @@ SELECT p_partkey AS partkey,
        LPAD(p_brand, 12, '_') AS brand_padded,
        TRIM(p_name) AS name_trimmed,
        STRING_SPLIT(p_name, ' ')[1] AS name_first_word,
-       REGEXP_EXTRACT(p_type, '([a-zA-Z]+)', 1) AS type_first_token
+       REGEXP_EXTRACT(p_type, '([a-zA-Z]+)', 1) AS type_first_token,
+       len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs
 FROM part
 """
 

@@ -76,6 +76,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "setop_union": QuerySpec(setops.setop_union, setops.SETOP_UNION_SQL),
     "setop_intersect": QuerySpec(setops.setop_intersect, setops.SETOP_INTERSECT_SQL),
     "setop_except": QuerySpec(setops.setop_except, setops.SETOP_EXCEPT_SQL),
+    "setop_intersect_all": QuerySpec(setops.setop_intersect_all, setops.SETOP_INTERSECT_ALL_SQL),
+    "setop_except_all": QuerySpec(setops.setop_except_all, setops.SETOP_EXCEPT_ALL_SQL),
+    "unpivot_order_measures": QuerySpec(setops.unpivot_order_measures, setops.UNPIVOT_SQL),
     # --- scalar function surface ---
     "scalar_string_funcs": QuerySpec(scalar.scalar_string_funcs, scalar.SCALAR_STRING_SQL),
     "scalar_date_funcs": QuerySpec(scalar.scalar_date_funcs, scalar.SCALAR_DATE_SQL),

@@ -164,6 +164,40 @@ def test_latest_events_picks_max_offset(spark):
     assert latest == {"1": ("UPDATE", 5), "2": ("INSERT", 2)}
 
 
+def test_truncate_wipes_prior_state(spark):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_with_truncate
+
+    ev = _events(spark, [
+        (1, "INSERT", '{"id":1,"name":"a","qty":1,"price":1.0}'),
+        (2, "INSERT", '{"id":2,"name":"b","qty":2,"price":2.0}'),
+        (3, "TRUNCATE", "{}"),
+        (4, "INSERT", '{"id":3,"name":"c","qty":3,"price":3.0}'),
+        (5, "UPDATE", '{"id":1,"qty":9}'),  # id 1 gone: no-op
+    ])
+    out = apply_changes_with_truncate(
+        ev, _parse_datatype_string(SCHEMA))
+    rows = {r.id: (r.name, r.qty) for r in out.collect()}
+    assert rows == {3: ("c", 3)}
+
+
+def test_truncate_absent_is_identity(spark):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_with_truncate
+
+    rows = [
+        (1, "INSERT", '{"id":1,"name":"a","qty":2,"price":9.5}'),
+        (2, "UPDATE", '{"id":1,"qty":7}'),
+    ]
+    plain = _state(spark, rows)
+    with_t = apply_changes_with_truncate(
+        _events(spark, rows), _parse_datatype_string(SCHEMA))
+    got = {r.id: (r.name, r.qty, r.price) for r in with_t.collect()}
+    assert got == plain
+
+
 def test_key_missing_from_schema_raises(spark):
     from pyspark.sql.types import _parse_datatype_string
 
