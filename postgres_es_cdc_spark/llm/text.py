@@ -150,6 +150,34 @@ FROM m
 """
 
 
+def docs_term_frequency(spark: SparkSession, sf_dir: str,
+                        k: int = 25) -> DataFrame:
+    """Corpus term statistics: top-k terms by total frequency with
+    document frequency — the tf/df primitive under TF-IDF ranking and
+    vocabulary pruning. (IDF's logarithm is deliberately not computed in
+    the oracle-checked output: libm log differs across engines by ulps;
+    consumers derive it from df/n_docs.)
+
+    Scale: explode tokens -> one partial-agg shuffle keyed by term;
+    top-k via TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    return stats.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+
+
+DOCS_TERM_FREQUENCY_SQL = f"""
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY tf DESC, term ASC
+LIMIT 25
+"""
+
+
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language ID, trained and applied in one plan.
 

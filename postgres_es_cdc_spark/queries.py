@@ -17,7 +17,7 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.functions import scalar
 from postgres_es_cdc_spark.llm import dedup, multimodal, similarity, text
 from postgres_es_cdc_spark.operators import (
-    advanced, events_q, relational, setops, tpch_extra, windows)
+    advanced, events_q, relational, setops, tpch_extra, tpch_more, windows)
 
 
 @dataclass(frozen=True)
@@ -57,6 +57,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "q7_nation_trade": QuerySpec(tpch_extra.q7_nation_trade, tpch_extra.Q7_SQL),
     "q9_product_profit": QuerySpec(tpch_extra.q9_product_profit, tpch_extra.Q9_SQL),
     "q13_order_count_distribution": QuerySpec(tpch_extra.q13_order_count_distribution, tpch_extra.Q13_SQL),
+    "q8_market_share": QuerySpec(tpch_more.q8_market_share, tpch_more.Q8_SQL),
+    "q11_important_parts": QuerySpec(tpch_more.q11_important_parts, tpch_more.Q11_SQL),
+    "q12_shipping_delay_priority": QuerySpec(tpch_more.q12_shipping_delay_priority, tpch_more.Q12_SQL),
+    "q17_small_quantity_revenue": QuerySpec(tpch_more.q17_small_quantity_revenue, tpch_more.Q17_SQL),
+    "q18_large_volume_customers": QuerySpec(tpch_more.q18_large_volume_customers, tpch_more.Q18_SQL),
+    "q20_heavy_promo_shippers": QuerySpec(tpch_more.q20_heavy_promo_shippers, tpch_more.Q20_SQL),
+    "q21_sole_return_supplier": QuerySpec(tpch_more.q21_sole_return_supplier, tpch_more.Q21_SQL),
     "events_funnel": QuerySpec(tpch_extra.events_funnel, tpch_extra.EVENTS_FUNNEL_SQL),
     # --- advanced relational ---
     "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
@@ -99,6 +106,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_quality_score": QuerySpec(text.docs_quality_score, text.DOCS_QUALITY_SQL),
     "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
     "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
+    "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
