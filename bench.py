@@ -22,6 +22,7 @@ from postgres_es_cdc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "cdc_apply_changes",
+    "cdc_apply_changes_typed",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -73,36 +73,13 @@ def latest_events(events: DataFrame, key: str = "id",
     )
 
 
-def apply_changes(events: DataFrame, value_schema: StructType,
-                  key: str = "id", order_col: str = "offset",
-                  version_col: str | None = None) -> DataFrame:
-    """Fold a single table's event stream into its final state.
+def _fold(ev: DataFrame, value_cols: list[str], key: str,
+          presence, value, version_col: str | None) -> DataFrame:
+    """The shared fold core over pre-normalized events.
 
-    ``events``: flat envelope rows (offset, operationType, payload[, ...]).
-    Returns one row per surviving key with the columns of ``value_schema``;
-    if ``version_col`` is given, adds the max contributing offset per row
-    (the row's materialized version — what an incremental sink stores so
-    the next micro-batch folds against correctly-ordered prior state).
-    """
-    value_cols = [f.name for f in value_schema.fields]
-    if key not in value_cols:
-        raise ValueError(f"key column {key!r} missing from value schema")
-    types = {f.name: f.dataType.simpleString() for f in value_schema.fields}
-
-    # Single JSON parse: the presence map doubles as the value source —
-    # typed values are casts of the map entries (payload rows are flat,
-    # producer.go:129-133, so string->type casts are lossless). This
-    # halves the JSON decode cost vs a second from_json to the struct.
-    ev = events.withColumn("_present", F.from_json("payload", "map<string,string>"))
-    # Corrupt payloads: skip (utils.go:99-102) — dead_letters() exposes them.
-    ev = ev.filter(F.col("_present").isNotNull())
-    ev = ev.select(
-        F.col(order_col).cast("long").alias("_off"),
-        F.col("operationType").alias("_op"),
-        F.col("_present")[key].cast(types[key]).alias(key),
-        "_present",
-    ).filter(F.col(key).isNotNull())
-
+    ``ev`` must carry ``_off`` (long), ``_op``, and the extracted key
+    column; ``presence(c)``/``value(c)`` abstract over the payload
+    representation (JSON-decoded map vs native typed struct)."""
     # Reset marker: max-offset non-UPDATE event. (struct max compares
     # offset first; on an exact offset tie — a replayed event meeting an
     # incremental sink's stored state — 'INSERT' > 'DELETE' resolves to
@@ -115,9 +92,8 @@ def apply_changes(events: DataFrame, value_schema: StructType,
     # Per-column latest-carrier candidate (offset, value).
     per_col = [
         F.max(
-            F.when(F.map_contains_key("_present", c),
-                   F.struct(F.col("_off").alias("o"),
-                            F.col("_present")[c].cast(types[c]).alias("v")))
+            F.when(presence(c),
+                   F.struct(F.col("_off").alias("o"), value(c).alias("v")))
         ).alias(f"_m_{c}")
         for c in value_cols if c != key
     ]
@@ -141,6 +117,79 @@ def apply_changes(events: DataFrame, value_schema: StructType,
     if version_col is not None:
         out.append(F.col(version_col))
     return live.select(*out)
+
+
+def apply_changes(events: DataFrame, value_schema: StructType,
+                  key: str = "id", order_col: str = "offset",
+                  version_col: str | None = None) -> DataFrame:
+    """Fold a single table's event stream into its final state.
+
+    ``events``: flat envelope rows (offset, operationType, payload[, ...])
+    with a JSON-string payload — the wire format (utils.go:74).
+    Returns one row per surviving key with the columns of ``value_schema``;
+    if ``version_col`` is given, adds the max contributing offset per row
+    (the row's materialized version — what an incremental sink stores so
+    the next micro-batch folds against correctly-ordered prior state).
+    """
+    value_cols = [f.name for f in value_schema.fields]
+    if key not in value_cols:
+        raise ValueError(f"key column {key!r} missing from value schema")
+    types = {f.name: f.dataType.simpleString() for f in value_schema.fields}
+
+    # Single JSON parse: the presence map doubles as the value source —
+    # typed values are casts of the map entries (payload rows are flat,
+    # producer.go:129-133, so string->type casts are lossless). This
+    # halves the JSON decode cost vs a second from_json to the struct.
+    ev = events.withColumn("_present", F.from_json("payload", "map<string,string>"))
+    # Corrupt payloads: skip (utils.go:99-102) — dead_letters() exposes them.
+    ev = ev.filter(F.col("_present").isNotNull())
+    ev = ev.select(
+        F.col(order_col).cast("long").alias("_off"),
+        F.col("operationType").alias("_op"),
+        F.col("_present")[key].cast(types[key]).alias(key),
+        "_present",
+    ).filter(F.col(key).isNotNull())
+    return _fold(
+        ev, value_cols, key,
+        presence=lambda c: F.map_contains_key("_present", c),
+        value=lambda c: F.col("_present")[c].cast(types[c]),
+        version_col=version_col)
+
+
+def apply_changes_typed(events: DataFrame, value_schema: StructType,
+                        key: str = "id", order_col: str = "offset",
+                        fields_col: str = "payload_fields",
+                        version_col: str | None = None) -> DataFrame:
+    """``apply_changes`` over a NATIVE typed payload — the zero-serde
+    fast path for events that never leave the engine (in-pipeline change
+    feeds, Debezium-style parquet/Avro landed with a typed schema).
+
+    ``events``: (offset, operationType, payload struct<value_schema>,
+    payload_fields array<string>). The fields array carries pgoutput's
+    key-presence information (producer.go:183-195: a column absent from
+    the tuple means "unchanged", a present-but-null column means "set
+    null" — the struct alone cannot distinguish the two, es.go:56).
+
+    Identical fold, identical semantics, no to_json/from_json anywhere:
+    the JSON frontend pays one string parse per event (the dominant cost
+    of the fold at bench scale); this one reads columnar struct fields
+    directly out of the scan.
+    """
+    value_cols = [f.name for f in value_schema.fields]
+    if key not in value_cols:
+        raise ValueError(f"key column {key!r} missing from value schema")
+    ev = events.select(
+        F.col(order_col).cast("long").alias("_off"),
+        F.col("operationType").alias("_op"),
+        F.col("payload")[key].alias(key),
+        F.col("payload").alias("_p"),
+        F.col(fields_col).alias("_f"),
+    ).filter(F.col(key).isNotNull())
+    return _fold(
+        ev, value_cols, key,
+        presence=lambda c: F.array_contains(F.col("_f"), c),
+        value=lambda c: F.col("_p")[c],
+        version_col=version_col)
 
 
 def apply_changes_with_truncate(events: DataFrame, value_schema: StructType,

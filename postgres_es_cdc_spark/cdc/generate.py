@@ -42,9 +42,19 @@ ORDERS_CDC_SCHEMA = (
 _J = {"ignoreNullFields": "false"}
 
 
+def _base_orders(spark, sf_dir: str) -> DataFrame:
+    """The orders scan fanned out for event synthesis. The sf tables are
+    single small parquet files (one scan partition), which would leave
+    the ~10x explode + payload encode serial on one core; real CDC
+    sources arrive pre-partitioned, so this repartition is generator-only
+    — the fold itself never repartitions."""
+    o = table(spark, sf_dir, "orders")
+    return o.repartition(spark.sparkContext.defaultParallelism)
+
+
 def orders_cdc_events(spark, sf_dir: str) -> DataFrame:
     """Synthesize the ordered event stream for table 'orders'."""
-    o = table(spark, sf_dir, "orders").select(
+    o = _base_orders(spark, sf_dir).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderstatus").alias("status"),
@@ -94,6 +104,69 @@ def orders_cdc_events(spark, sf_dir: str) -> DataFrame:
                  F.col("e.operationType").alias("operationType"),
                  F.lit("orders").alias("tableName"),
                  F.col("e.payload").alias("payload"))
+    )
+
+
+def orders_cdc_events_typed(spark, sf_dir: str) -> DataFrame:
+    """The SAME event plan as ``orders_cdc_events`` but with a native
+    typed payload struct + presence array (the zero-serde path consumed
+    by ``apply_changes_typed``). Corrupt-JSON events are unrepresentable
+    here (a typed feed has no parse failures), and they never contribute
+    to final state, so the expected-state oracle is unchanged."""
+    o = _base_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    k = F.col("k")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+
+    def payload(id_col, custkey, status, totalprice, priority, fields):
+        return F.struct(
+            F.struct(id_col.cast("long").alias("id"),
+                     custkey.cast("long").alias("custkey"),
+                     status.alias("status"),
+                     totalprice.alias("totalprice"),
+                     priority.alias("priority")).alias("p"),
+            F.array(*[F.lit(f) for f in fields]).alias("f"))
+
+    def ev(cond, offset, op, pay):
+        e = F.struct(offset.cast("long").alias("offset"),
+                     F.lit(op).alias("operationType"),
+                     pay.alias("pf"))
+        return e if cond is None else F.when(cond, e)
+
+    events = F.array(
+        ev(None, k * 10, "INSERT",
+           payload(k, F.col("custkey"), F.col("status"), F.col("totalprice"),
+                   F.col("priority"),
+                   ["id", "custkey", "status", "totalprice", "priority"])),
+        ev(k % 5 == 0, k * 10 + 3, "UPDATE",
+           payload(k, null_l, null_s, F.col("totalprice") * F.lit(1.1),
+                   null_s, ["id", "totalprice"])),
+        ev(k % 7 == 0, k * 10 + 4, "UPDATE",
+           payload(k, null_l, null_s, null_d, null_s, ["id", "priority"])),
+        ev(k % 9 == 0, k * 10 + 5, "DELETE",
+           payload(k, null_l, null_s, null_d, null_s, ["id"])),
+        ev((k % 9 == 0) & (k % 2 == 1), k * 10 + 7, "INSERT",
+           payload(k, F.col("custkey"), F.lit("R"),
+                   F.col("totalprice") + F.lit(1000.0), F.col("priority"),
+                   ["id", "custkey", "status", "totalprice", "priority"])),
+        ev(k % 17 == 0, k * 10 + 8, "UPDATE",
+           payload(-k, null_l, F.lit("ORPHAN"), null_d, null_s,
+                   ["id", "status"])),
+    )
+    return (
+        o.select(F.explode(F.filter(events, lambda e: e.isNotNull())).alias("e"))
+         .select(F.col("e.offset").alias("offset"),
+                 F.col("e.operationType").alias("operationType"),
+                 F.lit("orders").alias("tableName"),
+                 F.col("e.pf.p").alias("payload"),
+                 F.col("e.pf.f").alias("payload_fields"))
     )
 
 

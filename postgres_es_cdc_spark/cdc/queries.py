@@ -7,11 +7,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgres_es_cdc_spark.cdc.apply import apply_changes, latest_events
+from postgres_es_cdc_spark.cdc.apply import (
+    apply_changes, apply_changes_typed, latest_events)
 from postgres_es_cdc_spark.cdc.envelope import dead_letters, is_valid
 from postgres_es_cdc_spark.cdc.generate import (
     ORDERS_CDC_EXPECTED_SQL,
     orders_cdc_events,
+    orders_cdc_events_typed,
     orders_cdc_value_schema,
 )
 
@@ -37,6 +39,17 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_APPLY_SQL = ORDERS_CDC_EXPECTED_SQL
+
+
+def cdc_apply_changes_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fold over the zero-serde typed event feed
+    (apply_changes_typed) — same event plan, same expected-state oracle,
+    no JSON anywhere in the hot path."""
+    ev = orders_cdc_events_typed(spark, sf_dir)
+    return apply_changes_typed(ev, orders_cdc_value_schema())
+
+
+CDC_APPLY_TYPED_SQL = ORDERS_CDC_EXPECTED_SQL
 
 
 def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
