@@ -315,3 +315,121 @@ FROM embeddings
 GROUP BY 1
 """.format(bucket=" + ".join(
     f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)))
+
+
+def _q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized corpus ∪ planted near-duplicates. The driver embeddings
+    have no true near-dups (max pairwise cosine ~0.51), so — like
+    dedup.mutated_corpus for text — every vec_id % 10 == 0 gets a mutant
+    copy (id + 100000) with dimension 1 nudged by +0.05. All arithmetic
+    is on the ×1e6 fixed-point ints, so both engines build the identical
+    corpus bit-for-bit; mutant↔original cosine ≈ 0.999, every other pair
+    < 0.52."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(F.col("vec_id").alias("id"),
+                    quantize(F.col("embedding")).alias("q"))
+    mut = (
+        base.filter(F.col("id") % 10 == 0)
+            .select((F.col("id") + 100000).alias("id"),
+                    F.transform(
+                        F.col("q"),
+                        lambda x, i: F.when(i == 0, x + 50000).otherwise(x)
+                    ).alias("q"))
+    )
+    return base.unionByName(mut)
+
+
+def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                              threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the vector-space
+    member of the dedup arsenal (exact / MinHash / SimHash / n-gram /
+    THIS), candidate-blocked by banded sign-LSH.
+
+    Blocking: 8 bands × 8 sign bits (64 dims exactly); a pair is a
+    candidate iff it shares any band key — O(corpus·8) band rows into
+    the self-join, never O(corpus²). The +0.05 perturbation can only
+    flip signs inside band 0, so planted pairs always agree on bands
+    1-7: recall on true near-dups is exactly 1 here, and ≥ 1-p^7 in
+    general (p = per-band flip probability). Verification is the exact
+    integer-quantized cosine (module docstring) ≥ threshold, so the
+    DuckDB oracle reproduces the pair set bit-for-bit.
+
+    Scale: band rows shuffle once on (band_idx, band_key); AQE handles
+    hot buckets; verified pairs re-join the corpus by id (broadcast at
+    moderate pair counts) for the exact kernel.
+    """
+    c = _q_corpus(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            sum((F.when(F.element_at("q", b * 8 + j + 1) >= 0,
+                        F.lit(1 << j)).otherwise(F.lit(0)))
+                for j in range(8)).cast("long").alias("band_key"))
+        for b in range(8)
+    ])
+    bands = c.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"))
+    left = bands.select(F.col("id").alias("id1"), "band_idx", "band_key")
+    right = bands.select(F.col("id").alias("id2"), "band_idx", "band_key")
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct()
+    )
+    c1 = c.select(F.col("id").alias("id1"), F.col("q").alias("q1"))
+    c2 = c.select(F.col("id").alias("id2"), F.col("q").alias("q2"))
+    cos = (
+        dot_q(F.col("q1"), F.col("q2")).cast("double")
+        / (F.sqrt(dot_q(F.col("q1"), F.col("q1")).cast("double"))
+           * F.sqrt(dot_q(F.col("q2"), F.col("q2")).cast("double")))
+    )
+    return (
+        cand.join(c1, "id1").join(c2, "id2")
+            .select("id1", "id2", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+_QC_SQL = """
+  SELECT vec_id AS id,
+         list_transform(generate_series(1, 64),
+             i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(generate_series(1, 64),
+             i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                  + CASE WHEN i = 1 THEN 50000 ELSE 0 END) AS q
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_BAND_KEY_SQL = " + ".join(
+    f"(CASE WHEN q[b.b * 8 + {j} + 1] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(8))
+
+EMB_NEAR_DUP_SQL = f"""
+WITH corpus AS ({_QC_SQL}),
+bands AS (
+  SELECT id, b.b AS band_idx, CAST({_BAND_KEY_SQL} AS BIGINT) AS band_key
+  FROM corpus, (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+),
+scored AS (
+  SELECT id1, id2,
+         CAST(CAST(SUM(c1.q[i.i] * c2.q[i.i]) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM(c1.q[i.i] * c1.q[i.i]) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM(c2.q[i.i] * c2.q[i.i]) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM cand
+  JOIN corpus c1 ON c1.id = cand.id1
+  JOIN corpus c2 ON c2.id = cand.id2,
+  generate_series(1, 64) i(i)
+  GROUP BY id1, id2
+)
+SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= 0.9
+"""

@@ -25,3 +25,19 @@ def test_fast_and_exact_topk_agree_on_ranking(spark, sf_dir):
     fast = {(r.qid, r.rank): r.cid
             for r in emb_cosine_topk_fast(spark, sf_dir).collect()}
     assert exact == fast
+
+
+def test_near_dup_recall_is_total_on_planted_pairs(spark, sf_dir):
+    """Banded sign-LSH must recover EVERY planted near-duplicate (the
+    perturbation only touches band 0, so bands 1-7 always collide) and
+    nothing else (all non-planted cosines < 0.52 < threshold)."""
+    from postgres_es_cdc_spark.llm.similarity import emb_cosine_near_dup_pairs
+
+    pairs = {(r.id1, r.id2): r.cos_sim
+             for r in emb_cosine_near_dup_pairs(spark, sf_dir).collect()}
+    planted = {
+        r.vec_id for r in
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+             .filter("vec_id % 10 = 0").select("vec_id").collect()}
+    assert set(pairs) == {(v, v + 100000) for v in planted}
+    assert all(c > 0.99 for c in pairs.values())
