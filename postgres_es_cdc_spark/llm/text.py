@@ -281,3 +281,38 @@ SELECT doc_id,
        list_max(list_transform(shingles, x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS max_shingle_h
 FROM s
 """
+
+
+# GPT-2-style pretokenizer, simplified to RE2-compatible ASCII classes
+# (no lookahead — DuckDB is RE2; Java regex agrees on this subset):
+# letter runs, digit runs, punctuation runs, each with optional leading
+# space. Both engines segment identically (pinned by the oracle).
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+
+
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex alongside the
+    whitespace count — the cost estimator of an LLM data pipeline
+    (whitespace tokens under-count subword splits; the ratio is the
+    fertility proxy).
+
+    Scale: pure per-row regexp in whole-stage codegen; no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    ws = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("fertility"),
+    )
+
+
+DOCS_BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len({TOKENS_SQL.format(col='text')}) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+         / len({TOKENS_SQL.format(col='text')}) AS fertility
+FROM documents
+"""

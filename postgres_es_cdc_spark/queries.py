@@ -17,7 +17,8 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.functions import scalar
 from postgres_es_cdc_spark.llm import dedup, multimodal, similarity, text
 from postgres_es_cdc_spark.operators import (
-    advanced, events_q, relational, setops, tpch_extra, tpch_more, windows)
+    advanced, events_q, graph, relational, setops, tpch_extra, tpch_more,
+    windows)
 
 
 @dataclass(frozen=True)
@@ -108,6 +109,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
     "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
     "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
+    "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
@@ -127,6 +129,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # driver records the weaker rows-only check, determinism pinned in
     # tests/test_similarity.py.
     "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, None),
+    # --- graph iteration ---
+    "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
 }
