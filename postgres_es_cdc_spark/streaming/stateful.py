@@ -15,6 +15,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor, StatefulProcessorHandle)
 from pyspark.sql.types import (
     DoubleType, LongType, StructField, StructType)
 
@@ -49,4 +51,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
               .applyInPandasWithState(
                   _update, RUNNING_SCHEMA, _STATE_SCHEMA,
                   "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithState twin of ``running_user_totals`` — Spark 4's
+    successor API: typed state handles (ValueState here; ListState/
+    MapState/timers available), RocksDB-backed, no GroupState pickling."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on the transformWithState API. Requires
+    the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) — the caller's
+    session config, not ours, since state-store choice is deployment
+    policy — and the ``protobuf`` package (the API's state-server
+    protocol), a standard Spark-cluster dependency."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -4,6 +4,7 @@ SURVEY.md §5.4) and the windowed event aggregate."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 import pytest
@@ -208,6 +209,60 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     both = spark.createDataFrame(rows1 + rows2, schema)
     want = {r.user_id: (r.n, r.s) for r in both.groupBy("user_id").agg(
         F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-9
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("google") is None
+    or importlib.util.find_spec("google.protobuf") is None,
+    reason="transformWithState's state-server protocol needs protobuf "
+           "(absent in this container); the API path is still exercised "
+           "on clusters that have it")
+def test_transform_with_state_matches_batch_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API) computes the
+    same per-user running totals as the GroupState path. Needs the
+    RocksDB state store provider, set for this query only."""
+    from postgres_es_cdc_spark.streaming.stateful import running_user_totals_tws
+
+    rows = [(i, (i % 5) + 1, float(i)) for i in range(200)]
+    schema = "event_id long, user_id long, value double"
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (running_user_totals_tws(stream)
+             .writeStream.outputMode("update")
+             .format("memory").queryName("running_totals_tws")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    out = spark.sql("""
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM running_totals_tws) WHERE rn = 1""").collect()
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out}
+    want = {r.user_id: (r.n, r.s)
+            for r in spark.createDataFrame(rows, schema)
+                          .groupBy("user_id")
+                          .agg(F.count("*").alias("n"),
+                               F.sum("value").alias("s")).collect()}
     assert set(got) == set(want)
     for u in want:
         assert got[u][0] == want[u][0]
