@@ -193,6 +193,54 @@ FROM assets GROUP BY modality
 """
 
 
+def multimodal_transform_stats(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checked mapInPandas media transform: resize/frame-sample
+    kernels run inside Arrow batches on the executors, then a metadata
+    aggregate — the deterministic fake kernels make the Python plumbing
+    SQL-checkable end to end (same shape a real decode pipeline has)."""
+    from postgres_es_cdc_spark.catalog import table
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    out = transform_assets(assets)  # width=8, height=8, every_n=4
+    return out.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("out_bytes").alias("total_out_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+
+
+# Arithmetic twin of fake_resize/fake_frame_sample (frame_size=64,
+# every_n=4, resize target 8*8=64): chunks = ceil(len/64), kept every
+# 4th chunk starting at 0; the tail chunk is short iff it is kept.
+MULTIMODAL_TRANSFORM_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len
+  FROM documents
+), t AS (
+  SELECT modality,
+    CASE modality
+      WHEN 'image' THEN 64
+      WHEN 'audio' THEN len
+      ELSE CASE WHEN len = 0 THEN 0
+           WHEN ((len + 63) // 64 - 1) % 4 = 0
+             THEN (((len + 63) // 64 + 3) // 4 - 1) * 64
+                  + (len - ((len + 63) // 64 - 1) * 64)
+           ELSE (((len + 63) // 64 + 3) // 4) * 64 END
+    END AS out_bytes,
+    CASE modality WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+         ELSE ((len + 63) // 64 + 3) // 4 END AS n_frames
+  FROM assets
+)
+SELECT modality, COUNT(*) AS n_assets,
+       CAST(SUM(out_bytes) AS BIGINT) AS total_out_bytes,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames
+FROM t GROUP BY modality
+"""
+
+
 def modality_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only aggregation: prunes the binary column entirely —
     the scan never materializes payload bytes (column pruning)."""

@@ -102,6 +102,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
     "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
     "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
+    "events_exists_buyers": QuerySpec(events_q.events_exists_buyers, events_q.EVENTS_EXISTS_SQL),
     # --- LLM data pipeline: text analysis ---
     "docs_token_stats": QuerySpec(text.docs_token_stats, text.DOCS_TOKEN_STATS_SQL),
     "docs_lang_profile": QuerySpec(text.docs_lang_profile, text.DOCS_LANG_PROFILE_SQL),
@@ -133,6 +134,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
+    "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
 }
 
 

@@ -49,6 +49,29 @@ def kafka_event_stream(spark: SparkSession, bootstrap_servers: str,
     return parse_envelope(raw, value_col="value", offset_col="offset")
 
 
+def kafka_event_sink(events: DataFrame, bootstrap_servers: str,
+                     checkpoint_dir: str, topic: str = "CDC"):
+    """Production producer side (reference A14, utils.go:67-90): publish
+    DatabaseEvent envelopes as JSON to Kafka — but batched, acked, and
+    checkpointed, fixing the reference's fire-and-forget loss window
+    (utils.go:86-88). Key = tableName so per-table order survives a
+    multi-partition topic (the reference forces one partition instead).
+
+    Returns the started StreamingQuery.
+    """
+    payload = F.to_json(F.struct("operationType", "tableName", "payload"))
+    return (
+        events.select(
+            F.col("tableName").cast("string").alias("key"),
+            payload.alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def file_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """Test source: a directory of parquet files already in envelope

@@ -314,3 +314,34 @@ def test_kafka_envelope_parse(spark):
     out = parse_envelope(raw).collect()[0]
     assert (out.offset, out.operationType, out.tableName, out.payload) == \
         (42, "INSERT", "t", '{"id":1}')
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+    reason="Kafka integration smoke needs a broker (set "
+           "KAFKA_BOOTSTRAP_SERVERS) and the spark-sql-kafka package; "
+           "neither ships in this container")
+def test_kafka_roundtrip_smoke(spark, sf_dir, tmp_path):
+    """Envelope publish -> consume round trip against a real broker:
+    kafka_event_sink writes JSON DatabaseEvents, kafka_event_stream
+    reads them back through parse_envelope."""
+    from postgres_es_cdc_spark.cdc.generate import orders_cdc_events
+    from postgres_es_cdc_spark.streaming.pipeline import (
+        kafka_event_sink, kafka_event_stream)
+
+    servers = os.environ["KAFKA_BOOTSTRAP_SERVERS"]
+    topic = f"cdc_smoke_{os.getpid()}"
+    events = orders_cdc_events(spark, sf_dir).limit(200)
+    src = str(tmp_path / "envelopes")
+    events.write.parquet(src)
+
+    out = (spark.readStream.schema(events.schema).parquet(src))
+    q = kafka_event_sink(out, servers, str(tmp_path / "ckpt_sink"), topic)
+    q.processAllAvailable(); q.stop()
+
+    back = kafka_event_stream(spark, servers, topic)
+    q2 = (back.writeStream.format("memory").queryName("kafka_back")
+              .option("checkpointLocation", str(tmp_path / "ckpt_src"))
+              .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.table("kafka_back").count() == 200
