@@ -1,0 +1,128 @@
+"""Deterministic corpus sampling ([EXT]): the subset-selection layer of a
+training-data pipeline.
+
+Random sampling (``df.sample``) is engine- and partitioning-dependent, so
+it can't be oracle-checked and — worse for production — isn't reproducible
+across reruns of a changed cluster. Everything here samples by
+*multiplicative integer hashing of the stable key* instead: the same rows
+are chosen on any engine, any partitioning, any scale, and membership is
+a pure per-row predicate (no shuffle, fully pushdown-friendly — at 100 TB
+a 5 % sample reads all row groups but materializes only matching rows;
+with the key as a sort/cluster column it prunes pages too).
+
+The reference has no sampling surface (SURVEY.md §2 — 581 LoC of CDC
+plumbing); this module is mandated by the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.llm.text import (
+    STOPWORDS, TOKENS_SQL, quality_expr)
+
+# Knuth's multiplicative constant; mod 2^32 keeps the product in int64
+# for any realistic key (< 3.4e9) and is portable integer arithmetic in
+# every SQL engine — unlike built-in hash() functions, which differ.
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def key_hash(key: Column) -> Column:
+    """Deterministic 32-bit mix of an integer key (engine-portable)."""
+    return (key * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+KEY_HASH_SQL = "(({key}) * 2654435761) % 4294967296"
+
+
+def docs_hash_sample(spark: SparkSession, sf_dir: str,
+                     percent: int = 5) -> DataFrame:
+    """Deterministic ~percent% sample of the corpus by key hash — a pure
+    scan-side predicate, no shuffle, reproducible at any scale."""
+    d = table(spark, sf_dir, "documents")
+    return (d.filter(key_hash(F.col("doc_id")) % 100 < percent)
+             .select("doc_id", "lang", "n_chars"))
+
+
+DOCS_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {KEY_HASH_SQL.format(key='doc_id')} % 100 < 5
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str,
+                           n_per_stratum: int = 20) -> DataFrame:
+    """Fixed-size per-language sample: hash-ordered row_number <= n.
+    One shuffle on the stratum key; Spark's WindowGroupLimit pushes the
+    rank filter down so no stratum ever materializes fully."""
+    d = table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang")
+               .orderBy(key_hash(F.col("doc_id")).asc(),
+                        F.col("doc_id").asc()))
+    return (d.withColumn("pick", F.row_number().over(w).cast("long"))
+             .filter(F.col("pick") <= n_per_stratum)
+             .select("doc_id", "lang", "pick"))
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, pick
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {KEY_HASH_SQL.format(key='doc_id')} ASC,
+                        doc_id ASC) AS pick
+      FROM documents)
+WHERE pick <= 20
+"""
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str,
+                         min_quality: float = 0.45,
+                         percent: int = 20) -> DataFrame:
+    """End-to-end training-corpus prep: quality filter -> exact dedup
+    (canonical = min doc_id per content hash) -> deterministic 20 %
+    sample. The composite the individual operators exist for; stage
+    order matters at scale — the cheap scan-side predicates (quality,
+    later the sample) run before the one shuffle (dedup), and the
+    sample re-filter runs on dedup output, so the shuffle only carries
+    quality-surviving rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    kept = d.filter(quality_expr(F.col("text")) >= min_quality)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    canonical = (kept.withColumn("copy_rank", F.row_number().over(w))
+                     .filter(F.col("copy_rank") == 1))
+    return (canonical
+            .filter(key_hash(F.col("doc_id")) % 100 < percent)
+            .select("doc_id", "lang", "n_chars"))
+
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_TOKS = TOKENS_SQL.format(col="text")
+
+CORPUS_PREP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks FROM documents
+), q AS (
+  SELECT doc_id, lang, n_chars, text,
+         0.4*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))
+       + 0.3*LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+       + 0.3*LEAST(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                        AS DOUBLE)/len(toks)*5.0, 1.0) AS quality
+  FROM t
+), kept AS (
+  SELECT doc_id, lang, n_chars, text FROM q WHERE quality >= 0.45
+), canonical AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id ASC) AS copy_rank
+  FROM kept
+)
+SELECT doc_id, lang, n_chars
+FROM canonical
+WHERE copy_rank = 1 AND {KEY_HASH_SQL.format(key='doc_id')} % 100 < 20
+"""

@@ -105,6 +105,21 @@ FROM documents GROUP BY lang
 """
 
 
+def quality_expr(text_col: Column) -> Column:
+    """The quality score of ``docs_quality_score`` as a reusable column
+    expression (identical double arithmetic in the DuckDB twin, so a
+    threshold filter on it is hash-stable across engines)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return 0.4 * uniq_ratio + 0.3 * len_score + 0.3 * stop_score
+
+
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality heuristic: length, lexical diversity, stopword
     coverage — the standard cheap pre-filters of an LLM data pipeline."""

@@ -272,6 +272,52 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full_outer over two pre-aggregated sides: per-nation rich-customer
+    vs rich-supplier counts; each side misses nations, so both null
+    directions are exercised. Aggregating BEFORE joining keeps the outer
+    join's shuffle to 25 rows a side regardless of fact-table size."""
+    c = (table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000)
+         .groupBy("c_nationkey").agg(F.count("*").alias("n_rich_customers")))
+    s = (table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 9000)
+         .groupBy("s_nationkey").agg(F.count("*").alias("n_rich_suppliers")))
+    return (c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+             .select(F.coalesce(c["c_nationkey"], s["s_nationkey"])
+                      .alias("nationkey"),
+                     "n_rich_customers", "n_rich_suppliers"))
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(c.nk, s.nk) AS nationkey, n_rich_customers, n_rich_suppliers
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+ON c.nk = s.nk
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny sides (region x distinct
+    order priorities) — the only safe cross-join shape at scale: both
+    inputs are broadcast-sized; anything larger belongs behind LSH or
+    banding (see llm.dedup), never a raw cross join."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    p = (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("priority")).distinct())
+    return r.crossJoin(p).select("r_name", "priority")
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, priority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority AS priority
+                        FROM orders)
+"""
+
+
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count-distinct (expand-based in Spark) + plain count + exact sum."""
     o = table(spark, sf_dir, "orders")

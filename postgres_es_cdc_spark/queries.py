@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.functions import scalar
-from postgres_es_cdc_spark.llm import dedup, multimodal, similarity, text
+from postgres_es_cdc_spark.llm import (
+    dedup, multimodal, sampling, similarity, text)
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, tpch_extra, tpch_more,
     windows)
@@ -45,6 +46,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_left_outer": QuerySpec(relational.join_left_outer, relational.JOIN_LEFT_SQL),
     "join_semi": QuerySpec(relational.join_semi, relational.JOIN_SEMI_SQL),
     "join_anti": QuerySpec(relational.join_anti, relational.JOIN_ANTI_SQL),
+    "join_full_outer": QuerySpec(relational.join_full_outer, relational.JOIN_FULL_OUTER_SQL),
+    "join_cross": QuerySpec(relational.join_cross, relational.JOIN_CROSS_SQL),
     "agg_distinct": QuerySpec(relational.agg_distinct, relational.AGG_DISTINCT_SQL),
     "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
     "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
@@ -112,6 +115,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
     "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
     # --- LLM data pipeline: dedup ---
+    "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
+    "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
+    "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
+
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
     "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
