@@ -221,3 +221,32 @@ def windowed_event_aggregate(events: DataFrame, ts_col: str = "ts",
                       F.col("win.end").alias("window_end"),
                       "event_type", "n_events", "sum_value")
     )
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id", ts_col: str = "ts",
+                          watermark: str = "1 hour",
+                          max_gap: str = "30 minutes",
+                          how: str = "inner") -> DataFrame:
+    """Stream-stream interval join ([EXT], SURVEY Table B joins row):
+    right-side events that follow a left-side event by the same key
+    within ``max_gap``. Watermarks on BOTH sides bound the join state —
+    Spark expires buffered rows once the watermark passes the interval
+    bound, so state stays O(events within the gap window), the only
+    formulation that survives an unbounded 100 TB stream.
+
+    Output: one row per qualifying (left, right) pair with both
+    timestamps and the right-side value.
+    """
+    l_ = left.select(F.col(key).alias("l_key"),
+                     F.col(ts_col).alias("l_ts")) \
+             .withWatermark("l_ts", watermark)
+    r_ = right.select(F.col(key).alias("r_key"),
+                      F.col(ts_col).alias("r_ts"),
+                      F.col("value").alias("r_value")) \
+              .withWatermark("r_ts", watermark)
+    cond = F.expr(
+        f"l_key = r_key AND r_ts >= l_ts AND "
+        f"r_ts <= l_ts + INTERVAL {max_gap}")
+    return (l_.join(r_, cond, how)
+              .select(F.col("l_key").alias(key), "l_ts", "r_ts", "r_value"))

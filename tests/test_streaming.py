@@ -345,3 +345,42 @@ def test_kafka_roundtrip_smoke(spark, sf_dir, tmp_path):
               .trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert spark.table("kafka_back").count() == 200
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join with two-sided watermarks == the same
+    join run in batch (availableNow drains everything, so no rows are
+    lost to the watermark in this bounded test)."""
+    from postgres_es_cdc_spark.streaming.pipeline import interval_join_streams
+
+    views = [(i, f"2024-01-01 00:{(3 * i) % 60:02d}:00", (i % 10) + 1, 0.0)
+             for i in range(120)]
+    buys = [(1000 + i, f"2024-01-01 00:{(5 * i) % 60:02d}:30", (i % 10) + 1,
+             float(i)) for i in range(80)]
+    schema = "event_id long, ts_str string, user_id long, value double"
+
+    def to_df(rows):
+        return (spark.createDataFrame(rows, schema)
+                .select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+                        "user_id", "value"))
+
+    v_src, b_src = str(tmp_path / "views"), str(tmp_path / "buys")
+    to_df(views).write.parquet(v_src)
+    to_df(buys).write.parquet(b_src)
+    v_schema = to_df(views).schema
+
+    vs = spark.readStream.schema(v_schema).parquet(v_src)
+    bs = spark.readStream.schema(v_schema).parquet(b_src)
+    q = (interval_join_streams(vs, bs, max_gap="10 minutes")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("ssj_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.table("ssj_out").collect()}
+    want = {tuple(r) for r in
+            interval_join_streams(to_df(views), to_df(buys),
+                                  max_gap="10 minutes").collect()}
+    assert got == want
+    assert len(want) > 20
