@@ -1,0 +1,77 @@
+"""Regenerate PLANS.md: `.explain("formatted")` trees for headline
+queries with scale-property annotations.
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+from pyspark.sql import SparkSession
+
+PICKS = {
+    "q3_shipping_priority":
+        "Fact-side scans keep only needed columns; both dimension joins "
+        "broadcast — no shuffle of lineitem for the joins, one shuffle "
+        "for the aggregate.",
+    "q1_pricing_summary":
+        "Single scan, filter pushed to parquet, two-phase HashAggregate "
+        "(partial map-side, final after one shuffle on the 2-value "
+        "grouping key).",
+    "join_full_outer":
+        "Both sides pre-aggregated to ~25 rows BEFORE the full outer "
+        "join: the join shuffles aggregate output, never base tables.",
+    "events_exists_buyers":
+        "Left-semi with the filtered event side broadcast: customer "
+        "table is never shuffled.",
+    "topk_per_group":
+        "WindowGroupLimit pushes rank<=3 below the shuffle — partial "
+        "top-k per map task.",
+    "docs_hash_sample":
+        "Sample membership is a scan-side predicate: no shuffle, no UDF; "
+        "the filter sits directly on the parquet scan.",
+    "emb_ivf_topk":
+        "IVF probe: centroid assignment broadcast, candidate search "
+        "confined to probed cells.",
+    "cdc_apply_changes_typed":
+        "CDC fold as ONE partial-aggregable pass: shuffle carries "
+        "per-key partial maxima (struct payloads, zero JSON serde), not "
+        "raw events.",
+}
+
+HEADER = """# PLANS — physical-plan evidence for headline queries
+
+Generated from `.explain("formatted")` at sf0.01 with AQE on
+(`tools/gen_plans.py` regenerates). What to look for per plan is noted
+above each; the properties hold at any scale factor because they are
+plan-shape, not data-size, facts.
+"""
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from postgres_es_cdc_spark.queries import REGISTRY
+
+    out = [HEADER]
+    for name, note in PICKS.items():
+        df = REGISTRY[name].fn(spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]  # tree only, drop node detail
+        out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(PICKS)} plans)")
+
+
+if __name__ == "__main__":
+    main()
