@@ -254,10 +254,16 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
     Rows-only driver check (iterative); pinned by tests/test_dedup.py.
     """
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
-    # undirected edge list + self-loops for isolated-node identity
+    # undirected edge list + self-loops for isolated-node identity.
+    # Cached: every propagation round references edges twice, and without
+    # the cache each reference recomputes the whole shingle->minhash->band
+    # pipeline (10+ recomputes of the expensive stage). The edge list is
+    # tiny (candidate pairs only), so this is the right persistence point
+    # at any scale.
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
                   .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                            F.col("doc_a").alias("dst"))))
+                                            F.col("doc_a").alias("dst")))
+                  .cache())
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(max_iters):
@@ -323,3 +329,34 @@ SELECT doc_id, CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
        CAST({' + '.join(f'(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)' for j in range(16))} AS BIGINT) AS simhash16
 FROM bits
 """
+
+
+def _label_prop_iter_sql(i: int) -> str:
+    """One min-label propagation round as SQL (the exact join+agg the
+    Spark loop in docs_dedup_clusters runs)."""
+    prev = f"l{i - 1}"
+    return f"""l{i} AS (
+  SELECT l.doc_id,
+         LEAST(l.label, COALESCE(MIN(r.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN edges e ON e.src = l.doc_id
+  LEFT JOIN {prev} r ON r.doc_id = e.dst
+  GROUP BY l.doc_id, l.label
+)"""
+
+
+# Oracle for docs_dedup_clusters: the LSH pair pipeline as a derived
+# table, then the SAME fixed 5 rounds of min-label propagation unrolled
+# as chained CTEs (propagation is idempotent at fixpoint, so equal
+# iteration counts => equal labels), then the cluster aggregate.
+DOCS_DEDUP_CLUSTERS_SQL = (
+    "WITH pairs AS (" + DOCS_MINHASH_LSH_SQL + "),\n"
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),\n"
+    "nodes AS (SELECT DISTINCT src AS doc_id FROM edges),\n"
+    "l0 AS (SELECT doc_id, doc_id AS label FROM nodes),\n"
+    + ",\n".join(_label_prop_iter_sql(i) for i in range(1, 6)) + "\n"
+    "SELECT label, COUNT(*) AS cluster_size,\n"
+    "       MIN(doc_id) AS canonical_id, MAX(doc_id) AS max_member_id\n"
+    "FROM l5 GROUP BY label"
+)

@@ -126,7 +126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
     # semantics pinned in tests/test_dedup.py.
-    "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, None),
+    "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, dedup.DOCS_DEDUP_CLUSTERS_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
