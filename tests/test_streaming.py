@@ -384,3 +384,81 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                                   max_gap="10 minutes").collect()}
     assert got == want
     assert len(want) > 20
+
+
+def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
+    """Custom sessionizer: sessions close inline when a later event
+    exceeds the gap, and via EventTimeTimeout when the watermark passes
+    an idle session's deadline with no further events for that key."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.stateful import (
+        user_sessions_with_timeout)
+
+    schema = "event_id long, ts_str string, user_id long"
+
+    def write_batch(rows, j):
+        src = str(tmp_path / "events")
+        (spark.createDataFrame(rows, schema)
+              .select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+                      "user_id")
+              .coalesce(1).write.mode("append").parquet(src))
+        base = 1_700_000_000
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet"):
+                cur = _os.stat(full).st_mtime
+                if cur > base + j or cur < base:
+                    _os.utime(full, (base + j, base + j))
+        return src
+
+    # batch 1: user 1 = one 3-event session; user 2 = two singleton
+    # sessions an hour apart (first closes inline within the batch)
+    write_batch([(1, "2024-01-01 00:00:00", 1),
+                 (2, "2024-01-01 00:01:00", 1),
+                 (3, "2024-01-01 00:02:00", 1),
+                 (4, "2024-01-01 00:00:00", 2),
+                 (5, "2024-01-01 01:00:00", 2)], 0)
+    # batch 2: user 2 again, an hour later -> closes its second session
+    # inline; advances the watermark past user 1's idle deadline
+    write_batch([(6, "2024-01-01 02:00:00", 2)], 1)
+    # batch 3: unrelated user; its batch start fires user 1's timeout
+    src = write_batch([(7, "2024-01-01 03:00:00", 99)], 2)
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (user_sessions_with_timeout(stream, gap_us=30 * 60 * 1_000_000)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sessions_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    def us(h, m, s=0):
+        import datetime as dt
+        t = dt.datetime(2024, 1, 1, h, m, s, tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000)
+
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+           for r in spark.table("sessions_out").collect()}
+    # Local-session timezone is UTC in tests; timestamps written as
+    # naive strings, so compare via the same cast the operator used.
+    raw = spark.sql("SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP) t") \
+               .select((F.col("t").cast("double") * 1_000_000)
+                       .cast("long").alias("us")).collect()[0].us
+    base = raw  # epoch micros of local-midnight 2024-01-01
+
+    def m(minutes):
+        return base + minutes * 60 * 1_000_000
+
+    want = {
+        (2, m(0), m(0), 1),       # inline close, batch 1
+        (2, m(60), m(60), 1),     # inline close, batch 2
+        (1, m(0), m(2), 3),       # EventTimeTimeout close, batch 3
+        # availableNow runs a final watermark-flush batch (wm = 02:50):
+        # user 2's 02:00 session (deadline 02:30) times out there; user
+        # 99's (deadline 03:30) correctly stays open and is never emitted
+        (2, m(120), m(120), 1),
+    }
+    assert got == want
