@@ -212,6 +212,52 @@ def apply_changes_with_truncate(events: DataFrame, value_schema: StructType,
     return apply_changes(survivors, value_schema, key, order_col)
 
 
+def observed_payload_columns(events: DataFrame) -> list[str]:
+    """Distinct payload keys present anywhere in the event stream.
+
+    The schema-inference pass behind ``apply_changes_evolving``: one
+    scan, keys exploded then distinct (strings of column names — the
+    shuffle is vocabulary-sized, not data-sized). At very large volumes
+    restrict ``events`` to a recent offset range first; new columns by
+    definition appear in new events.
+    """
+    keys = (events
+            .select(F.explode(F.map_keys(
+                F.from_json("payload", "map<string,string>"))).alias("c"))
+            .distinct())
+    return sorted(r.c for r in keys.collect())
+
+
+def evolve_schema(base: StructType, events: DataFrame) -> StructType:
+    """``base`` widened with payload columns the stream introduced.
+
+    New columns type as STRING: the wire value domain is JSON text and
+    the reference's own fallback for unknown type OIDs is the raw
+    string (producer.go:180) — so string is the faithful dynamic type,
+    and a later declared migration can cast it.
+    """
+    known = set(base.fieldNames())
+    from pyspark.sql.types import StringType, StructField
+    extra = [StructField(c, StringType(), True)
+             for c in observed_payload_columns(events) if c not in known]
+    return StructType(list(base.fields) + extra)
+
+
+def apply_changes_evolving(events: DataFrame, base_schema: StructType,
+                           key: str = "id", order_col: str = "offset",
+                           version_col: str | None = None) -> DataFrame:
+    """``apply_changes`` with schema evolution — parity with the
+    reference's *dynamic* Elasticsearch mapping (es.go:28-45 creates
+    indices with no mapping body, so a column added upstream just
+    starts indexing). A fixed ``value_schema`` silently drops unknown
+    payload keys; this variant widens the schema from the stream first,
+    so rows that predate the column hold NULL and later events populate
+    it — exactly what ES dynamic mapping yields.
+    """
+    return apply_changes(events, evolve_schema(base_schema, events),
+                         key, order_col, version_col)
+
+
 def apply_all(events: DataFrame, schemas: dict[str, StructType],
               key: str = "id", order_col: str = "offset") -> dict[str, DataFrame]:
     """Route a mixed-table event stream (utils.go:105-112: one ES index per

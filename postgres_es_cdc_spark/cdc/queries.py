@@ -8,7 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.cdc.apply import (
-    apply_changes, apply_changes_typed, latest_events)
+    apply_changes, apply_changes_evolving, apply_changes_typed,
+    latest_events)
 from postgres_es_cdc_spark.cdc.envelope import dead_letters, is_valid
 from postgres_es_cdc_spark.cdc.generate import (
     ORDERS_CDC_EXPECTED_SQL,
@@ -176,4 +177,34 @@ FROM (
               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS totalprice
   FROM orders WHERE o_orderkey % 2 = 0
 )
+"""
+
+
+def cdc_apply_changes_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the fold: the standard stream plus late
+    UPDATEs carrying a column (`vip_note`) no declared schema knows,
+    applied with ``apply_changes_evolving`` — the reference gets this
+    behavior from dynamic ES mappings (es.go:28-45); a fixed schema
+    would silently drop the column."""
+    from postgres_es_cdc_spark.catalog import table
+
+    ev = orders_cdc_events(spark, sf_dir)
+    k = F.col("o_orderkey")
+    late = (table(spark, sf_dir, "orders")
+            .filter(k % 11 == 0)
+            .select((k * 10 + 9).cast("long").alias("offset"),
+                    F.lit("UPDATE").alias("operationType"),
+                    F.lit("orders").alias("tableName"),
+                    F.to_json(F.struct(
+                        k.cast("long").alias("id"),
+                        F.lit("vip").alias("vip_note"))).alias("payload")))
+    return apply_changes_evolving(ev.unionByName(late),
+                                  orders_cdc_value_schema())
+
+
+CDC_APPLY_EVOLVING_SQL = f"""
+WITH expected AS ({ORDERS_CDC_EXPECTED_SQL})
+SELECT expected.*,
+       CASE WHEN id % 11 = 0 THEN 'vip' END AS vip_note
+FROM expected
 """

@@ -32,6 +32,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- CDC core (REF semantics: es.go:47-144, utils.go:92-117) ---
     "cdc_apply_changes": QuerySpec(cdcq.cdc_apply_changes, cdcq.CDC_APPLY_SQL),
     "cdc_apply_changes_typed": QuerySpec(cdcq.cdc_apply_changes_typed, cdcq.CDC_APPLY_TYPED_SQL),
+    "cdc_apply_changes_evolving": QuerySpec(cdcq.cdc_apply_changes_evolving, cdcq.CDC_APPLY_EVOLVING_SQL),
     "cdc_replay_dedup": QuerySpec(cdcq.cdc_replay_dedup, cdcq.CDC_APPLY_SQL),
     "cdc_snapshot_bootstrap": QuerySpec(cdcq.cdc_snapshot_bootstrap, cdcq.CDC_APPLY_SQL),
     "cdc_latest_event": QuerySpec(cdcq.cdc_latest_event, cdcq.CDC_LATEST_EVENT_SQL),

@@ -203,3 +203,54 @@ def test_key_missing_from_schema_raises(spark):
 
     with pytest.raises(ValueError):
         apply_changes(_events(spark, []), _parse_datatype_string("x long"))
+
+
+def test_schema_evolution_new_column_mid_stream(spark):
+    """ES-dynamic-mapping parity (es.go:28-45): a payload column that
+    first appears mid-stream materializes for every row — NULL where it
+    predates the column, valued where events supplied it."""
+    from pyspark.sql.types import _parse_datatype_string
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_evolving
+
+    ev = _events(spark, [
+        (1, "INSERT", '{"id":1,"name":"a","qty":2,"price":9.5}'),
+        (2, "INSERT", '{"id":2,"name":"b","qty":1,"price":1.0}'),
+        (3, "UPDATE", '{"id":2,"note":"vip"}'),          # new column!
+        (4, "INSERT", '{"id":3,"name":"c","qty":5,"price":2.0,"note":"new"}'),
+    ])
+    df = apply_changes_evolving(ev, _parse_datatype_string(SCHEMA))
+    assert "note" in df.columns
+    s = {r.id: (r.name, r.qty, r.note) for r in df.collect()}
+    assert s == {1: ("a", 2, None), 2: ("b", 1, "vip"), 3: ("c", 5, "new")}
+
+
+def test_schema_evolution_reinsert_resets_evolved_column(spark):
+    """A re-INSERT without the evolved column resets it (fresh-document
+    semantics apply to dynamic columns exactly like declared ones)."""
+    from pyspark.sql.types import _parse_datatype_string
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_evolving
+
+    ev = _events(spark, [
+        (1, "INSERT", '{"id":1,"name":"a","qty":2,"price":9.5}'),
+        (2, "UPDATE", '{"id":1,"note":"vip"}'),
+        (3, "INSERT", '{"id":1,"name":"a2","qty":3,"price":9.5}'),  # re-insert
+    ])
+    df = apply_changes_evolving(ev, _parse_datatype_string(SCHEMA))
+    s = {r.id: (r.name, r.qty, r.note) for r in df.collect()}
+    assert s == {1: ("a2", 3, None)}
+
+
+def test_schema_evolution_no_new_columns_is_identity(spark):
+    """With no unknown keys, the evolving variant equals apply_changes."""
+    from pyspark.sql.types import _parse_datatype_string
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_evolving
+
+    rows = [
+        (1, "INSERT", '{"id":1,"name":"a","qty":2,"price":9.5}'),
+        (2, "UPDATE", '{"id":1,"qty":7}'),
+    ]
+    schema = _parse_datatype_string(SCHEMA)
+    a = apply_changes_evolving(_events(spark, rows), schema)
+    b = apply_changes(_events(spark, rows), schema)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
