@@ -331,3 +331,44 @@ SELECT doc_id,
          / len({TOKENS_SQL.format(col='text')}) AS fertility
 FROM documents
 """
+
+
+def docs_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by in-document
+    frequency (tie-break term asc), each with its corpus document
+    frequency — the integer-exact core of TF-IDF keywording (the log is
+    left to consumers; see docs_term_frequency on why).
+
+    Scale shape: one explode -> (doc_id, term) partial-agg shuffle for
+    tf; the per-term df aggregate joins back broadcast-style (vocabulary
+    is tiny next to the corpus); WindowGroupLimit caps per-doc output
+    below the final shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (tf.withColumn("term_rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("term_rank") <= k)
+              .join(df_, "term")
+              .select("doc_id", "term", "tf", "df", "term_rank"))
+
+
+DOCS_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), ranked AS (
+  SELECT doc_id, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, term ASC) AS term_rank
+  FROM tf
+)
+SELECT r.doc_id, r.term, r.tf, d.df, r.term_rank
+FROM ranked r JOIN df d USING (term)
+WHERE r.term_rank <= 3
+"""

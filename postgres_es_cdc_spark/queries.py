@@ -115,6 +115,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
     "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
     "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
+    "docs_top_terms": QuerySpec(text.docs_top_terms, text.DOCS_TOP_TERMS_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
