@@ -433,3 +433,53 @@ scored AS (
 )
 SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= 0.9
 """
+
+
+def l2sq_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance of quantized vectors (diffs
+    <= 2e6 in magnitude, squares <= 4e12, 64 of them — fits int64;
+    integer folds are order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def emb_euclidean_topk(spark: SparkSession, sf_dir: str, k: int = 3,
+                       n_queries: int = 5) -> DataFrame:
+    """Brute-force euclidean top-k (nearest = smallest distance): same
+    broadcast/WindowGroupLimit plan as emb_cosine_topk, but the ranking
+    key is the INTEGER quantized squared distance — no sqrt anywhere in
+    the comparison, so cross-engine ordering is exact by construction."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 quantize(F.col("embedding")).alias("cq"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("qid") != F.col("cid"))
+         .select("qid", "cid", l2sq_q(F.col("qq"), F.col("cq")).alias("l2sq_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("l2sq_q"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", "cid", "rank", "l2sq_q"))
+
+
+EMB_EUCLIDEAN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS l2sq_q
+  FROM q, c, generate_series(1, 64) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+)
+SELECT qid, cid, rank, l2sq_q
+FROM (SELECT qid, cid, l2sq_q,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2sq_q ASC, cid ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""

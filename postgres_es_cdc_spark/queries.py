@@ -132,6 +132,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
+    "emb_euclidean_topk": QuerySpec(similarity.emb_euclidean_topk, similarity.EMB_EUCLIDEAN_TOPK_SQL),
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
     "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
     "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
