@@ -229,3 +229,45 @@ SELECT c_custkey AS custkey,
        CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END AS even_nation_bal
 FROM customer
 """
+
+
+def scalar_map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_keys / transform_values /
+    map_zip_with / map_filter / map_from_entries), scalarized so the
+    oracle can state each output value directly — DuckDB 1.0 lacks map
+    lambdas, and the parity contract is about VALUES, not syntax.
+
+    All lambdas run inside Catalyst (HigherOrderFunction expressions,
+    JVM-side) — this is the fast path for per-row map reshaping at scale,
+    not a Python UDF.
+    """
+    c = table(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey").cast("long")
+    m1 = F.create_map(F.lit("a"), nk, F.lit("b"), nk * 2)
+    m2 = F.create_map(F.lit("a"), F.lit(10).cast("long"),
+                      F.lit("b"), F.lit(20).cast("long"))
+    tk = F.transform_keys(m1, lambda k, v: F.upper(k))
+    tv = F.transform_values(m1, lambda k, v: v * 2)
+    mz = F.map_zip_with(m1, m2, lambda k, x, y: x + y)
+    mf = F.map_filter(m1, lambda k, v: v % 2 == 0)
+    me = F.map_from_entries(F.array(
+        F.struct(F.lit("seg").alias("k"), F.col("c_mktsegment").alias("v"))))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.element_at(tk, "A").alias("upper_key_a"),
+        F.element_at(tv, "b").alias("doubled_b"),
+        F.element_at(mz, "a").alias("zipped_a"),
+        F.size(mf).cast("long").alias("n_even_vals"),
+        F.element_at(me, "seg").alias("entry_seg"),
+    )
+
+
+SCALAR_MAP_TRANSFORM_SQL = """
+SELECT c_custkey AS custkey,
+       CAST(c_nationkey AS BIGINT) AS upper_key_a,
+       CAST(c_nationkey * 4 AS BIGINT) AS doubled_b,
+       CAST(c_nationkey + 10 AS BIGINT) AS zipped_a,
+       CAST(CASE WHEN c_nationkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_even_vals,
+       c_mktsegment AS entry_seg
+FROM customer
+"""

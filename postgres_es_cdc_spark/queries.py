@@ -18,8 +18,8 @@ from postgres_es_cdc_spark.functions import scalar
 from postgres_es_cdc_spark.llm import (
     dedup, multimodal, sampling, similarity, text)
 from postgres_es_cdc_spark.operators import (
-    advanced, events_q, graph, relational, setops, tpch_extra, tpch_more,
-    windows)
+    advanced, events_q, graph, relational, setops, stats, tpch_extra,
+    tpch_more, windows)
 
 
 @dataclass(frozen=True)
@@ -78,6 +78,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "subquery_above_nation_avg": QuerySpec(advanced.subquery_above_nation_avg, advanced.SUBQUERY_AVG_SQL),
     "range_join_price_bands": QuerySpec(advanced.range_join_price_bands, advanced.RANGE_JOIN_SQL),
     "percentile_disc_prices": QuerySpec(advanced.percentile_disc_prices, advanced.PERCENTILE_SQL),
+    "agg_stats_moments": QuerySpec(stats.agg_stats_moments, stats.AGG_STATS_MOMENTS_SQL),
+    "percentile_cont_quantity": QuerySpec(stats.percentile_cont_quantity, stats.PERCENTILE_CONT_SQL),
+    # quantile sketch — contents engine-specific; accuracy bounds pinned
+    # in tests/test_oracle_parity.py, driver records rows-only.
+    "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, None),
     "string_agg_nation_customers": QuerySpec(advanced.string_agg_nation_customers, advanced.STRING_AGG_SQL),
     # --- window functions ---
     "window_rank": QuerySpec(windows.window_rank, windows.WINDOW_RANK_SQL),
@@ -99,6 +104,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_conditional_funcs": QuerySpec(scalar.scalar_conditional_funcs, scalar.SCALAR_COND_SQL),
     "scalar_array_funcs": QuerySpec(scalar.scalar_array_funcs, scalar.SCALAR_ARRAY_SQL),
     "scalar_map_funcs": QuerySpec(scalar.scalar_map_funcs, scalar.SCALAR_MAP_SQL),
+    "scalar_map_transform_funcs": QuerySpec(
+        scalar.scalar_map_transform_funcs, scalar.SCALAR_MAP_TRANSFORM_SQL),
     # --- event-stream analytics (batch twins of streaming ops) ---
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
