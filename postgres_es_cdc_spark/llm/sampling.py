@@ -126,3 +126,59 @@ SELECT doc_id, lang, n_chars
 FROM canonical
 WHERE copy_rank = 1 AND {KEY_HASH_SQL.format(key='doc_id')} % 100 < 20
 """
+
+
+CONTEXT_CAP = 2048  # tokens per packed context window
+
+
+def docs_context_pack(spark: SparkSession, sf_dir: str,
+                      cap: int = CONTEXT_CAP) -> DataFrame:
+    """Context-window packing: concatenate each source's documents in
+    stable doc_id order and split the token stream at exact multiples
+    of ``cap`` — every document is assigned to the window in which it
+    STARTS (fixed-boundary packing, the deterministic cousin of greedy
+    first-fit; tokenization = the whitespace split shared with
+    docs_chunk_udtf). Output is one row per (source, window).
+
+    Scale shape: one window shuffle partitioned by source (the shard
+    key — at 100 TB you'd pack within shard files, embarrassingly
+    parallel), then a partial-aggregable groupBy on the SAME keys, so
+    Catalyst reuses the partitioning: a single Exchange end to end.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = d.select("doc_id", "source",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    d = d.withColumn(
+        "window_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(cap)).cast("long"))
+    return (d.groupBy("source", "window_id")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("window_tokens"),
+                  F.min("doc_id").alias("first_doc"),
+                  F.max("doc_id").alias("last_doc")))
+
+
+DOCS_CONTEXT_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(floor((cum - n_tokens) / {CONTEXT_CAP}.0) AS BIGINT) AS window_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS window_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, window_id
+"""

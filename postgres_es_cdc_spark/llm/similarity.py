@@ -483,3 +483,72 @@ FROM (SELECT qid, cid, l2sq_q,
       FROM scored)
 WHERE rank <= 3
 """
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard embedding
+    compression step before shipping vectors to an ANN index (4x smaller
+    than float32): q_i = round(x_i / scale * 127), scale = max|x_i|.
+
+    Pure per-row transform, no shuffle — at 100 TB this pipelines with
+    the parquet scan. Cross-engine exactness: scale is a promoted
+    float32 (no arithmetic, exact); x/scale*127 is a fixed IEEE op
+    sequence; rounding targets are INTEGER boundaries whose ties are
+    representable doubles (same argument as qsum); the error statistic
+    is per-element quantized to int64 then exactly summed.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    s = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-12))
+    e = e.select("vec_id", "embedding", s.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") / F.col("scale") * 127, 0)
+                   .cast("bigint"))
+    e = e.select("vec_id", "embedding", "scale", q.alias("q"))
+    # per-element squared dequantization error, fixed-point 1e18
+    err_sq_q = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q"),
+            lambda v, qi: F.round(
+                F.pow(v.cast("double") - qi.cast("double") * F.col("scale") / 127,
+                      F.lit(2)) * 1e18, 0).cast("bigint")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return e.select(
+        "vec_id", "scale",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("q_sum"),
+        F.array_min(F.col("q")).alias("q_min"),
+        F.array_max(F.col("q")).alias("q_max"),
+        F.size(F.filter(F.col("q"), lambda v: F.abs(v) == 127)).cast("long")
+         .alias("n_saturated"),
+        err_sq_q.alias("err_sq_q18"),
+    )
+
+
+EMB_INT8_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) / scale * 127) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_saturated,
+       CAST(list_sum(list_zip(embedding, qv).list_transform(
+              p -> CAST(round(pow(CAST(p[1] AS DOUBLE)
+                                  - CAST(p[2] AS DOUBLE) * scale / 127, 2)
+                              * 1e18) AS BIGINT)))
+            AS BIGINT) AS err_sq_q18
+FROM q
+"""

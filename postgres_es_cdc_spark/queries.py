@@ -14,7 +14,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from postgres_es_cdc_spark.cdc import queries as cdcq
-from postgres_es_cdc_spark.functions import scalar
+from postgres_es_cdc_spark.cdc import scd2
+from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
     dedup, multimodal, sampling, similarity, text)
 from postgres_es_cdc_spark.operators import (
@@ -38,6 +39,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cdc_latest_event": QuerySpec(cdcq.cdc_latest_event, cdcq.CDC_LATEST_EVENT_SQL),
     "cdc_dead_letters": QuerySpec(cdcq.cdc_dead_letters, cdcq.CDC_DEAD_LETTERS_SQL),
     "cdc_multi_table_route": QuerySpec(cdcq.cdc_multi_table_route, cdcq.CDC_MULTI_TABLE_SQL),
+    "cdc_scd2_history": QuerySpec(scd2.cdc_scd2_history, scd2.CDC_SCD2_SQL),
     # --- relational: scans/filters/joins/aggs ---
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
     "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_SQL),
@@ -106,9 +108,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_map_funcs": QuerySpec(scalar.scalar_map_funcs, scalar.SCALAR_MAP_SQL),
     "scalar_map_transform_funcs": QuerySpec(
         scalar.scalar_map_transform_funcs, scalar.SCALAR_MAP_TRANSFORM_SQL),
+    # --- Python extensibility (pandas UDF scalar+grouped-agg, UDTF) ---
+    "emb_pandas_udf_norms": QuerySpec(
+        python_udfs.emb_pandas_udf_norms, python_udfs.EMB_PANDAS_UDF_NORMS_SQL),
+    "docs_chunk_udtf": QuerySpec(
+        python_udfs.docs_chunk_udtf, python_udfs.DOCS_CHUNK_UDTF_SQL),
     # --- event-stream analytics (batch twins of streaming ops) ---
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
+    "events_ewma": QuerySpec(events_q.events_ewma, events_q.EVENTS_EWMA_SQL),
     "events_sliding": QuerySpec(events_q.events_sliding, events_q.EVENTS_SLIDING_SQL),
     "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
     "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
@@ -127,6 +135,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
     "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
+    "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
 
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
@@ -142,6 +151,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_euclidean_topk": QuerySpec(similarity.emb_euclidean_topk, similarity.EMB_EUCLIDEAN_TOPK_SQL),
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
     "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
+    "emb_int8_quantize": QuerySpec(similarity.emb_int8_quantize, similarity.EMB_INT8_QUANTIZE_SQL),
     "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
     # iterative (driver-loop) algorithm — not single-statement SQL; the
     # driver records the weaker rows-only check, determinism pinned in
