@@ -168,3 +168,138 @@ SELECT id,
 FROM folded
 WHERE op <> 'DELETE'
 """
+
+
+def scd2_typed_from_envelope(events: DataFrame,
+                             schema: StructType) -> DataFrame:
+    """JSON envelope (offset, operationType, payload string) -> the
+    typed feed ``scd2_history`` consumes. Presence comes from the JSON
+    keys (key-null stays distinct from key-absent,
+    producer.go:186-187); unparseable payloads are excluded exactly as
+    the reference skips them (utils.go:99-102)."""
+    from postgres_es_cdc_spark.cdc.envelope import decode_events
+
+    ev = decode_events(events, schema)
+    return (ev.filter(F.col("_present").isNotNull())
+              .select("offset", "operationType",
+                      F.col("_v").alias("payload"),
+                      F.map_keys("_present").alias("payload_fields")))
+
+
+class Scd2Sink:
+    """foreachBatch sink maintaining the full SCD2 version history in a
+    parquet directory — the audit-trail twin of ``UpsertSink`` (which
+    keeps only latest state, like the reference's ES index).
+
+    Incremental fold per micro-batch:
+      * closed versions (valid_to set) are immutable — carried through;
+      * each CURRENT version re-enters the fold as a synthetic
+        full-row INSERT at its own valid_from (all fields present, so
+        merged nulls stay explicit); new events stack on top, closing /
+        resetting it as scd2_history dictates; the original version_op
+        is restored afterward;
+      * replay safety: batch events at or below a key's high-water
+        offset — max(coalesce(valid_to, valid_from)) over its history —
+        were already folded and are dropped, so redelivered triggers
+        are idempotent (the at-least-once gap the reference suffers,
+        utils.go:49 + es.go:95-98);
+      * a key whose history ends closed (deleted) contributes no
+        synthetic INSERT, so late UPDATEs stay orphan no-ops.
+
+    Scale: the per-batch fold shuffles only the micro-batch plus one
+    synthetic row per LIVE key; closed history is append-only (with a
+    table format it'd be a partition append, not a rewrite).
+    """
+
+    def __init__(self, path: str, schema: StructType, key: str = "id"):
+        self.path = path
+        self.schema = schema
+        self.key = key
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        key, schema = self.key, self.schema
+        cols = [f.name for f in schema.fields if f.name != key]
+        all_fields = [f.name for f in schema.fields]
+        ev = scd2_typed_from_envelope(batch, schema)
+        ev = ev.withColumn("_k", F.col(f"payload.{key}"))
+
+        closed = current = None
+        if os.path.exists(self.path):
+            hist = spark.read.parquet(self.path)
+            high = (hist.groupBy(key)
+                        .agg(F.max(F.coalesce("valid_to", "valid_from"))
+                              .alias("_hw"))
+                        .withColumnRenamed(key, "_k"))
+            ev = (ev.join(high, "_k", "left")
+                    .filter(F.col("_hw").isNull()
+                            | (F.col("offset") > F.col("_hw")))
+                    .drop("_hw"))
+            closed = hist.filter(F.col("valid_to").isNotNull())
+            current = hist.filter(F.col("valid_to").isNull())
+            synth = current.select(
+                F.col("valid_from").alias("offset"),
+                F.lit("INSERT").alias("operationType"),
+                F.struct(F.col(key).alias(key),
+                         *[F.col(c) for c in cols]).alias("payload"),
+                F.array(*[F.lit(f) for f in all_fields])
+                 .alias("payload_fields"))
+            fold_in = synth.unionByName(ev.drop("_k"))
+        else:
+            fold_in = ev.drop("_k")
+
+        versions = scd2_history(fold_in, schema, key)
+        if current is not None:
+            orig = current.select(key, "valid_from",
+                                  F.col("version_op").alias("_orig_op"))
+            versions = (versions.join(orig, [key, "valid_from"], "left")
+                        .withColumn("version_op",
+                                    F.coalesce("_orig_op", "version_op"))
+                        .drop("_orig_op"))
+        new_hist = (closed.unionByName(versions)
+                    if closed is not None else versions)
+
+        tmp = self.path + ".tmp"
+        new_hist.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def state_asof(history: DataFrame, offset: int) -> DataFrame:
+    """Time-travel over SCD2 history: the table state as of ``offset``
+    (versions live at that point — valid_from <= T < valid_to). The
+    capability the reference's in-place ES mutation destroys
+    (update_by_query es.go:47-86 leaves no way back); with history kept,
+    any past state is one predicate away — no shuffle, prunable."""
+    return (history.filter((F.col("valid_from") <= offset)
+                           & (F.col("valid_to").isNull()
+                              | (F.col("valid_to") > offset)))
+                   .drop("valid_to", "is_current", "version_op"))
+
+
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders-CDC state as of the stream's midpoint offset (half the
+    key space has inserted; updates/deletes above the midpoint key have
+    not happened yet). Oracle = the same slice of the SQL-folded
+    history."""
+    from postgres_es_cdc_spark.catalog import table
+
+    o_max = table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey")).first()[0]
+    hist = scd2_history(orders_cdc_events_typed(spark, sf_dir),
+                        orders_cdc_value_schema())
+    return state_asof(hist, o_max * 5)
+
+
+CDC_STATE_ASOF_SQL = (
+    "WITH hist AS (" + CDC_SCD2_SQL + ")\n"
+    "SELECT id, custkey, status, totalprice, priority, valid_from\n"
+    "FROM hist\n"
+    "WHERE valid_from <= (SELECT MAX(o_orderkey)*5 FROM orders)\n"
+    "  AND (valid_to IS NULL\n"
+    "       OR valid_to > (SELECT MAX(o_orderkey)*5 FROM orders))\n"
+)

@@ -46,3 +46,24 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table_name)
+
+
+def enable_runtime_bloom_filters(spark, creation_side_max: str = "100MB",
+                                 application_side_min: str = "0") -> None:
+    """Turn on Catalyst's runtime (row-level) bloom-filter join pruning
+    with thresholds suited to selective star-schema joins: when one side
+    of a shuffle join carries a selective filter, the optimizer inserts
+    a bloom_filter_agg over that side's join keys and a might_contain
+    probe on the other side's SCAN — rows that cannot join are dropped
+    before the shuffle. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling only the ~matching
+    fraction; the defaults (10 GB application-side scan) rarely fire on
+    test data, so this helper makes the thresholds explicit.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", application_side_min)

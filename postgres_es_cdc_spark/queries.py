@@ -17,7 +17,7 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.cdc import scd2
 from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
-    dedup, multimodal, sampling, similarity, text)
+    dedup, multimodal, retrieval, sampling, similarity, text)
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
     tpch_more, windows)
@@ -40,6 +40,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cdc_dead_letters": QuerySpec(cdcq.cdc_dead_letters, cdcq.CDC_DEAD_LETTERS_SQL),
     "cdc_multi_table_route": QuerySpec(cdcq.cdc_multi_table_route, cdcq.CDC_MULTI_TABLE_SQL),
     "cdc_scd2_history": QuerySpec(scd2.cdc_scd2_history, scd2.CDC_SCD2_SQL),
+    "cdc_state_asof": QuerySpec(scd2.cdc_state_asof, scd2.CDC_STATE_ASOF_SQL),
     # --- relational: scans/filters/joins/aggs ---
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
     "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_SQL),
@@ -136,6 +137,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
     "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
     "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
+    "docs_inverted_index": QuerySpec(
+        retrieval.docs_inverted_index, retrieval.DOCS_INVERTED_INDEX_SQL),
+    "docs_match_query": QuerySpec(
+        retrieval.docs_match_query, retrieval.DOCS_MATCH_QUERY_SQL),
 
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),

@@ -50,12 +50,20 @@ def _canon(v) -> str:
 
 
 def _to_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    import numpy as np
+
     cols = sorted(df.columns)
     out = []
     for rec in df[cols].itertuples(index=False, name=None):
-        out.append(tuple(_canon(v if not pd.isna(v) else None)
-                         if not isinstance(v, (list, tuple)) else str(v)
-                         for v in rec))
+        row = []
+        for v in rec:
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            if isinstance(v, (list, tuple)):
+                row.append(str(list(v)))
+            else:
+                row.append(_canon(v if not pd.isna(v) else None))
+        out.append(tuple(row))
     return sorted(out)
 
 

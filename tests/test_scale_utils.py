@@ -85,3 +85,36 @@ def test_transform_assets_routes_by_modality(spark, sf_dir):
             assert r.n_frames >= 1
         else:
             assert r.n_frames == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """A selective dim-side filter must inject a runtime bloom filter
+    probing the fact scan (shuffle-join row pruning), without changing
+    results."""
+    from postgres_es_cdc_spark.operators.skew import (
+        enable_runtime_bloom_filters)
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey"))
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+
+    old = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")}
+    try:
+        plain = j.count()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom_filters(spark)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+        assert j.count() == plain
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
