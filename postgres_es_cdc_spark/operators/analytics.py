@@ -1,0 +1,177 @@
+"""Product/customer-analytics battery ([EXT] — SURVEY.md §2 Table B
+aggregation/window rows): mode aggregates, RFM segmentation, and
+statistical outlier detection. All integer-exact or IEEE-deterministic
+(sqrt and division are correctly-rounded IEEE ops, so an identical op
+sequence yields identical doubles in every engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.operators.common import events_table
+
+
+def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) of order priority per market segment —
+    deterministic tie-break by value asc, so no engine-specific MODE()
+    builtin is trusted. Two partial-aggregable passes: count per
+    (group, value), then argmax via one window on the counted (tiny)
+    intermediate — the shuffle carries one row per distinct pair, never
+    raw orders."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderpriority")
+    counts = (j.groupBy("c_mktsegment", "o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("c_mktsegment",
+                          F.col("o_orderpriority").alias("mode_priority"),
+                          F.col("n").alias("mode_count")))
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_count
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM counts)
+WHERE rk = 1
+"""
+
+
+def customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard marketing-analytics cut. Each customer scores 1-4 on
+    every axis via ntile over the per-customer aggregate; the segment
+    id is the 3-digit composite. Monetary is decimal-exact; recency is
+    integer days; ties inside ntile break on c_custkey for cross-engine
+    determinism.
+
+    Scale: one partial-agg shuffle by customer compacts orders to one
+    row each; the ntiles are GLOBAL rankings, so they sort that
+    compacted aggregate (fine: |customers| << |orders|; at extreme
+    scale you'd swap ntile for approx-percentile bucket edges).
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.datediff(F.lit("1998-12-01").cast("date"),
+                         F.col("o_orderdate").cast("date")))
+         .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("monetary"))
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days", "frequency", "monetary",
+        F.ntile(4).over(w_r).cast("long").alias("r_score"),
+        F.ntile(4).over(w_f).cast("long").alias("f_score"),
+        F.ntile(4).over(w_m).cast("long").alias("m_score"))
+    return scored.withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long"))
+
+
+CUSTOMERS_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01'))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score,
+       NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) * 100
+       + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+       + NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS rfm_segment
+FROM per_cust
+"""
+
+
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection over event values: flag
+    events more than 2 sample standard deviations from the user's mean.
+
+    Exactness: mean and variance come from integer sufficient
+    statistics (values quantized to 1e-4 fixed point — q^2 sums stay
+    far inside int64 for ~1e5 events/user at this value range — exactly
+    summed; DuckDB's HUGEINT sum is cast back to BIGINT);
+    every subsequent op (int->double conversion of magnitudes < 2^53,
+    subtraction, multiplication, division, sqrt) is a correctly-rounded
+    IEEE-754 operation, so the SAME op sequence in the oracle yields
+    bit-identical z — the emitted z_q6 = floor(z*1e6+0.5) is exact.
+    Users with fewer than 3 events or zero variance are skipped.
+
+    Scale: one partial-agg shuffle for the per-user moments (3 counters
+    per user), broadcast-join back onto the stream — the event side
+    never re-shuffles.
+    """
+    e = events_table(spark, sf_dir)
+    q = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    ev = e.select("event_id", "user_id", "value", q.alias("q"))
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"))
+    stats = stats.filter(F.col("n") >= 3)
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+              / F.col("n").cast("double"))
+           / (F.col("n").cast("double") - F.lit(1.0)))
+    stats = (stats.select("user_id", mean.alias("mean_q"),
+                          F.sqrt(var).alias("std_q"))
+                  .filter(F.col("std_q") > 0))
+    z = (F.col("q").cast("double") - F.col("mean_q")) / F.col("std_q")
+    return (ev.join(F.broadcast(stats), "user_id")
+              .withColumn("z_q6",
+                          F.floor(z * 1000000 + F.lit(0.5)).cast("long"))
+              .filter(F.abs(F.col("z_q6")) > 2000000)
+              .select("event_id", "user_id", "value", "z_q6"))
+
+
+EVENTS_ZSCORE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q
+  FROM events
+), stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q*q) AS BIGINT) AS s2
+  FROM ev GROUP BY user_id
+  HAVING COUNT(*) >= 3
+), moments AS (
+  SELECT user_id,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS std_q
+  FROM stats
+)
+SELECT event_id, user_id, value,
+       CAST(floor((CAST(q AS DOUBLE) - mean_q) / std_q * 1000000 + 0.5)
+            AS BIGINT) AS z_q6
+FROM ev JOIN moments USING (user_id)
+WHERE moments.std_q > 0
+  AND abs(CAST(floor((CAST(q AS DOUBLE) - mean_q) / std_q * 1000000 + 0.5)
+               AS BIGINT)) > 2000000
+"""

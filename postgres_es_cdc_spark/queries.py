@@ -17,7 +17,8 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.cdc import scd2
 from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
-    dedup, multimodal, retrieval, sampling, similarity, text)
+    dedup, multimodal, retrieval, sampling, similarity, text, tfidf)
+from postgres_es_cdc_spark.operators import analytics
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
     tpch_more, windows)
@@ -118,6 +119,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
     "events_ewma": QuerySpec(events_q.events_ewma, events_q.EVENTS_EWMA_SQL),
+    "events_zscore_outliers": QuerySpec(
+        analytics.events_zscore_outliers, analytics.EVENTS_ZSCORE_SQL),
+    "agg_mode_priority": QuerySpec(
+        analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
+    "customers_rfm": QuerySpec(
+        analytics.customers_rfm, analytics.CUSTOMERS_RFM_SQL),
     "events_sliding": QuerySpec(events_q.events_sliding, events_q.EVENTS_SLIDING_SQL),
     "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
     "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
@@ -141,6 +148,8 @@ REGISTRY: dict[str, QuerySpec] = {
         retrieval.docs_inverted_index, retrieval.DOCS_INVERTED_INDEX_SQL),
     "docs_match_query": QuerySpec(
         retrieval.docs_match_query, retrieval.DOCS_MATCH_QUERY_SQL),
+    "docs_tfidf_topk": QuerySpec(
+        tfidf.docs_tfidf_topk, tfidf.DOCS_TFIDF_TOPK_SQL),
 
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),

@@ -40,6 +40,14 @@ PICKS = {
         "CDC fold as ONE partial-aggregable pass: shuffle carries "
         "per-key partial maxima (struct payloads, zero JSON serde), not "
         "raw events.",
+    "cdc_scd2_history":
+        "Full version-history fold: all four Window operators chain "
+        "over a SINGLE Exchange on the key — history costs the same "
+        "one shuffle as latest-state.",
+    "docs_match_query":
+        "Match-query ranking: the per-term df aggregate broadcasts "
+        "back; only query-term rows shuffle; top-k is TakeOrdered, "
+        "no global sort.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
