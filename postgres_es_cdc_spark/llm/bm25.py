@@ -1,0 +1,117 @@
+"""BM25 ranked retrieval ([EXT], REF anchor es.go:50-54): the real
+Okapi BM25 scoring function — logarithmic idf and document-length
+normalization — over the documents corpus, for the same multi-term
+match query as docs_match_query (which uses a log-free saturated tf-idf
+precisely because libm logs aren't portable).
+
+The log here IS portable: functions/detlog.py computes
+ln((2N+2)/(2df+1)) — algebraically ln(1 + (N-df+0.5)/(df+0.5)), the
+standard BM25+ idf — from correctly-rounded IEEE primitives only, so
+Spark and DuckDB produce bit-identical doubles and the 1e-6-quantized
+per-term scores are exact int64 in both engines.
+
+score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+with k1=1.2, b=0.75, dl/avgdl computed as dl·N/total_tokens (all-integer
+inputs, one exact double ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.functions.detlog import (
+    apply_stages_spark, ln_ratio_stages, stages_cte_sql)
+from postgres_es_cdc_spark.llm.text import TOKENS_SQL, tokens
+
+MATCH_TERMS = ("merge", "vector", "stream", "filter")
+TOP_K = 10
+
+
+def _tfn_stages(n_docs: str, total_tokens: str) -> list[tuple[str, str]]:
+    """Length-normalized term-frequency saturation + final quantized
+    score. Same strings drive both engines; `ln_ab` (the idf) is
+    produced by the detlog stages upstream."""
+    return [
+        ("lr", f"CAST(dl * {n_docs} AS DOUBLE)"
+               f" / CAST({total_tokens} AS DOUBLE)"),
+        ("denom", "CAST(tf AS DOUBLE)"
+                  " + 1.2E0 * ((1.0E0 - 7.5E-1) + 7.5E-1 * lr)"),
+        ("tfn", "CAST(tf AS DOUBLE) * 2.2E0 / denom"),
+        ("score_q",
+         "CAST(floor(ln_ab * tfn * 1.0E6 + 5.0E-1) AS BIGINT)"),
+    ]
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs for the match query under true BM25 (deterministic
+    ln). Ties break by doc_id asc.
+
+    Scale: corpus tokenization feeds two partial-agg passes (per-doc
+    length; per-(doc,term) tf restricted to query terms). The per-term
+    idf table is |query| rows — broadcast. The dl join keys on doc_id
+    over docs that matched at least one query term only. Top-k is a
+    TakeOrdered, no global sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = d.filter(F.col("text").isNotNull()).count()
+    total_tokens = tok.count()
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.filter(F.col("term").isin(*MATCH_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = apply_stages_spark(
+        df_, ln_ratio_stages(f"{2 * n_docs + 2}", "(2*df + 1)"))
+
+    joined = (tf.join(F.broadcast(idf.select("term", "ln_ab")), "term")
+                .join(dl, "doc_id"))
+    scored = apply_stages_spark(
+        joined, _tfn_stages(str(n_docs), str(total_tokens)))
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("score_q").alias("score_q"),
+                       F.count(F.lit(1)).alias("n_terms_matched"))
+                  .orderBy(F.desc("score_q"), F.asc("doc_id"))
+                  .limit(TOP_K))
+
+
+def _build_sql() -> str:
+    n_sub = "(SELECT n_docs FROM n)"
+    t_sub = "(SELECT t_tokens FROM tot)"
+    idf_cte, idf_last = stages_cte_sql(
+        "dfreq", ln_ratio_stages(f"(2*{n_sub} + 2)", "(2*df + 1)"), "idf")
+    tfn_cte, tfn_last = stages_cte_sql(
+        "joined", _tfn_stages(n_sub, t_sub), "sc")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+  FROM documents
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+), tot AS (
+  SELECT COUNT(*) AS t_tokens FROM tok
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), qtok AS (
+  SELECT doc_id, term FROM tok WHERE term IN {str(tuple(MATCH_TERMS))}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY term
+), {idf_cte},
+joined AS (
+  SELECT tf.doc_id, tf.tf, dl.dl, i.ln_ab
+  FROM tf JOIN {idf_last} i USING (term) JOIN dl USING (doc_id)
+), {tfn_cte}
+SELECT doc_id, CAST(SUM(score_q) AS BIGINT) AS score_q,
+       COUNT(*) AS n_terms_matched
+FROM {tfn_last}
+GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+DOCS_BM25_TOPK_SQL = _build_sql()

@@ -1,0 +1,121 @@
+"""Gopher-style document quality filtering ([EXT]): the rule battery a
+pretraining corpus pass applies before dedup — word-count bounds, mean
+word length bounds, token-repetition ratio, stopword evidence, symbol
+density (Rae et al. 2021, "Scaling Language Models" §A.1.1, public).
+
+Every signal is an integer or an integer-quantized rational (x div y),
+so flags are exact on any engine; flags are emitted as 0/1 BIGINT, not
+BOOLEAN, to stay inside the driver's value-hash comparison happy path.
+
+Scale: pure per-row expressions over the documents scan — no shuffle at
+all except the final nothing (the result is row-per-doc). This is the
+shape a 100 TB corpus pass wants: whole-stage-codegen'd scan, column
+pruning to (doc_id, text), every rule fused into one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.llm.text import TOKENS_SQL, tokens
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+MIN_WORDS, MAX_WORDS = 10, 100000
+MIN_MWL_Q, MAX_MWL_Q = 2000000, 12000000   # mean word len in [2, 12] ×1e6
+MIN_UNIQ_Q = 300000                        # ≥30% distinct tokens ×1e6
+MAX_SYMBOL_Q = 100000                      # ≤10% non-alnum-space chars ×1e6
+MIN_STOPWORDS = 2
+
+
+def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + keep decision.
+
+    Columns: n_words, mean_wl_q (mean word length ×1e6), uniq_q
+    (distinct/total tokens ×1e6), symbol_q (non-alnum-space chars /
+    chars ×1e6), n_stop (distinct stopwords present), ok_* 0/1 flags,
+    keep 0/1 (AND of flags). Null/empty docs are dropped (a real pass
+    routes them to a reject sink; cf. cdc_dead_letters).
+    """
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0))
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    symbols = F.length(F.regexp_replace(
+        F.col("text"), r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in STOPWORDS]))).cast("long")
+
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.lit(1000000) * nonspace.cast("long")).alias("_mwl_num"),
+        n_uniq.alias("_n_uniq"),
+        (F.lit(1000000) * symbols.cast("long")).alias("_sym_num"),
+        F.length(F.col("text")).cast("long").alias("_n_chars"),
+        n_stop.alias("n_stop"))
+    sig = base.select(
+        "doc_id", "n_words", "n_stop",
+        F.expr("_mwl_num div n_words").alias("mean_wl_q"),
+        F.expr("(1000000 * _n_uniq) div n_words").alias("uniq_q"),
+        F.expr("_sym_num div _n_chars").alias("symbol_q"))
+    flags = sig.select(
+        "*",
+        F.when((F.col("n_words") >= MIN_WORDS)
+               & (F.col("n_words") <= MAX_WORDS), 1).otherwise(0)
+         .cast("long").alias("ok_words"),
+        F.when((F.col("mean_wl_q") >= MIN_MWL_Q)
+               & (F.col("mean_wl_q") <= MAX_MWL_Q), 1).otherwise(0)
+         .cast("long").alias("ok_mwl"),
+        F.when(F.col("uniq_q") >= MIN_UNIQ_Q, 1).otherwise(0)
+         .cast("long").alias("ok_uniq"),
+        F.when(F.col("symbol_q") <= MAX_SYMBOL_Q, 1).otherwise(0)
+         .cast("long").alias("ok_symbols"),
+        F.when(F.col("n_stop") >= MIN_STOPWORDS, 1).otherwise(0)
+         .cast("long").alias("ok_stop"))
+    return flags.withColumn(
+        "keep",
+        (F.col("ok_words") * F.col("ok_mwl") * F.col("ok_uniq")
+         * F.col("ok_symbols") * F.col("ok_stop")).cast("long"))
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+DOCS_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({TOKENS_SQL.format(col='text')}) AS n_words,
+         1000000 * LENGTH(regexp_replace(text, '\\s', '', 'g')) AS mwl_num,
+         len(list_distinct({TOKENS_SQL.format(col='text')})) AS n_uniq,
+         1000000 * LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           AS sym_num,
+         LENGTH(text) AS n_chars,
+         len(list_intersect({TOKENS_SQL.format(col='text')}, {_STOP_LIST}))
+           AS n_stop
+  FROM documents
+  WHERE text IS NOT NULL AND LENGTH(trim(text)) > 0
+), sig AS (
+  SELECT doc_id, n_words, n_stop,
+         mwl_num // n_words AS mean_wl_q,
+         (1000000 * n_uniq) // n_words AS uniq_q,
+         sym_num // n_chars AS symbol_q
+  FROM base
+), flags AS (
+  SELECT *,
+    CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+         THEN 1 ELSE 0 END AS ok_words,
+    CASE WHEN mean_wl_q BETWEEN {MIN_MWL_Q} AND {MAX_MWL_Q}
+         THEN 1 ELSE 0 END AS ok_mwl,
+    CASE WHEN uniq_q >= {MIN_UNIQ_Q} THEN 1 ELSE 0 END AS ok_uniq,
+    CASE WHEN symbol_q <= {MAX_SYMBOL_Q} THEN 1 ELSE 0 END AS ok_symbols,
+    CASE WHEN n_stop >= {MIN_STOPWORDS} THEN 1 ELSE 0 END AS ok_stop
+  FROM sig
+)
+SELECT doc_id, n_words, n_stop, mean_wl_q, uniq_q, symbol_q,
+       ok_words, ok_mwl, ok_uniq, ok_symbols, ok_stop,
+       ok_words * ok_mwl * ok_uniq * ok_symbols * ok_stop AS keep
+FROM flags
+"""

@@ -17,7 +17,8 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.cdc import scd2
 from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
-    dedup, multimodal, retrieval, sampling, similarity, text, tfidf)
+    bm25, dedup, multimodal, quality, retrieval, sampling, similarity,
+    text, tfidf)
 from postgres_es_cdc_spark.operators import analytics
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
@@ -150,6 +151,10 @@ REGISTRY: dict[str, QuerySpec] = {
         retrieval.docs_match_query, retrieval.DOCS_MATCH_QUERY_SQL),
     "docs_tfidf_topk": QuerySpec(
         tfidf.docs_tfidf_topk, tfidf.DOCS_TFIDF_TOPK_SQL),
+    "docs_bm25_topk": QuerySpec(
+        bm25.docs_bm25_topk, bm25.DOCS_BM25_TOPK_SQL),
+    "docs_gopher_filters": QuerySpec(
+        quality.docs_gopher_filters, quality.DOCS_GOPHER_SQL),
 
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
@@ -173,6 +178,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, None),
     # --- graph iteration ---
     "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
+    "graph_triangle_counts": QuerySpec(
+        graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
