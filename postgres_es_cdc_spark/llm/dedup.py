@@ -74,9 +74,32 @@ def _shingle_hashes(df: DataFrame) -> DataFrame:
         "doc_id", F.array_distinct(F.transform(shingles, h32)).alias("sh"))
 
 
-def _signatures(df: DataFrame) -> DataFrame:
-    """8-permutation MinHash signature per doc (array_min of (a*h+b)%p)."""
-    sh = _shingle_hashes(df)
+def _mutated_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle hashes for the mutated corpus WITHOUT hashing it twice.
+
+    Dropping the last token drops exactly the last 3-gram, so the
+    mutant's shingle array is a prefix slice of the original's — the
+    tokenize/shingle/md5 pipeline runs ONCE per source doc and both
+    corpus halves are emitted from one Generate (explode), not a union
+    (union branches would each re-evaluate the expression: Spark does no
+    cross-branch CSE). Halves the dominant hash cost of every near-dup
+    query at any scale."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hs = F.transform(shingles3(tokens(F.col("text"))), h32)
+    base = d.select("doc_id", hs.alias("hs"))
+    pair = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"),
+                 F.array_distinct("hs").alias("sh")),
+        F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.array_distinct(
+                     F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0)))
+                 ).alias("sh")))
+    return base.select(F.explode(pair).alias("r")).select("r.doc_id", "r.sh")
+
+
+def _signatures_from_sh(sh: DataFrame) -> DataFrame:
+    """8-permutation MinHash signature per doc (array_min of (a*h+b)%p)
+    over a precomputed (doc_id, sh) shingle-hash frame."""
     sig_cols = [
         F.array_min(F.transform(
             F.col("sh"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
@@ -84,6 +107,11 @@ def _signatures(df: DataFrame) -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return sh.select("doc_id", *sig_cols)
+
+
+def _signatures(df: DataFrame) -> DataFrame:
+    """MinHash signatures straight from a (doc_id, text) frame."""
+    return _signatures_from_sh(_shingle_hashes(df))
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +157,7 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join key is (band_idx, md5(sig_a||'_'||sig_b)) — O(docs·4) rows
     shuffled, self-joined, deduped to (doc_a, doc_b)."""
-    sigs = _signatures(mutated_corpus(spark, sf_dir))
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
     bands = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
                  F.md5(F.concat_ws("_",
@@ -190,7 +218,7 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explode-join-group: shuffles (shingle_hash, doc_id); blocking keeps
     the pair space sparse. At 100 TB you'd run LSH first and verify only
     candidates — that composition is docs_minhash_lsh_pairs + this."""
-    sh = _shingle_hashes(mutated_corpus(spark, sf_dir))
+    sh = _mutated_shingle_hashes(spark, sf_dir)
     sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
                       F.explode("sh").alias("h"))
     # Same group-then-pair shape as the LSH stage (see there): one
