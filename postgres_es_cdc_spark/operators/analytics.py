@@ -175,3 +175,39 @@ WHERE moments.std_q > 0
   AND abs(CAST(floor((CAST(q AS DOUBLE) - mean_q) / std_q * 1000000 + 0.5)
                AS BIGINT)) > 2000000
 """
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the week of their first
+    event (cohort), counted as active per (cohort_week, week_offset) —
+    the standard product-analytics retention triangle.
+
+    Week index is exact integer math on epoch-micros (ts_us div one
+    week), so cohort boundaries can't drift between engines. Scale
+    shape: one shuffle by user_id for the min-week window, then one
+    map-side-combinable groupBy on (cohort, offset) — no joins, no
+    per-user collect."""
+    us_week = 7 * 24 * 3600 * 1_000_000
+    e = events_table(spark, sf_dir)
+    week = F.expr(f"ts_us div {us_week}")
+    w = Window.partitionBy("user_id")
+    t = e.select("user_id", week.alias("week"),
+                 F.min(week).over(w).alias("cohort_week"))
+    return (t.groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+             .agg(F.countDistinct("user_id").alias("n_active"),
+                  F.count("*").alias("n_events")))
+
+
+EVENTS_COHORT_SQL = """
+WITH t AS (
+  SELECT user_id,
+         epoch_us(ts) // 604800000000 AS week,
+         MIN(epoch_us(ts) // 604800000000) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active,
+       COUNT(*) AS n_events
+FROM t
+GROUP BY 1, 2
+"""

@@ -120,6 +120,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
     "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
     "events_ewma": QuerySpec(events_q.events_ewma, events_q.EVENTS_EWMA_SQL),
+    "events_gap_fill": QuerySpec(
+        events_q.events_gap_fill, events_q.EVENTS_GAP_FILL_SQL),
+    "events_cohort_retention": QuerySpec(
+        analytics.events_cohort_retention, analytics.EVENTS_COHORT_SQL),
     "events_zscore_outliers": QuerySpec(
         analytics.events_zscore_outliers, analytics.EVENTS_ZSCORE_SQL),
     "agg_mode_priority": QuerySpec(
