@@ -7,10 +7,13 @@ is computed with exact decimal arithmetic (order-independent) and cast
 back to double at the end. Per-row double arithmetic (x*y, x/(y+z),
 sqrt) is IEEE-deterministic and needs no such treatment.
 
-Timestamps: ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
-parquet reader rejects; we read it with
-``spark.sql.legacy.parquet.nanosAsLong`` and do all event-time math in
-exact integer epoch-microseconds (DuckDB side: ``epoch_us(ts)``).
+Timestamps: all event-time math happens in exact integer
+epoch-microseconds (``ts_us``; DuckDB side: ``epoch_us(ts)``).
+``events_table`` derives ``ts_us`` from whatever encoding the parquet
+actually uses — timestamp[us] (the driver's testdata, read by Spark as
+TIMESTAMP_NTZ), tz-adjusted TIMESTAMP, or TIMESTAMP(NANOS) read as a
+long via ``spark.sql.legacy.parquet.nanosAsLong`` — so the queries are
+encoding- and session-timezone-independent.
 """
 
 from __future__ import annotations
@@ -97,10 +100,24 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = table(spark, sf_dir, "events")
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) surfaced as a long by nanosAsLong. Integer
+        # division: nanos are ~1.7e18, beyond double's 2^53 exact range,
+        # so float division here would corrupt microseconds.
+        ts_us = F.expr("ts div 1000")
+    elif ts_type == "timestamp_ntz":
+        # Naive wall-clock (parquet timestamp[us], isAdjustedToUTC=false).
+        # DuckDB's epoch_us treats the naive value as UTC; timestampdiff
+        # on two NTZ values is pure wall-clock arithmetic, independent of
+        # spark.sql.session.timeZone (unlike cast(ts as timestamp)).
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:  # tz-adjusted TIMESTAMP: internal value is already epoch micros
+        ts_us = F.expr("unix_micros(ts)")
     return e.select(
         "event_id",
-        # Integer division: nanos are ~1.7e18, beyond double's 2^53 exact
-        # range, so float division here would corrupt microseconds.
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us.alias("ts_us"),
         "user_id", "event_type", "value", "props",
     )
