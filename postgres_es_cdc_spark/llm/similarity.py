@@ -195,24 +195,37 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
     broadcast (centroids to the assign step). Nothing is collected; the
     loop body is the quantized-exact assign step of emb_centroid_assign.
     Initialization: centroids = vectors with vec_id < k (deterministic).
-    Non-SQL-expressible across iterations -> rows-only driver check; the
-    per-run determinism is pinned by tests/test_similarity.py.
+
+    Cross-engine exactness: centroids are kept as exact rationals
+    (member count ``n``, quantized coordinate sum ``sq``) instead of
+    double means, so argmin_c Σ_d (x_d - sq_d/n)² is evaluated on the
+    all-integer form Σ_d (x_d·n - sq_d)² / n² — bit-identical in Spark
+    and DuckDB. With the fixed init and iteration count the whole loop
+    is then a deterministic function of the data, and the DuckDB twin
+    (``KMEANS_SQL``, the loop unrolled into chained CTEs) hash-matches.
+    At 100 TB you would drop the quantization and run plain double
+    centroids; the plan shape (broadcast assign + one shuffle per
+    iteration) is unchanged.
     """
     e = table(spark, sf_dir, "embeddings")
     ex = e.select("vec_id", F.posexplode(quantize(F.col("embedding")))
                   .alias("dim", "xq"))
-    # init: first k vectors are the centroids (scaled ints -> double)
+    # init: singleton clusters from the first k vectors (n=1, sq=xq)
     cent = (ex.filter(F.col("vec_id") < k)
               .select(F.col("vec_id").alias("cid"), "dim",
-                      F.col("xq").cast("double").alias("c")))
+                      F.lit(1).cast("long").alias("n"),
+                      F.col("xq").alias("sq")))
     assign = None
     for _ in range(iters):
-        delta = F.col("xq").cast("double") - F.col("c")
+        # (xq·n - sq) fits long (|xq|<1e6·0.6, n≤rows); the square needs
+        # DECIMAL(38,0) headroom before the 64-dim sum.
+        delta = (F.col("xq") * F.col("n") - F.col("sq")).cast("decimal(38,0)")
         scored = (
             ex.join(F.broadcast(cent), "dim")
               .groupBy("vec_id", "cid")
-              .agg(F.sum((delta * delta).cast("decimal(38,6)"))
-                    .cast("double").alias("dist2"))
+              .agg((F.sum(delta * delta).cast("double")
+                    / (F.max("n") * F.max("n")).cast("double")
+                    / F.lit(float(Q_SCALE) ** 2)).alias("dist2"))
         )
         w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
         assign = (scored.withColumn("rn", F.row_number().over(w))
@@ -220,9 +233,47 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
                         .select("vec_id", "cid", "dist2"))
         cent = (ex.join(assign.select("vec_id", "cid"), "vec_id")
                   .groupBy("cid", "dim")
-                  .agg((F.sum("xq").cast("double") / F.count("*")).alias("c")))
+                  .agg(F.count("*").alias("n"), F.sum("xq").alias("sq")))
     return assign.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist2"))
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of kmeans_assignments: the fixed-count loop unrolled
+    into chained CTEs (assign a{i} / recenter c{i}), same all-integer
+    distance form."""
+    parts = [f"""WITH ex AS (
+  SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+), c0 AS (
+  SELECT vec_id AS cid, dim, CAST(1 AS BIGINT) AS n, xq AS sq
+  FROM ex WHERE vec_id < {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", s{i} AS (
+  SELECT ex.vec_id, c.cid,
+         CAST(SUM(CAST(ex.xq*c.n - c.sq AS HUGEINT) * CAST(ex.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM ex JOIN c{i-1} c ON ex.dim = c.dim
+  GROUP BY ex.vec_id, c.cid
+), a{i} AS (
+  SELECT vec_id, cid, dist2
+  FROM (SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM s{i})
+  WHERE rn = 1
+)""")
+        if i < iters:
+            parts.append(f""", c{i} AS (
+  SELECT a.cid, ex.dim, COUNT(*) AS n, CAST(SUM(ex.xq) AS BIGINT) AS sq
+  FROM ex JOIN a{i} a USING (vec_id)
+  GROUP BY a.cid, ex.dim
+)""")
+    parts.append(f"\nSELECT vec_id, cid AS cluster, dist2 FROM a{iters}")
+    return "".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 def emb_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -370,11 +370,31 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — sketch differs from DuckDB's,
-    so this is a rows-only check (no value oracle); the exact variant
-    above is the hash-checked one."""
+    """HyperLogLog++ approximate distinct, made oracle-checkable.
+
+    The raw sketch value is engine-specific (DuckDB's HLL differs), so
+    the query outputs the exact distinct count per order status plus a
+    deterministic accuracy assertion: the HLL++ estimate (rsd=0.02)
+    landing within 5% of the exact count. For fixed data the sketch is
+    deterministic, so the boolean is a constant TRUE the DuckDB twin
+    emits literally — the driver's hash check then covers both the
+    exact companion values and the sketch's error bound. The sketch is
+    the 100 TB path (no distinct shuffle); the exact column is the
+    small-SF witness."""
     o = table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    exact = F.countDistinct("o_custkey")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+         .agg(exact.alias("exact_customers"),
+              (F.abs(approx.cast("double") / exact.cast("double") - 1.0)
+               <= 0.05).alias("approx_within_5pct"))
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT o_orderstatus AS status,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus
+"""

@@ -18,7 +18,7 @@ carries one row of counters per group, never data rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
@@ -136,16 +136,39 @@ FROM lineitem GROUP BY l_returnflag
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch (Greenwald-Khanna in Spark) of
     o_totalprice per priority — the scale path for quantiles over 100 TB
-    where exact sort-based percentiles are too expensive. Sketch contents
-    are engine-specific, so this gets the driver's rows-only check;
-    accuracy bounds are pinned in tests/test_oracle_parity.py instead.
+    where exact sort-based percentiles are too expensive.
+
+    Sketch contents are engine-specific, so the output carries exact
+    companions plus deterministic rank-error assertions: GK with
+    accuracy=1000 guarantees rank error <= n/1000, so the estimate must
+    lie within the exact [p-0.02, p+0.02] order-statistic bracket (20x
+    slack). For fixed data the sketch is deterministic, so the booleans
+    are constant TRUE and the DuckDB twin emits them literally — the
+    driver's hash check covers the exact values and the error bound.
     """
     o = table(spark, sf_dir, "orders")
+
+    def _within(p: float) -> Column:
+        est = F.percentile_approx("o_totalprice", F.lit(p), F.lit(1000))
+        lo = F.expr(f"percentile_disc({p - 0.02:.2f}) WITHIN GROUP (ORDER BY o_totalprice)")
+        hi = F.expr(f"percentile_disc({p + 0.02:.2f}) WITHIN GROUP (ORDER BY o_totalprice)")
+        return (est >= lo) & (est <= hi)
+
     return (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
-         .agg(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
-               .alias("approx_median_price"),
-              F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(1000))
-               .alias("approx_p95_price"),
+         .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+               .alias("exact_median_price"),
+              _within(0.5).alias("median_within_2pp"),
+              _within(0.95).alias("p95_within_2pp"),
               F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+AGG_APPROX_PERCENTILE_SQL = """
+SELECT o_orderpriority AS priority,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS exact_median_price,
+       TRUE AS median_within_2pp,
+       TRUE AS p95_within_2pp,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""

@@ -32,63 +32,84 @@ class QuerySpec:
 
 
 REGISTRY: dict[str, QuerySpec] = {
-    # --- CDC core (REF semantics: es.go:47-144, utils.go:92-117) ---
-    "cdc_apply_changes": QuerySpec(cdcq.cdc_apply_changes, cdcq.CDC_APPLY_SQL),
-    "cdc_apply_changes_typed": QuerySpec(cdcq.cdc_apply_changes_typed, cdcq.CDC_APPLY_TYPED_SQL),
-    "cdc_apply_changes_evolving": QuerySpec(cdcq.cdc_apply_changes_evolving, cdcq.CDC_APPLY_EVOLVING_SQL),
-    "cdc_replay_dedup": QuerySpec(cdcq.cdc_replay_dedup, cdcq.CDC_APPLY_SQL),
-    "cdc_snapshot_bootstrap": QuerySpec(cdcq.cdc_snapshot_bootstrap, cdcq.CDC_APPLY_SQL),
-    "cdc_latest_event": QuerySpec(cdcq.cdc_latest_event, cdcq.CDC_LATEST_EVENT_SQL),
-    "cdc_dead_letters": QuerySpec(cdcq.cdc_dead_letters, cdcq.CDC_DEAD_LETTERS_SQL),
-    "cdc_multi_table_route": QuerySpec(cdcq.cdc_multi_table_route, cdcq.CDC_MULTI_TABLE_SQL),
-    "cdc_scd2_history": QuerySpec(scd2.cdc_scd2_history, scd2.CDC_SCD2_SQL),
-    "cdc_state_asof": QuerySpec(scd2.cdc_state_asof, scd2.CDC_STATE_ASOF_SQL),
-    # --- relational: scans/filters/joins/aggs ---
-    "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
-    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_SQL),
-    "q5_region_revenue": QuerySpec(relational.q5_region_revenue, relational.Q5_SQL),
-    "q6_revenue_forecast": QuerySpec(relational.q6_revenue_forecast, relational.Q6_SQL),
-    "q10_returned_items": QuerySpec(relational.q10_returned_items, relational.Q10_SQL),
-    "join_left_outer": QuerySpec(relational.join_left_outer, relational.JOIN_LEFT_SQL),
-    "join_semi": QuerySpec(relational.join_semi, relational.JOIN_SEMI_SQL),
-    "join_anti": QuerySpec(relational.join_anti, relational.JOIN_ANTI_SQL),
-    "join_full_outer": QuerySpec(relational.join_full_outer, relational.JOIN_FULL_OUTER_SQL),
-    "join_cross": QuerySpec(relational.join_cross, relational.JOIN_CROSS_SQL),
-    "agg_distinct": QuerySpec(relational.agg_distinct, relational.AGG_DISTINCT_SQL),
-    "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
-    "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
-    "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, None),
-    "q2_min_balance_supplier": QuerySpec(tpch_extra.q2_min_balance_supplier, tpch_extra.Q2_SQL),
-    "q4_priority_with_lineitems": QuerySpec(tpch_extra.q4_priority_with_lineitems, tpch_extra.Q4_SQL),
-    "q14_promo_revenue_ratio": QuerySpec(tpch_extra.q14_promo_revenue_ratio, tpch_extra.Q14_SQL),
-    "q15_top_supplier": QuerySpec(tpch_extra.q15_top_supplier, tpch_extra.Q15_SQL),
-    "q16_supplier_variety": QuerySpec(tpch_extra.q16_supplier_variety, tpch_extra.Q16_SQL),
-    "q19_or_of_ands": QuerySpec(tpch_extra.q19_or_of_ands, tpch_extra.Q19_SQL),
-    "q22_idle_rich_customers": QuerySpec(tpch_extra.q22_idle_rich_customers, tpch_extra.Q22_SQL),
-    "q7_nation_trade": QuerySpec(tpch_extra.q7_nation_trade, tpch_extra.Q7_SQL),
-    "q9_product_profit": QuerySpec(tpch_extra.q9_product_profit, tpch_extra.Q9_SQL),
-    "q13_order_count_distribution": QuerySpec(tpch_extra.q13_order_count_distribution, tpch_extra.Q13_SQL),
-    "q8_market_share": QuerySpec(tpch_more.q8_market_share, tpch_more.Q8_SQL),
-    "q11_important_parts": QuerySpec(tpch_more.q11_important_parts, tpch_more.Q11_SQL),
-    "q12_shipping_delay_priority": QuerySpec(tpch_more.q12_shipping_delay_priority, tpch_more.Q12_SQL),
-    "q17_small_quantity_revenue": QuerySpec(tpch_more.q17_small_quantity_revenue, tpch_more.Q17_SQL),
-    "q18_large_volume_customers": QuerySpec(tpch_more.q18_large_volume_customers, tpch_more.Q18_SQL),
-    "q20_heavy_promo_shippers": QuerySpec(tpch_more.q20_heavy_promo_shippers, tpch_more.Q20_SQL),
-    "q21_sole_return_supplier": QuerySpec(tpch_more.q21_sole_return_supplier, tpch_more.Q21_SQL),
+    # ORDER MATTERS: the driver evaluates a 50-query prefix per round, so
+    # queries without a prior driver-green CORRECTNESS row are listed
+    # first (LLM pipeline -> events -> windows/setops/scalar/UDF), and
+    # the r1-green set rides at the back. Rotate again as rows go green.
+    # --- LLM data pipeline: text analysis ---
+    "docs_token_stats": QuerySpec(text.docs_token_stats, text.DOCS_TOKEN_STATS_SQL),
+    "docs_lang_profile": QuerySpec(text.docs_lang_profile, text.DOCS_LANG_PROFILE_SQL),
+    "docs_quality_score": QuerySpec(text.docs_quality_score, text.DOCS_QUALITY_SQL),
+    "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
+    "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
+    "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
+    "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
+    "docs_top_terms": QuerySpec(text.docs_top_terms, text.DOCS_TOP_TERMS_SQL),
+    # --- LLM data pipeline: dedup ---
+    "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
+    "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
+    "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
+    "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
+    "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
+    # iterative label propagation over the LSH pair graph — rows-only;
+    # semantics pinned in tests/test_dedup.py.
+    "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, dedup.DOCS_DEDUP_CLUSTERS_SQL),
+    # --- LLM data pipeline: similarity search ---
+    "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
+    "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
+    "emb_euclidean_topk": QuerySpec(similarity.emb_euclidean_topk, similarity.EMB_EUCLIDEAN_TOPK_SQL),
+    "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
+    "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
+    "emb_int8_quantize": QuerySpec(similarity.emb_int8_quantize, similarity.EMB_INT8_QUANTIZE_SQL),
+    "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
+    # fixed-init fixed-iters k-means with exact rational centroids — the
+    # DuckDB twin unrolls the loop (KMEANS_SQL), full hash check.
+    "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, similarity.KMEANS_SQL),
+    # --- graph iteration ---
+    "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
+    "graph_triangle_counts": QuerySpec(
+        graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
+    # --- LLM data pipeline: multimodal columns ---
+    "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
+    "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
+    # --- LLM data pipeline: sampling / retrieval / quality ---
+    "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
+    "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
+    "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
+    "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
+    "docs_inverted_index": QuerySpec(
+        retrieval.docs_inverted_index, retrieval.DOCS_INVERTED_INDEX_SQL),
+    "docs_match_query": QuerySpec(
+        retrieval.docs_match_query, retrieval.DOCS_MATCH_QUERY_SQL),
+    "docs_tfidf_topk": QuerySpec(
+        tfidf.docs_tfidf_topk, tfidf.DOCS_TFIDF_TOPK_SQL),
+    "docs_bm25_topk": QuerySpec(
+        bm25.docs_bm25_topk, bm25.DOCS_BM25_TOPK_SQL),
+    "docs_gopher_filters": QuerySpec(
+        quality.docs_gopher_filters, quality.DOCS_GOPHER_SQL),
+    # --- event-stream analytics (batch twins of streaming ops) ---
     "events_funnel": QuerySpec(tpch_extra.events_funnel, tpch_extra.EVENTS_FUNNEL_SQL),
-    # --- advanced relational ---
-    "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
-    "grouping_sets_mix": QuerySpec(advanced.grouping_sets_mix, advanced.GROUPING_SETS_SQL),
-    "having_big_orders": QuerySpec(advanced.having_big_orders, advanced.HAVING_SQL),
-    "subquery_above_nation_avg": QuerySpec(advanced.subquery_above_nation_avg, advanced.SUBQUERY_AVG_SQL),
-    "range_join_price_bands": QuerySpec(advanced.range_join_price_bands, advanced.RANGE_JOIN_SQL),
-    "percentile_disc_prices": QuerySpec(advanced.percentile_disc_prices, advanced.PERCENTILE_SQL),
-    "agg_stats_moments": QuerySpec(stats.agg_stats_moments, stats.AGG_STATS_MOMENTS_SQL),
-    "percentile_cont_quantity": QuerySpec(stats.percentile_cont_quantity, stats.PERCENTILE_CONT_SQL),
-    # quantile sketch — contents engine-specific; accuracy bounds pinned
-    # in tests/test_oracle_parity.py, driver records rows-only.
-    "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, None),
-    "string_agg_nation_customers": QuerySpec(advanced.string_agg_nation_customers, advanced.STRING_AGG_SQL),
+    "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
+    "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
+    "events_ewma": QuerySpec(events_q.events_ewma, events_q.EVENTS_EWMA_SQL),
+    "events_gap_fill": QuerySpec(
+        events_q.events_gap_fill, events_q.EVENTS_GAP_FILL_SQL),
+    "events_cohort_retention": QuerySpec(
+        analytics.events_cohort_retention, analytics.EVENTS_COHORT_SQL),
+    "events_zscore_outliers": QuerySpec(
+        analytics.events_zscore_outliers, analytics.EVENTS_ZSCORE_SQL),
+    "agg_mode_priority": QuerySpec(
+        analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
+    "customers_rfm": QuerySpec(
+        analytics.customers_rfm, analytics.CUSTOMERS_RFM_SQL),
+    "events_sliding": QuerySpec(events_q.events_sliding, events_q.EVENTS_SLIDING_SQL),
+    "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
+    "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
+    "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
+    "events_exists_buyers": QuerySpec(events_q.events_exists_buyers, events_q.EVENTS_EXISTS_SQL),
+    # --- sketches with deterministic accuracy assertions (hash-checked) ---
+    "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, relational.AGG_APPROX_DISTINCT_SQL),
+    "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, stats.AGG_APPROX_PERCENTILE_SQL),
     # --- window functions ---
     "window_rank": QuerySpec(windows.window_rank, windows.WINDOW_RANK_SQL),
     "window_lag_lead": QuerySpec(windows.window_lag_lead, windows.WINDOW_LAG_SQL),
@@ -116,77 +137,60 @@ REGISTRY: dict[str, QuerySpec] = {
         python_udfs.emb_pandas_udf_norms, python_udfs.EMB_PANDAS_UDF_NORMS_SQL),
     "docs_chunk_udtf": QuerySpec(
         python_udfs.docs_chunk_udtf, python_udfs.DOCS_CHUNK_UDTF_SQL),
-    # --- event-stream analytics (batch twins of streaming ops) ---
-    "events_route_counts": QuerySpec(events_q.events_route_counts, events_q.EVENTS_ROUTE_SQL),
-    "events_tumbling": QuerySpec(events_q.events_tumbling, events_q.EVENTS_TUMBLING_SQL),
-    "events_ewma": QuerySpec(events_q.events_ewma, events_q.EVENTS_EWMA_SQL),
-    "events_gap_fill": QuerySpec(
-        events_q.events_gap_fill, events_q.EVENTS_GAP_FILL_SQL),
-    "events_cohort_retention": QuerySpec(
-        analytics.events_cohort_retention, analytics.EVENTS_COHORT_SQL),
-    "events_zscore_outliers": QuerySpec(
-        analytics.events_zscore_outliers, analytics.EVENTS_ZSCORE_SQL),
-    "agg_mode_priority": QuerySpec(
-        analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
-    "customers_rfm": QuerySpec(
-        analytics.customers_rfm, analytics.CUSTOMERS_RFM_SQL),
-    "events_sliding": QuerySpec(events_q.events_sliding, events_q.EVENTS_SLIDING_SQL),
-    "events_session": QuerySpec(events_q.events_session, events_q.EVENTS_SESSION_SQL),
-    "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
-    "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
-    "events_exists_buyers": QuerySpec(events_q.events_exists_buyers, events_q.EVENTS_EXISTS_SQL),
-    # --- LLM data pipeline: text analysis ---
-    "docs_token_stats": QuerySpec(text.docs_token_stats, text.DOCS_TOKEN_STATS_SQL),
-    "docs_lang_profile": QuerySpec(text.docs_lang_profile, text.DOCS_LANG_PROFILE_SQL),
-    "docs_quality_score": QuerySpec(text.docs_quality_score, text.DOCS_QUALITY_SQL),
-    "docs_fingerprint": QuerySpec(text.docs_fingerprint, text.DOCS_FINGERPRINT_SQL),
-    "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
-    "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
-    "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
-    "docs_top_terms": QuerySpec(text.docs_top_terms, text.DOCS_TOP_TERMS_SQL),
-    # --- LLM data pipeline: dedup ---
-    "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
-    "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
-    "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
-    "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
-    "docs_inverted_index": QuerySpec(
-        retrieval.docs_inverted_index, retrieval.DOCS_INVERTED_INDEX_SQL),
-    "docs_match_query": QuerySpec(
-        retrieval.docs_match_query, retrieval.DOCS_MATCH_QUERY_SQL),
-    "docs_tfidf_topk": QuerySpec(
-        tfidf.docs_tfidf_topk, tfidf.DOCS_TFIDF_TOPK_SQL),
-    "docs_bm25_topk": QuerySpec(
-        bm25.docs_bm25_topk, bm25.DOCS_BM25_TOPK_SQL),
-    "docs_gopher_filters": QuerySpec(
-        quality.docs_gopher_filters, quality.DOCS_GOPHER_SQL),
-
-    "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
-    "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
-    "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
-    "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
-    "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
-    # iterative label propagation over the LSH pair graph — rows-only;
-    # semantics pinned in tests/test_dedup.py.
-    "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, dedup.DOCS_DEDUP_CLUSTERS_SQL),
-    # --- LLM data pipeline: similarity search ---
-    "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
-    "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
-    "emb_euclidean_topk": QuerySpec(similarity.emb_euclidean_topk, similarity.EMB_EUCLIDEAN_TOPK_SQL),
-    "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
-    "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
-    "emb_int8_quantize": QuerySpec(similarity.emb_int8_quantize, similarity.EMB_INT8_QUANTIZE_SQL),
-    "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
-    # iterative (driver-loop) algorithm — not single-statement SQL; the
-    # driver records the weaker rows-only check, determinism pinned in
-    # tests/test_similarity.py.
-    "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, None),
-    # --- graph iteration ---
-    "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
-    "graph_triangle_counts": QuerySpec(
-        graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
-    # --- LLM data pipeline: multimodal columns ---
-    "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
-    "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
+    "string_agg_nation_customers": QuerySpec(advanced.string_agg_nation_customers, advanced.STRING_AGG_SQL),
+    # =================================================================
+    # r1 driver-green set (48 hash_match rows in CORRECTNESS_r01.json)
+    # --- CDC core (REF semantics: es.go:47-144, utils.go:92-117) ---
+    "cdc_apply_changes": QuerySpec(cdcq.cdc_apply_changes, cdcq.CDC_APPLY_SQL),
+    "cdc_apply_changes_typed": QuerySpec(cdcq.cdc_apply_changes_typed, cdcq.CDC_APPLY_TYPED_SQL),
+    "cdc_apply_changes_evolving": QuerySpec(cdcq.cdc_apply_changes_evolving, cdcq.CDC_APPLY_EVOLVING_SQL),
+    "cdc_replay_dedup": QuerySpec(cdcq.cdc_replay_dedup, cdcq.CDC_APPLY_SQL),
+    "cdc_snapshot_bootstrap": QuerySpec(cdcq.cdc_snapshot_bootstrap, cdcq.CDC_APPLY_SQL),
+    "cdc_latest_event": QuerySpec(cdcq.cdc_latest_event, cdcq.CDC_LATEST_EVENT_SQL),
+    "cdc_dead_letters": QuerySpec(cdcq.cdc_dead_letters, cdcq.CDC_DEAD_LETTERS_SQL),
+    "cdc_multi_table_route": QuerySpec(cdcq.cdc_multi_table_route, cdcq.CDC_MULTI_TABLE_SQL),
+    "cdc_scd2_history": QuerySpec(scd2.cdc_scd2_history, scd2.CDC_SCD2_SQL),
+    "cdc_state_asof": QuerySpec(scd2.cdc_state_asof, scd2.CDC_STATE_ASOF_SQL),
+    # --- relational: scans/filters/joins/aggs ---
+    "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
+    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_SQL),
+    "q5_region_revenue": QuerySpec(relational.q5_region_revenue, relational.Q5_SQL),
+    "q6_revenue_forecast": QuerySpec(relational.q6_revenue_forecast, relational.Q6_SQL),
+    "q10_returned_items": QuerySpec(relational.q10_returned_items, relational.Q10_SQL),
+    "join_left_outer": QuerySpec(relational.join_left_outer, relational.JOIN_LEFT_SQL),
+    "join_semi": QuerySpec(relational.join_semi, relational.JOIN_SEMI_SQL),
+    "join_anti": QuerySpec(relational.join_anti, relational.JOIN_ANTI_SQL),
+    "join_full_outer": QuerySpec(relational.join_full_outer, relational.JOIN_FULL_OUTER_SQL),
+    "join_cross": QuerySpec(relational.join_cross, relational.JOIN_CROSS_SQL),
+    "agg_distinct": QuerySpec(relational.agg_distinct, relational.AGG_DISTINCT_SQL),
+    "agg_rollup": QuerySpec(relational.agg_rollup, relational.AGG_ROLLUP_SQL),
+    "agg_cube": QuerySpec(relational.agg_cube, relational.AGG_CUBE_SQL),
+    "q2_min_balance_supplier": QuerySpec(tpch_extra.q2_min_balance_supplier, tpch_extra.Q2_SQL),
+    "q4_priority_with_lineitems": QuerySpec(tpch_extra.q4_priority_with_lineitems, tpch_extra.Q4_SQL),
+    "q14_promo_revenue_ratio": QuerySpec(tpch_extra.q14_promo_revenue_ratio, tpch_extra.Q14_SQL),
+    "q15_top_supplier": QuerySpec(tpch_extra.q15_top_supplier, tpch_extra.Q15_SQL),
+    "q16_supplier_variety": QuerySpec(tpch_extra.q16_supplier_variety, tpch_extra.Q16_SQL),
+    "q19_or_of_ands": QuerySpec(tpch_extra.q19_or_of_ands, tpch_extra.Q19_SQL),
+    "q22_idle_rich_customers": QuerySpec(tpch_extra.q22_idle_rich_customers, tpch_extra.Q22_SQL),
+    "q7_nation_trade": QuerySpec(tpch_extra.q7_nation_trade, tpch_extra.Q7_SQL),
+    "q9_product_profit": QuerySpec(tpch_extra.q9_product_profit, tpch_extra.Q9_SQL),
+    "q13_order_count_distribution": QuerySpec(tpch_extra.q13_order_count_distribution, tpch_extra.Q13_SQL),
+    "q8_market_share": QuerySpec(tpch_more.q8_market_share, tpch_more.Q8_SQL),
+    "q11_important_parts": QuerySpec(tpch_more.q11_important_parts, tpch_more.Q11_SQL),
+    "q12_shipping_delay_priority": QuerySpec(tpch_more.q12_shipping_delay_priority, tpch_more.Q12_SQL),
+    "q17_small_quantity_revenue": QuerySpec(tpch_more.q17_small_quantity_revenue, tpch_more.Q17_SQL),
+    "q18_large_volume_customers": QuerySpec(tpch_more.q18_large_volume_customers, tpch_more.Q18_SQL),
+    "q20_heavy_promo_shippers": QuerySpec(tpch_more.q20_heavy_promo_shippers, tpch_more.Q20_SQL),
+    "q21_sole_return_supplier": QuerySpec(tpch_more.q21_sole_return_supplier, tpch_more.Q21_SQL),
+    # --- advanced relational ---
+    "pivot_priority_status": QuerySpec(advanced.pivot_priority_status, advanced.PIVOT_SQL),
+    "grouping_sets_mix": QuerySpec(advanced.grouping_sets_mix, advanced.GROUPING_SETS_SQL),
+    "having_big_orders": QuerySpec(advanced.having_big_orders, advanced.HAVING_SQL),
+    "subquery_above_nation_avg": QuerySpec(advanced.subquery_above_nation_avg, advanced.SUBQUERY_AVG_SQL),
+    "range_join_price_bands": QuerySpec(advanced.range_join_price_bands, advanced.RANGE_JOIN_SQL),
+    "percentile_disc_prices": QuerySpec(advanced.percentile_disc_prices, advanced.PERCENTILE_SQL),
+    "agg_stats_moments": QuerySpec(stats.agg_stats_moments, stats.AGG_STATS_MOMENTS_SQL),
+    "percentile_cont_quantity": QuerySpec(stats.percentile_cont_quantity, stats.PERCENTILE_CONT_SQL),
 }
 
 
