@@ -79,6 +79,63 @@ def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(snap.unionByName(stream), orders_cdc_value_schema())
 
 
+def cdc_snapshot_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-source frontend (sources/snapshot.py): the initial state
+    the reference never captures (producer.go:50,60 starts replication at
+    the current WAL position, snapshot-less), read through the
+    DataSource-option surface (parquet here; the same class carries the
+    parallel-JDBC options in production) and folded below the change
+    stream. Oracle: the independent expected-state projection — i.e. the
+    sequential snapshot-then-each-change fold."""
+    from postgres_es_cdc_spark.sources.snapshot import (
+        SnapshotSource, snapshot_then_stream)
+
+    source = SnapshotSource(
+        fmt="parquet",
+        options={"path": f"{sf_dir}/orders.parquet"},
+        column_map={"o_orderkey": "id", "o_custkey": "custkey",
+                    "o_orderstatus": "status", "o_totalprice": "totalprice",
+                    "o_orderpriority": "priority"},
+    )
+    # Change stream: everything except the base INSERTs (those rows are
+    # the snapshot now): updates, deletes, reinserts, corruption, orphans.
+    stream = orders_cdc_events(spark, sf_dir).filter(F.col("offset") % 10 != 0)
+    return snapshot_then_stream(spark, source, stream,
+                                orders_cdc_value_schema())
+
+
+CDC_SNAPSHOT_THEN_STREAM_SQL = ORDERS_CDC_EXPECTED_SQL
+
+
+def cdc_txn_committed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction bracketing (cdc/txn.py): each order key's events form
+    one transaction (txn_id = offset div 10); keys with k%23==0 never
+    receive a COMMIT marker — their whole transaction (insert included)
+    must be invisible in the folded state, exactly the Begin/Commit
+    atomicity the reference throws away (producer.go:163-164)."""
+    from postgres_es_cdc_spark.catalog import table
+    from postgres_es_cdc_spark.cdc.txn import apply_changes_transactional
+
+    ev = orders_cdc_events(spark, sf_dir).withColumn(
+        "txn_id", F.expr("offset div 10"))
+    k = F.col("o_orderkey")
+    commits = (table(spark, sf_dir, "orders")
+               .filter(k % 23 != 0)
+               .select((k * 10 + 9).cast("long").alias("offset"),
+                       F.lit("COMMIT").alias("operationType"),
+                       F.lit("orders").alias("tableName"),
+                       F.lit(None).cast("string").alias("payload"),
+                       k.cast("long").alias("txn_id")))
+    return apply_changes_transactional(ev.unionByName(commits),
+                                       orders_cdc_value_schema())
+
+
+CDC_TXN_COMMITTED_SQL = f"""
+WITH expected AS ({ORDERS_CDC_EXPECTED_SQL})
+SELECT * FROM expected WHERE id % 23 != 0
+"""
+
+
 def cdc_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay tolerance: the whole stream delivered twice (the reference
     consumer replays from OffsetOldest on every restart, utils.go:49, and

@@ -107,6 +107,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
     "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
     "events_exists_buyers": QuerySpec(events_q.events_exists_buyers, events_q.EVENTS_EXISTS_SQL),
+    # --- CDC round-2 additions: snapshot frontend + txn atomicity ---
+    "cdc_snapshot_then_stream": QuerySpec(
+        cdcq.cdc_snapshot_then_stream, cdcq.CDC_SNAPSHOT_THEN_STREAM_SQL),
+    "cdc_txn_committed_only": QuerySpec(
+        cdcq.cdc_txn_committed_only, cdcq.CDC_TXN_COMMITTED_SQL),
     # --- sketches with deterministic accuracy assertions (hash-checked) ---
     "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, relational.AGG_APPROX_DISTINCT_SQL),
     "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, stats.AGG_APPROX_PERCENTILE_SQL),
