@@ -27,6 +27,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def scan_parallel(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a degenerate scan out to the session's parallelism before
+    compute-heavy per-row work (shingling, hashing, JSON encode).
+
+    Small-SF parquet is a single row group, so the scan — and everything
+    Catalyst pipelines into its stage — runs as ONE task; a cheap
+    round-robin shuffle of the narrow input buys stage-wide parallelism
+    for the expensive expressions. At real scale scans arrive with many
+    splits and this is a no-op, so no extra shuffle exists at 100 TB;
+    callers apply it AFTER projecting down to the columns they need so
+    the exchanged bytes stay minimal."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.catalog import scan_parallel, table
 
 # Target-table value schema for the synthesized stream (generic CDC target).
 ORDERS_CDC_SCHEMA = (
@@ -47,9 +47,12 @@ def _base_orders(spark, sf_dir: str) -> DataFrame:
     single small parquet files (one scan partition), which would leave
     the ~10x explode + payload encode serial on one core; real CDC
     sources arrive pre-partitioned, so this repartition is generator-only
-    — the fold itself never repartitions."""
-    o = table(spark, sf_dir, "orders")
-    return o.repartition(spark.sparkContext.defaultParallelism)
+    — the fold itself never repartitions. Projection happens BEFORE the
+    exchange so only the five payload columns cross the wire."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    return scan_parallel(spark, o)
 
 
 def orders_cdc_events(spark, sf_dir: str) -> DataFrame:

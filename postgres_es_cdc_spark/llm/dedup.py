@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.catalog import scan_parallel, table
 from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, shingles3, tokens
 
 # MinHash permutation params: a < 2^30 (a*h32 < 2^62), p prime < 2^32.
@@ -56,7 +56,12 @@ _SHINGLES_SQL = f"""
 
 
 def mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-duplicate mutants (last token dropped)."""
+    """documents ∪ near-duplicate mutants (last token dropped).
+
+    No scan_parallel here: consumers like docs_exact_dedup do only
+    cheap per-row work (one md5) before a partial agg, so a pre-shuffle
+    of full texts costs more than the parallelism buys; the
+    shingle-pipeline loaders fan out instead."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens(F.col("text"))
     mut = d.select(
@@ -84,7 +89,8 @@ def _mutated_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (union branches would each re-evaluate the expression: Spark does no
     cross-branch CSE). Halves the dominant hash cost of every near-dup
     query at any scale."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     hs = F.transform(shingles3(tokens(F.col("text"))), h32)
     base = d.select("doc_id", hs.alias("hs"))
     pair = F.array(
@@ -136,7 +142,8 @@ GROUP BY md5(text)
 
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures on the original corpus (deterministic, portable)."""
-    return _signatures(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _signatures(scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")))
 
 
 _ORIG_SHINGLES_SQL = _SHINGLES_SQL.replace(f"({_MUTATED_SQL})", "documents")
@@ -314,7 +321,8 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit j of the signature = sign of sum over tokens of (+1 if bit j of
     the token hash else -1). No shuffle at all — pure per-row transform."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     th = F.array_distinct(F.transform(tokens(F.col("text")), h32))
     n = F.size(th)
 
