@@ -1,0 +1,92 @@
+"""Benchmark decontamination ([EXT]): remove training documents that
+overlap an evaluation set — the n-gram-overlap pass every serious
+pretraining pipeline runs (e.g. GPT-3 appendix C / Gopher §A.2 style,
+public method: a doc is contaminated if it shares any long n-gram with
+a benchmark document).
+
+Shape at 100 TB: benchmark n-grams are a SMALL distinct set (eval
+suites are thousands of docs, not billions) — build it once, then a
+semi-join-style containment check against each training doc's n-grams.
+Here the check is an inner equi-join on the 32-bit gram hash followed
+by a per-doc count: gram hashes are computed array-native per row (no
+shuffle), the join key is 8 bytes, and the benchmark side broadcasts.
+
+Fixture: benchmark = documents with doc_id % 97 == 0; training corpus =
+the mutated near-dup corpus' mutants (dedup.mutated_corpus ids >= 1e6),
+so every mutant of a benchmark doc is a guaranteed true positive and
+word-salad chance collisions are deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.catalog import scan_parallel, table
+from postgres_es_cdc_spark.llm.dedup import _MUTATED_SQL, mutated_corpus
+from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, tokens
+
+GRAM_N = 5
+BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark member
+
+
+def gram5_hashes(text_col: Column) -> Column:
+    """Distinct hashed word 5-grams, zip-based (same performance
+    contract as text.shingles3: no outer column inside a lambda, shifted
+    copies built once; tail positions concat to null and slice away)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shifted = [
+        F.slice(toks, k + 1, F.greatest(n - k, F.lit(0)))
+        for k in range(1, GRAM_N)
+    ]
+    joined = toks
+    for sh in shifted:
+        joined = F.zip_with(joined, sh,
+                            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt))
+    grams = F.slice(joined, 1, F.greatest(n - (GRAM_N - 1), F.lit(0)))
+    return F.array_distinct(F.transform(grams, h32))
+
+
+# DuckDB twin: slide a window over the token list.
+GRAM5_SQL = """
+list_distinct(list_transform(
+    generate_series(1, greatest(len({toks}) - 4, 0)),
+    i -> ('0x' || substr(md5(array_to_string(list_slice({toks}, i, i + 4), ' ')), 1, 8))::BIGINT
+))
+"""
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated training docs: mutants sharing >= 1 distinct 5-gram
+    with any benchmark doc. Output (doc_id, n_shared_grams) per
+    contaminated doc — the removal list a corpus pass anti-joins on."""
+    corpus = scan_parallel(spark, mutated_corpus(spark, sf_dir)
+                           .filter(F.col("doc_id") >= 1000000))
+    bench = (table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select(F.explode(gram5_hashes(F.col("text"))).alias("g"))
+             .distinct())
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(gram5_hashes(F.col("text"))).alias("g"))
+    return (corpus_grams.join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+
+
+_G5_DOC = GRAM5_SQL.format(toks=TOKENS_SQL.format(col="text"))
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT g
+  FROM documents, UNNEST({_G5_DOC}) AS t(g)
+  WHERE doc_id % {BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id, text FROM ({_MUTATED_SQL}) WHERE doc_id >= 1000000),
+       UNNEST({_G5_DOC}) AS t(g)
+)
+SELECT c.doc_id, COUNT(*) AS n_shared_grams
+FROM corpus c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""

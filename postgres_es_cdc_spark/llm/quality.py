@@ -119,3 +119,55 @@ SELECT doc_id, n_words, n_stop, mean_wl_q, uniq_q, symbol_q,
        ok_words * ok_mwl * ok_uniq * ok_symbols * ok_stop AS keep
 FROM flags
 """
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# The redaction pass a corpus runs before anything else. The synthetic
+# corpus carries no PII, so each doc is deterministically augmented with
+# one email + one phone derived from its id; the scrubber must then find
+# exactly those. Both regexes stay inside the RE2-compatible subset so
+# Spark (Java regex) and DuckDB (RE2) agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII detection + redaction counts over the augmented
+    corpus: n_emails / n_phones found, and the scrubbed text's length
+    (emails -> [EMAIL], phones -> [PHONE]). Pure per-row regex work in
+    one codegen'd scan pass — zero shuffle; at 100 TB this is the same
+    single pass with more splits."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
+        F.length(scrubbed).alias("clean_len"),
+        F.substring(scrubbed, -28, 28).alias("scrub_tail"),
+    )
+
+
+_AUG_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_SQL = "\\d{3}-\\d{4}"
+
+DOCS_PII_SCRUB_SQL = f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents),
+s AS (SELECT doc_id, aug,
+             regexp_replace(regexp_replace(aug, '{_EMAIL_SQL}', '[EMAIL]', 'g'),
+                            '{_PHONE_SQL}', '[PHONE]', 'g') AS scrubbed
+      FROM a)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       CAST(len(scrubbed) AS BIGINT) AS clean_len,
+       substr(scrubbed, len(scrubbed) - 27, 28) AS scrub_tail
+FROM s
+"""

@@ -182,3 +182,34 @@ SELECT source,
 FROM c
 GROUP BY source, window_id
 """
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by key hash — the
+    split every training pipeline needs to be reproducible and
+    join-free: membership is a pure function of the key, so any worker
+    (or a later backfill) computes the same split without a lookup
+    table. One scan, one tiny groupBy; no shuffle touches the payload.
+
+    Output: per (split, lang) doc count and exact total chars."""
+    d = table(spark, sf_dir, "documents")
+    bucket = key_hash(F.col("doc_id")) % 100
+    split = (F.when(bucket < 90, "train")
+              .when(bucket < 95, "val")
+              .otherwise("test"))
+    return (d.select(split.alias("split"), "lang", "n_chars")
+             .groupBy("split", "lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars")))
+
+
+DOCS_SPLIT_ASSIGN_SQL = f"""
+SELECT CASE WHEN {KEY_HASH_SQL.format(key='doc_id')} % 100 < 90 THEN 'train'
+            WHEN {KEY_HASH_SQL.format(key='doc_id')} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""

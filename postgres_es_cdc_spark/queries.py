@@ -17,8 +17,8 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.cdc import scd2
 from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
-    bm25, dedup, multimodal, quality, retrieval, sampling, similarity,
-    text, tfidf)
+    bm25, decontam, dedup, multimodal, quality, retrieval, sampling,
+    similarity, text, tfidf)
 from postgres_es_cdc_spark.operators import analytics
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
@@ -72,6 +72,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
+    # --- LLM data pipeline: governance (round-2 additions) ---
+    "docs_pii_scrub": QuerySpec(quality.docs_pii_scrub, quality.DOCS_PII_SCRUB_SQL),
+    "docs_split_assign": QuerySpec(sampling.docs_split_assign, sampling.DOCS_SPLIT_ASSIGN_SQL),
+    "docs_decontaminate": QuerySpec(decontam.docs_decontaminate, decontam.DOCS_DECONTAMINATE_SQL),
     # --- LLM data pipeline: sampling / retrieval / quality ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
