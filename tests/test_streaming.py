@@ -462,3 +462,62 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
         (2, m(120), m(120), 1),
     }
     assert got == want
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """GUARANTEED late-data semantics (not just stream==batch): once the
+    watermark passes a window's end and append mode emits it, the state
+    is evicted — a straggler arriving in a later micro-batch is dropped
+    (numRowsDroppedByWatermark) and can neither change the emitted
+    result nor re-emit the window. (Inside the same batch as the
+    crossing, merging is best-effort by design; only post-eviction
+    dropping is contractual.)"""
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    touched: set[str] = set()
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_str string, event_type string, value double",
+        ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+                 "event_type", "value")
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        base = 1_700_000_000
+        for fname in os.listdir(tmp_path / "src"):
+            full = str(tmp_path / "src" / fname)
+            if fname.endswith(".parquet") and full not in touched:
+                os.utime(full, (base + idx, base + idx))
+                touched.add(full)
+
+    # Batch 0: W0=[00:00,00:05) events + 01:00 (watermark -> 00:50).
+    write_file(0, [(1, "2024-01-01 00:00:10", "view", 1.0),
+                   (2, "2024-01-01 00:02:00", "view", 2.0),
+                   (3, "2024-01-01 00:04:00", "view", 3.0),
+                   (4, "2024-01-01 01:00:00", "view", 4.0)])
+    # Batch 1: watermark 00:50 > W0 end -> W0 emitted + state evicted.
+    write_file(1, [(6, "2024-01-01 01:10:00", "view", 5.0)])
+    # Batch 2: straggler inside the already-closed W0 (must be dropped).
+    write_file(2, [(7, "2024-01-01 00:01:00", "view", 100.0)])
+
+    from postgres_es_cdc_spark.streaming.pipeline import windowed_event_aggregate
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "src")))
+    agg = windowed_event_aggregate(stream, ts_col="ts")
+    q = (agg.writeStream.outputMode("append")
+            .format("memory").queryName("late_agg")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 1  # exactly the straggler
+
+    rows = [r for r in spark.sql("SELECT * FROM late_agg").collect()
+            if str(r.window_start).startswith("2024-01-01 00:00")]
+    # W0 emitted exactly once, without the late 100.0.
+    assert len(rows) == 1
+    assert rows[0].n_events == 3
+    assert rows[0].sum_value == 6.0
