@@ -1,0 +1,91 @@
+"""pgoutput binary codec: byte-exact protocol v1 round-trips, TOAST
+'u' vs explicit-null presence semantics, and the full WAL -> decode ->
+txn assignment -> committed fold composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
+
+from postgres_es_cdc_spark.cdc.txn import apply_changes_transactional
+from postgres_es_cdc_spark.sources.pgoutput import (
+    UNCHANGED, decode_messages, decode_relation, decode_wal_stream,
+    encode_begin, encode_commit, encode_delete, encode_insert,
+    encode_relation, encode_truncate, encode_update, relation_cache)
+
+OID = 16384
+COLS = ["id", "name", "qty"]
+
+
+def _wal_df(spark, msgs):
+    rows = [(i, bytearray(m)) for i, m in enumerate(msgs)]
+    return spark.createDataFrame(rows, "offset long, data binary")
+
+
+def test_relation_round_trip():
+    raw = encode_relation(OID, "t", COLS, namespace="public")
+    assert decode_relation(raw) == (OID, "t", COLS)
+
+
+def test_decode_insert_update_delete_and_toast(spark):
+    msgs = [
+        encode_relation(OID, "t", COLS),
+        encode_insert(OID, [1, "a", 5]),
+        # sparse UPDATE: name unchanged TOAST ('u' -> absent from payload),
+        # qty explicitly null ('n' -> present null)
+        encode_update(OID, [1, UNCHANGED, None]),
+        encode_delete(OID, [1, UNCHANGED, UNCHANGED]),
+    ]
+    df = _wal_df(spark, msgs)
+    cache = relation_cache(df)
+    assert cache == {OID: ("t", COLS)}
+    ev = {r.offset: r for r in decode_messages(df, cache).collect()}
+    assert ev[1].operationType == "INSERT"
+    assert ev[1].payload == '{"id":"1","name":"a","qty":"5"}'
+    # presence contract: 'u' key absent, explicit null kept
+    assert ev[2].payload == '{"id":"1","qty":null}'
+    assert ev[3].operationType == "DELETE"
+    assert ev[3].payload == '{"id":"1"}'
+
+
+def test_truncate_and_txn_markers(spark):
+    msgs = [
+        encode_relation(OID, "t", COLS),
+        encode_begin(xid=42),
+        encode_truncate([OID]),
+        encode_commit(),
+    ]
+    ev = decode_wal_stream(_wal_df(spark, msgs)).collect()
+    by_op = {r.operationType: r for r in ev}
+    assert by_op["BEGIN"].txn_id == 42
+    assert by_op["TRUNCATE"].tableName == "t"
+    assert by_op["TRUNCATE"].txn_id == 42   # propagated in WAL order
+    assert by_op["COMMIT"].txn_id == 42
+
+
+def test_wal_to_committed_state_end_to_end(spark):
+    """The reference drops Begin/Commit (producer.go:163-164); here the
+    decoded markers drive atomicity: txn 7 commits, txn 8 is cut off
+    mid-transaction by the end of the WAL window — its insert AND
+    update must both be invisible."""
+    msgs = [
+        encode_relation(OID, "t", COLS),
+        encode_begin(xid=7),
+        encode_insert(OID, [1, "a", 5]),
+        encode_insert(OID, [2, "b", 6]),
+        encode_update(OID, [2, UNCHANGED, 60]),
+        encode_commit(),
+        encode_begin(xid=8),
+        encode_insert(OID, [3, "c", 7]),
+        encode_update(OID, [1, UNCHANGED, 50]),
+        # WAL read window ends mid-transaction: no commit for xid 8
+    ]
+    events = decode_wal_stream(_wal_df(spark, msgs))
+    schema = _parse_datatype_string("id long, name string, qty long")
+    state = apply_changes_transactional(
+        events.filter(F.col("tableName").eqNullSafe("t") |
+                      F.col("operationType").isin("BEGIN", "COMMIT")),
+        schema)
+    rows = sorted((r.id, r.name, r.qty) for r in state.collect())
+    # txn 7 fully applied; txn 8's insert(3) and update(qty 5->50) absent
+    assert rows == [(1, "a", 5), (2, "b", 60)]
