@@ -20,6 +20,7 @@ from postgres_es_cdc_spark.llm import (
     bm25, decontam, dedup, multimodal, quality, retrieval, sampling,
     similarity, text, tfidf)
 from postgres_es_cdc_spark.operators import analytics
+from postgres_es_cdc_spark.sources import pgoutput
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
     tpch_more, windows)
@@ -103,15 +104,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_asof_join": QuerySpec(events_q.events_asof_join, events_q.EVENTS_ASOF_SQL),
     "events_json_extract": QuerySpec(events_q.events_json_extract, events_q.EVENTS_JSON_SQL),
     "events_exists_buyers": QuerySpec(events_q.events_exists_buyers, events_q.EVENTS_EXISTS_SQL),
-    # --- CDC round-2 additions: snapshot frontend + txn atomicity ---
+    # --- CDC round-2 additions: snapshot, txn atomicity, wire codec ---
     "cdc_snapshot_then_stream": QuerySpec(
         cdcq.cdc_snapshot_then_stream, cdcq.CDC_SNAPSHOT_THEN_STREAM_SQL),
     "cdc_txn_committed_only": QuerySpec(
         cdcq.cdc_txn_committed_only, cdcq.CDC_TXN_COMMITTED_SQL),
-    # --- sketches with deterministic accuracy assertions (hash-checked) ---
+    # typed events -> byte-exact pgoutput wire -> decode -> fold; oracle
+    # is the independent expected-state projection.
+    "cdc_pgoutput_roundtrip": QuerySpec(
+        pgoutput.cdc_pgoutput_roundtrip, cdcq.CDC_APPLY_SQL),
+    # --- sketch with deterministic accuracy assertion (hash-checked) ---
     "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, relational.AGG_APPROX_DISTINCT_SQL),
-    "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, stats.AGG_APPROX_PERCENTILE_SQL),
     # ---- position 51+: below the driver's 50-query evaluation window ----
+    "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, stats.AGG_APPROX_PERCENTILE_SQL),
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),

@@ -55,8 +55,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# Sentinel for "unchanged TOAST" in encode_* value dicts.
-UNCHANGED = object()
+# Sentinel for "unchanged TOAST" values. A NUL-prefixed string, not an
+# object(): sentinel identity does not survive cloudpickle into UDF
+# workers (the closure gets a by-value copy and `is` checks fail there),
+# while string equality does — and a NUL byte cannot appear in Postgres
+# text values, so no real value can collide.
+UNCHANGED = "\x00__pg_unchanged__"
 
 # ---------------------------------------------------------------------------
 # Encoders (test/generator side — byte-exact protocol v1 writers)
@@ -91,7 +95,7 @@ def _tuple_data(values: list) -> bytes:
     for v in values:
         if v is None:
             out.append(b"n")
-        elif v is UNCHANGED:
+        elif v == UNCHANGED:
             out.append(b"u")
         else:
             b = str(v).encode()
@@ -185,7 +189,7 @@ def relation_cache(messages: DataFrame, data_col: str = "data") -> dict:
 def _payload_json(cols: list[str], vals: list) -> str:
     # 'u' (unchanged TOAST) keys stay ABSENT; explicit nulls stay null —
     # the presence-map contract of apply_changes.
-    return json.dumps({c: v for c, v in zip(cols, vals) if v is not UNCHANGED},
+    return json.dumps({c: v for c, v in zip(cols, vals) if not (isinstance(v, str) and v == UNCHANGED)},
                       separators=(",", ":"))
 
 
@@ -278,3 +282,88 @@ def decode_wal_stream(messages: DataFrame, data_col: str = "data",
     cache = relation_cache(messages, data_col)
     return assign_txn_ids(
         decode_messages(messages, cache, data_col, offset_col))
+
+
+# ---------------------------------------------------------------------------
+# Envelope -> wire -> envelope round-trip (the oracle-checked query path)
+# ---------------------------------------------------------------------------
+
+
+def encode_typed_events(events: DataFrame, oid: int,
+                        value_schema) -> DataFrame:
+    """Typed envelope events (payload struct + payload_fields presence
+    array, the apply_changes_typed feed) -> binary pgoutput messages.
+
+    The distributed half of the round-trip: one Arrow batch pass, each
+    event serialized by the byte-exact protocol writers above. Columns
+    absent from payload_fields encode as 'u' (unchanged TOAST) and
+    explicit nulls as 'n' — preserving the presence distinction across
+    the wire. Values format by DECLARED column type, not Python type:
+    Arrow hands nullable integer struct fields to pandas as float64, so
+    an untyped str() would wire "85.0" for a bigint."""
+    schema = "offset long, data binary"
+    # (name, kind) where kind picks the text formatter
+    field_kinds = [(f.name, f.dataType.simpleString())
+                   for f in value_schema.fields]
+
+    def _fmt(v, kind: str) -> str:
+        if kind in ("bigint", "int", "smallint", "tinyint"):
+            return str(int(v))
+        if kind == "double" or kind == "float":
+            return repr(float(v))  # shortest repr: exact round trip
+        return str(v)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            offs, blobs = [], []
+            for off, op, pay, fields in zip(pdf["offset"],
+                                            pdf["operationType"],
+                                            pdf["payload"],
+                                            pdf["payload_fields"]):
+                present = set(fields)
+                vals = []
+                for c, kind in field_kinds:
+                    if c not in present:
+                        vals.append(UNCHANGED)
+                    else:
+                        v = pay[c]
+                        if v is None or (isinstance(v, float) and v != v):
+                            vals.append(None)
+                        else:
+                            vals.append(_fmt(v, kind))
+                if op == "INSERT":
+                    blob = encode_insert(oid, vals)
+                elif op == "UPDATE":
+                    blob = encode_update(oid, vals)
+                else:
+                    blob = encode_delete(oid, vals)
+                offs.append(off)
+                blobs.append(blob)
+            yield pd.DataFrame({"offset": offs, "data": blobs})
+
+    return events.select("offset", "operationType", "payload",
+                         "payload_fields").mapInPandas(enc, schema)
+
+
+def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the synthesized typed event stream serialized to
+    byte-exact pgoutput wire messages (plus a Relation message), decoded
+    back through the two-pass frontend, and folded to final state. The
+    oracle is the independent expected-state projection — so a single
+    flipped bit anywhere in writer, parser, TOAST/null handling, or
+    relation routing breaks the hash."""
+    from postgres_es_cdc_spark.cdc.apply import apply_changes
+    from postgres_es_cdc_spark.cdc.generate import (
+        orders_cdc_events_typed, orders_cdc_value_schema)
+
+    schema = orders_cdc_value_schema()
+    cols = [f.name for f in schema.fields]
+    oid = 16384
+    wire = encode_typed_events(orders_cdc_events_typed(spark, sf_dir),
+                               oid, schema)
+    rel = spark.createDataFrame(
+        [(-1, bytearray(encode_relation(oid, "orders", cols)))],
+        "offset long, data binary")
+    cache = relation_cache(rel)
+    decoded = decode_messages(wire, cache)
+    return apply_changes(decoded, schema)
