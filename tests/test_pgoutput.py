@@ -89,3 +89,63 @@ def test_wal_to_committed_state_end_to_end(spark):
     rows = sorted((r.id, r.name, r.qty) for r in state.collect())
     # txn 7 fully applied; txn 8's insert(3) and update(qty 5->50) absent
     assert rows == [(1, "a", 5), (2, "b", 60)]
+
+
+def test_wal_stream_pipeline_txn_atomic_across_segments(spark, tmp_path):
+    """The whole loop as one stream: segmented WAL files -> decode ->
+    transaction-atomic sink. Txn 8 spans a segment boundary and its
+    COMMIT arrives only in a later RUN (checkpoint restart between
+    them) — the sink must hold its rows pending, then land them
+    atomically after restart via the persisted decode context."""
+    import os as _os
+
+    from postgres_es_cdc_spark.cdc.txn import TxnUpsertSink
+    from postgres_es_cdc_spark.sources.pgoutput import wal_cdc_pipeline
+
+    wal_dir = tmp_path / "wal"
+    touched: set[str] = set()
+
+    def write_segment(idx, msgs):
+        df = spark.createDataFrame(
+            [(idx * 100 + i, bytearray(m)) for i, m in enumerate(msgs)],
+            "offset long, data binary")
+        df.coalesce(1).write.mode("append").parquet(str(wal_dir))
+        for fname in _os.listdir(wal_dir):
+            full = str(wal_dir / fname)
+            if fname.endswith(".parquet") and full not in touched:
+                _os.utime(full, (1_700_000_000 + idx,) * 2)
+                touched.add(full)
+
+    write_segment(0, [encode_relation(OID, "t", COLS),
+                      encode_begin(xid=7),
+                      encode_insert(OID, [1, "a", 5]),
+                      encode_insert(OID, [2, "b", 6]),
+                      encode_commit(),
+                      encode_begin(xid=8),
+                      encode_insert(OID, [3, "c", 7])])
+    # txn 8 continues in the next segment WITHOUT a new Begin.
+    write_segment(1, [encode_update(OID, [3, UNCHANGED, 70])])
+
+    schema = _parse_datatype_string("id long, name string, qty long")
+    sink = TxnUpsertSink(str(tmp_path / "state"), {"t": schema})
+
+    def run():
+        stream = (spark.readStream.schema("offset long, data binary")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(wal_dir)))
+        q = wal_cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    run()
+    state = spark.read.parquet(sink.table_path("t")).drop("_cdc_version")
+    # Only txn 7 visible; txn 8 (insert 3 + its cross-segment update) pending.
+    assert sorted((r.id, r.name, r.qty) for r in state.collect()) == \
+        [(1, "a", 5), (2, "b", 6)]
+
+    # "Restart": new segment with the commit, fresh query on the same
+    # checkpoint; relcache + open-xid come from the persisted context.
+    write_segment(2, [encode_commit()])
+    run()
+    state2 = spark.read.parquet(sink.table_path("t")).drop("_cdc_version")
+    assert sorted((r.id, r.name, r.qty) for r in state2.collect()) == \
+        [(1, "a", 5), (2, "b", 6), (3, "c", 70)]
