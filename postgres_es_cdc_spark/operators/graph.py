@@ -207,3 +207,63 @@ FROM (SELECT s AS node FROM tri
       UNION ALL SELECT v2 AS node FROM tri)
 GROUP BY node
 """
+
+
+BFS_ITERS = 4
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str,
+                        iters: int = BFS_ITERS) -> DataFrame:
+    """Bounded-hop BFS distances from a seed set (customers 1-4) over
+    the trade graph — the reachability/shortest-path member of the
+    iterative family (pagerank = value propagation, triangles = local
+    counting, BFS = frontier expansion).
+
+    Formulation is relax-all: each iteration joins the CURRENT distance
+    table to the edge list and keeps the per-node minimum — one shuffle
+    keyed by dst plus the min-combine per iteration, all-integer so the
+    unrolled DuckDB twin is bit-identical. Unreached nodes stay absent.
+    At scale the frontier-only variant (join only nodes improved last
+    round) cuts the join input; the relax-all form keeps the oracle
+    trivially expressible and is identical on bounded hop counts.
+    """
+    edges = _edges(spark, sf_dir)
+    # seed: customer nodes 2k for custkey in 1..4
+    dist = (table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 5)
+            .select((F.col("c_custkey") * 2).alias("node"),
+                    F.lit(0).cast("long").alias("dist")))
+    for _ in range(iters):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                       .select(F.col("dst").alias("node"),
+                               (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                    .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    return f""", {out} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM {prev} d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)"""
+
+
+GRAPH_BFS_SQL = ("""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+), d0 AS (
+  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_custkey < 5
+)"""
+    + "".join(_bfs_iter_sql(f"d{i}", f"d{i+1}") for i in range(BFS_ITERS))
+    + f"\nSELECT node, dist FROM d{BFS_ITERS}")

@@ -122,6 +122,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
     "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
     "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
+    # --- graph iteration (round-2 addition) ---
+    "graph_bfs_distances": QuerySpec(
+        graph.graph_bfs_distances, graph.GRAPH_BFS_SQL),
     # --- analytics over orders/customers ---
     "agg_mode_priority": QuerySpec(
         analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
