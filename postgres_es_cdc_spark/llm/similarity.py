@@ -207,9 +207,39 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
     centroids; the plan shape (broadcast assign + one shuffle per
     iteration) is unchanged.
     """
+    ex = _exploded(spark, sf_dir)
+    assign, _cent = _kmeans_loop(ex, k, iters)
+    return assign.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist2"))
+
+
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, xq): embeddings quantized and exploded per dim."""
     e = table(spark, sf_dir, "embeddings")
-    ex = e.select("vec_id", F.posexplode(quantize(F.col("embedding")))
-                  .alias("dim", "xq"))
+    return e.select("vec_id", F.posexplode(quantize(F.col("embedding")))
+                    .alias("dim", "xq"))
+
+
+def _cent_dist2(rows: DataFrame, cent: DataFrame,
+                id_col: str) -> DataFrame:
+    """Exact rational point-to-centroid distances: per (id, cid),
+    Σ_d (xq·n - sq)² / n² descaled — the shared assign/scan step."""
+    # (xq·n - sq) fits long (|xq|<1e6·0.6, n≤rows); the square needs
+    # DECIMAL(38,0) headroom before the 64-dim sum.
+    delta = (F.col("xq") * F.col("n") - F.col("sq")).cast("decimal(38,0)")
+    return (rows.join(F.broadcast(cent), "dim")
+                .groupBy(id_col, "cid")
+                .agg((F.sum(delta * delta).cast("double")
+                      / (F.max("n") * F.max("n")).cast("double")
+                      / F.lit(float(Q_SCALE) ** 2)).alias("dist2")))
+
+
+def _kmeans_loop(ex: DataFrame, k: int,
+                 iters: int) -> tuple[DataFrame, DataFrame]:
+    """The shared fixed-init fixed-iters loop. Returns (last assignment,
+    the centroids REBUILT from it) — i.e. (a_iters, c_iters) in the
+    oracle's CTE naming, so IVF consumers score against centroids
+    consistent with the cell membership they search."""
     # init: singleton clusters from the first k vectors (n=1, sq=xq)
     cent = (ex.filter(F.col("vec_id") < k)
               .select(F.col("vec_id").alias("cid"), "dim",
@@ -217,16 +247,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
                       F.col("xq").alias("sq")))
     assign = None
     for _ in range(iters):
-        # (xq·n - sq) fits long (|xq|<1e6·0.6, n≤rows); the square needs
-        # DECIMAL(38,0) headroom before the 64-dim sum.
-        delta = (F.col("xq") * F.col("n") - F.col("sq")).cast("decimal(38,0)")
-        scored = (
-            ex.join(F.broadcast(cent), "dim")
-              .groupBy("vec_id", "cid")
-              .agg((F.sum(delta * delta).cast("double")
-                    / (F.max("n") * F.max("n")).cast("double")
-                    / F.lit(float(Q_SCALE) ** 2)).alias("dist2"))
-        )
+        scored = _cent_dist2(ex, cent, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
         assign = (scored.withColumn("rn", F.row_number().over(w))
                         .filter(F.col("rn") == 1)
@@ -234,14 +255,14 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
         cent = (ex.join(assign.select("vec_id", "cid"), "vec_id")
                   .groupBy("cid", "dim")
                   .agg(F.count("*").alias("n"), F.sum("xq").alias("sq")))
-    return assign.select(
-        "vec_id", F.col("cid").alias("cluster"), F.col("dist2"))
+    return assign, cent
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
-    """DuckDB twin of kmeans_assignments: the fixed-count loop unrolled
-    into chained CTEs (assign a{i} / recenter c{i}), same all-integer
-    distance form."""
+def _kmeans_cte_body(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of _kmeans_loop: the fixed-count loop unrolled into
+    chained CTEs (assign a{i} / recenter c{i}), same all-integer
+    distance form. Ends with both a{iters} (assignments) and c{iters}
+    (rebuilt centroids) so downstream consumers (IVF) can extend it."""
     parts = [f"""WITH ex AS (
   SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
   FROM embeddings, generate_series(1, 64) i(i)
@@ -262,18 +283,16 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
         FROM s{i})
   WHERE rn = 1
-)""")
-        if i < iters:
-            parts.append(f""", c{i} AS (
+), c{i} AS (
   SELECT a.cid, ex.dim, COUNT(*) AS n, CAST(SUM(ex.xq) AS BIGINT) AS sq
   FROM ex JOIN a{i} a USING (vec_id)
   GROUP BY a.cid, ex.dim
 )""")
-    parts.append(f"\nSELECT vec_id, cid AS cluster, dist2 FROM a{iters}")
     return "".join(parts)
 
 
-KMEANS_SQL = _kmeans_sql()
+KMEANS_SQL = (_kmeans_cte_body()
+              + "\nSELECT vec_id, cid AS cluster, dist2 FROM a3")
 
 
 def emb_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,4 +621,90 @@ SELECT vec_id, scale,
                               * 1e18) AS BIGINT)))
             AS BIGINT) AS err_sq_q18
 FROM q
+"""
+
+
+IVF_NPROBE = 2
+IVF_K = 3
+IVF_QUERIES = 5
+
+
+def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str,
+                         k: int = IVF_K, n_queries: int = IVF_QUERIES,
+                         nprobe: int = IVF_NPROBE, kclusters: int = 8,
+                         iters: int = 3) -> DataFrame:
+    """True trained IVF: the k-means coarse quantizer (exact rational
+    centroids, _kmeans_loop) partitions the corpus into cells; each
+    query scores the centroid table (tiny, broadcast), probes its
+    ``nprobe`` nearest cells, and runs exact top-k only inside them.
+    This is the composition a production ANN index runs — train,
+    assign, probe-limited search — and the cost model that survives
+    100 TB: per query O(kclusters) centroid distances plus
+    O(corpus·nprobe/kclusters) exact distances instead of O(corpus).
+
+    Pair distances are pure int64 (Σ_d (xq_q - xq_c)² ≤ 64·(1.2e6)²
+    ≈ 1e14), ranked on the exact integer, descaled only for display —
+    bit-identical to the unrolled DuckDB twin.
+    """
+    ex = _exploded(spark, sf_dir)
+    assign, cent = _kmeans_loop(ex, kclusters, iters)
+    qx = (ex.filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("qid"), "dim",
+                    F.col("xq").alias("qxq")))
+    # probe selection: per query, the nprobe nearest trained centroids
+    qd = _cent_dist2(qx.withColumnRenamed("qxq", "xq"), cent, "qid")
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("cid"))
+    probes = (qd.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= nprobe).select("qid", "cid"))
+    # candidates: cell members of probed cells (minus the query itself)
+    cand = (probes.join(assign.select("vec_id", "cid"), "cid")
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .select("qid", F.col("vec_id").alias("cand")))
+    # exact integer distance over the probed candidates only
+    cx = ex.select(F.col("vec_id").alias("cand"), "dim",
+                   F.col("xq").alias("cxq"))
+    d = F.col("qxq") - F.col("cxq")
+    scored = (cand.join(qx, "qid").join(cx, ["cand", "dim"])
+                  .groupBy("qid", "cand")
+                  .agg(F.sum(d * d).alias("dist2_q")))
+    wk = Window.partitionBy("qid").orderBy(F.asc("dist2_q"), F.asc("cand"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", "cand", "rank",
+                          (F.col("dist2_q").cast("double")
+                           / F.lit(float(Q_SCALE) ** 2)).alias("dist2")))
+
+
+EMB_IVF_TRAINED_SQL = _kmeans_cte_body() + f"""
+, qx AS (
+  SELECT vec_id AS qid, dim, xq AS qxq FROM ex WHERE vec_id < {IVF_QUERIES}
+), qd AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(CAST(q.qxq*c.n - c.sq AS HUGEINT) * CAST(q.qxq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM qx q JOIN c3 c ON q.dim = c.dim
+  GROUP BY q.qid, c.cid
+), probes AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM qd)
+  WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.qid, a.vec_id AS cand
+  FROM probes p JOIN a3 a USING (cid)
+  WHERE a.vec_id != p.qid
+), scored AS (
+  SELECT c.qid, c.cand,
+         SUM((q.qxq - x.xq) * (q.qxq - x.xq)) AS dist2_q
+  FROM cand c
+  JOIN qx q ON q.qid = c.qid
+  JOIN ex x ON x.vec_id = c.cand AND x.dim = q.dim
+  GROUP BY c.qid, c.cand
+)
+SELECT qid, cand, rank, CAST(dist2_q AS DOUBLE) / 1e12 AS dist2
+FROM (SELECT qid, cand, dist2_q,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2_q ASC, cand ASC) AS rank
+      FROM scored)
+WHERE rank <= {IVF_K}
 """

@@ -125,6 +125,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- graph iteration (round-2 addition) ---
     "graph_bfs_distances": QuerySpec(
         graph.graph_bfs_distances, graph.GRAPH_BFS_SQL),
+    # --- trained ANN: kmeans coarse quantizer + probe-limited search ---
+    "emb_ivf_trained_topk": QuerySpec(
+        similarity.emb_ivf_trained_topk, similarity.EMB_IVF_TRAINED_SQL),
     # --- analytics over orders/customers ---
     "agg_mode_priority": QuerySpec(
         analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
