@@ -48,6 +48,22 @@ PICKS = {
         "Match-query ranking: the per-term df aggregate broadcasts "
         "back; only query-term rows shuffle; top-k is TakeOrdered, "
         "no global sort.",
+    "cdc_pgoutput_roundtrip":
+        "Wire codec round-trip: encode and decode are two Arrow-batched "
+        "mapInPandas stages pipelined into the scan (no extra shuffle); "
+        "the fold below them is the same one partial-agg Exchange.",
+    "docs_decontaminate":
+        "Benchmark gram set aggregates to a broadcast build side; the "
+        "corpus side streams through the scan with only the 8-byte gram "
+        "hash join key exchanged — no text ever shuffles.",
+    "emb_ivf_trained_topk":
+        "Trained IVF: every per-iteration assign step broadcasts the "
+        "centroid rationals; the probe-limited search joins only cell "
+        "members, so exact distances touch corpus*nprobe/k vectors.",
+    "events_gap_fill":
+        "Spine and hourly rollup both broadcast into the fill join; the "
+        "raw event scan feeds ONE map-side-combinable aggregate and is "
+        "never joined row-wise against the spine.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
