@@ -30,6 +30,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
 }
 
+# local[N] runs the whole engine in the driver JVM; Spark's 1g default
+# heap starves 32 concurrent tasks (observed: triangle counting OOMs at
+# sf0.1). Sized for the 128 GiB test box; a real cluster sets executor
+# memory instead. Applied only at JVM launch — getOrCreate on a live
+# session ignores it, same as any driver-memory setting.
+DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def get_spark(app_name: str = "postgres-es-cdc-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -44,7 +51,8 @@ def get_spark(app_name: str = "postgres-es-cdc-spark", cpus: int | None = None,
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(cpus_env) if cpus_env else None
     master = f"local[{cpus}]" if cpus else "local[*]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = (SparkSession.builder.appName(app_name).master(master)
+               .config("spark.driver.memory", DRIVER_MEMORY))
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config(
