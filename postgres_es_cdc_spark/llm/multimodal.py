@@ -250,3 +250,96 @@ def modality_stats(assets: DataFrame) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+def byte_residue_features(payload: bytes, dim: int = 8) -> list[int]:
+    """Deterministic integer 'embedding' for the oracle-checked pipeline
+    query: dim j sums the payload bytes at positions ≡ j (mod dim).
+    Order-independent per residue class -> expressible in SQL, unlike
+    the rolling-hash fake_decode; same signature shape as a real
+    encoder (bytes in, fixed-dim vector out)."""
+    acc = [0] * dim
+    for i, b in enumerate(payload or b""):
+        acc[i % dim] += b
+    return acc
+
+
+def multimodal_embed_topk(spark, sf_dir: str, k: int = 3,
+                          n_queries: int = 3) -> DataFrame:
+    """End-to-end media -> embedding -> similarity search: binary assets
+    stream through an Arrow-batched feature extractor (the decode slot a
+    real CLIP/wav2vec encoder fills), then integer-exact cosine top-k
+    against the whole corpus — the multimodal ingestion shape of a
+    training-data pipeline, oracle-checked end to end.
+
+    Scale: extraction is embarrassingly parallel over Arrow batches;
+    the search side is the broadcast-query pattern of emb_cosine_topk.
+    """
+    from postgres_es_cdc_spark.catalog import table
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    feat_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("f", ArrayType(LongType()), False),
+    ])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "f": [byte_residue_features(bytes(p)) for p in pdf["payload"]],
+            })
+
+    feats = assets.select("asset_id", "payload").mapInPandas(
+        _extract, feat_schema)
+    q = (feats.filter(F.col("asset_id") < n_queries)
+              .select(F.col("asset_id").alias("qid"),
+                      F.col("f").alias("qf")))
+    c = feats.select(F.col("asset_id").alias("cid"), F.col("f").alias("cf"))
+
+    def idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    cos = (idot(F.col("qf"), F.col("cf")).cast("double")
+           / (F.sqrt(idot(F.col("qf"), F.col("qf")).cast("double"))
+              * F.sqrt(idot(F.col("cf"), F.col("cf")).cast("double"))))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("qid") != F.col("cid"))
+              .select("qid", "cid", cos.alias("cos_sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", "cid", "rank", "cos_sim"))
+
+
+# Oracle: the corpus text is ASCII by construction, so payload byte i ==
+# ascii(substr(text, i+1, 1)) and the residue-sum features are plain SQL.
+MULTIMODAL_EMBED_TOPK_SQL = """
+WITH positions AS (
+  -- no lateral column params to generate_series in FROM (DuckDB);
+  -- unnest in SELECT instead
+  SELECT doc_id AS asset_id, text,
+         unnest(generate_series(1, length(text))) AS pos
+  FROM documents
+), bytes AS (
+  SELECT asset_id, pos, ascii(substr(text, pos, 1)) AS b FROM positions
+), feats AS (
+  SELECT asset_id, (pos - 1) % 8 AS dim, CAST(SUM(b) AS BIGINT) AS v
+  FROM bytes GROUP BY asset_id, (pos - 1) % 8
+), q AS (SELECT * FROM feats WHERE asset_id < 3),
+scored AS (
+  SELECT q.asset_id AS qid, c.asset_id AS cid,
+         CAST(SUM(q.v * c.v) AS DOUBLE)
+           / ( SQRT(CAST(SUM(q.v * q.v) AS DOUBLE))
+             * SQRT(CAST(SUM(c.v * c.v) AS DOUBLE)) ) AS cos_sim
+  FROM q JOIN feats c ON q.dim = c.dim AND q.asset_id != c.asset_id
+  GROUP BY q.asset_id, c.asset_id
+)
+SELECT qid, cid, rank, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""

@@ -128,6 +128,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- trained ANN: kmeans coarse quantizer + probe-limited search ---
     "emb_ivf_trained_topk": QuerySpec(
         similarity.emb_ivf_trained_topk, similarity.EMB_IVF_TRAINED_SQL),
+    # --- multimodal ingestion: bytes -> features -> similarity search ---
+    "multimodal_embed_topk": QuerySpec(
+        multimodal.multimodal_embed_topk, multimodal.MULTIMODAL_EMBED_TOPK_SQL),
     # --- analytics over orders/customers ---
     "agg_mode_priority": QuerySpec(
         analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
