@@ -38,6 +38,13 @@ HEADLINE = [
     "emb_ivf_topk",
     "having_big_orders",
     "range_join_price_bands",
+    # round-2 flagships
+    "cdc_pgoutput_roundtrip",
+    "docs_decontaminate",
+    "emb_ivf_trained_topk",
+    "events_gap_fill",
+    "graph_bfs_distances",
+    "multimodal_embed_topk",
 ]
 
 

@@ -214,7 +214,12 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
 
 
 def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, dim, xq): embeddings quantized and exploded per dim."""
+    """(vec_id, dim, xq): embeddings quantized and exploded per dim.
+
+    Re-derived per reference rather than cached: the explode is cheap
+    and an InMemoryRelation blocks AQE/codegen (measured ~25% slower
+    cached at sf0.1). At real scale, persist the exploded table once
+    (it is the k-means working set) and bucket it by dim."""
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", F.posexplode(quantize(F.col("embedding")))
                     .alias("dim", "xq"))

@@ -227,6 +227,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str,
     round) cuts the join input; the relax-all form keeps the oracle
     trivially expressible and is identical on bounded hop counts.
     """
+    # Deliberately NOT cached: at this scale recomputing the cheap edge
+    # derivation per iteration beats an InMemoryRelation (which blocks
+    # AQE re-planning and codegen pipelining — measured 5-10% slower
+    # cached). On a 100 TB graph, persist the edge table once instead.
     edges = _edges(spark, sf_dir)
     # seed: customer nodes 2k for custkey in 1..4
     dist = (table(spark, sf_dir, "customer")
