@@ -19,7 +19,7 @@ from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
     bm25, decontam, dedup, multimodal, quality, retrieval, sampling,
     similarity, text, tfidf)
-from postgres_es_cdc_spark.operators import analytics
+from postgres_es_cdc_spark.operators import analytics, sql_frontend
 from postgres_es_cdc_spark.sources import pgoutput
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
@@ -131,6 +131,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- multimodal ingestion: bytes -> features -> similarity search ---
     "multimodal_embed_topk": QuerySpec(
         multimodal.multimodal_embed_topk, multimodal.MULTIMODAL_EMBED_TOPK_SQL),
+    # --- SQL frontend: ONE ANSI text run verbatim by both engines ---
+    "sql_ansi_portable": QuerySpec(
+        sql_frontend.sql_ansi_portable, sql_frontend.SQL_ANSI_PORTABLE),
     # --- analytics over orders/customers ---
     "agg_mode_priority": QuerySpec(
         analytics.agg_mode_priority, analytics.AGG_MODE_SQL),
