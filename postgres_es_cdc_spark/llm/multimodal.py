@@ -304,7 +304,12 @@ def multimodal_embed_topk(spark, sf_dir: str, k: int = 3,
     cos = (idot(F.col("qf"), F.col("cf")).cast("double")
            / (F.sqrt(idot(F.col("qf"), F.col("qf")).cast("double"))
               * F.sqrt(idot(F.col("cf"), F.col("cf")).cast("double"))))
-    scored = (F.broadcast(q).crossJoin(c)
+    # Guard: a zero-byte payload yields a zero vector and NaN cosine,
+    # and NaN ordering differs across engines — exclude empty vectors on
+    # BOTH sides (no-op on this corpus; min doc length > 0).
+    nz = idot(F.col("cf"), F.col("cf")) > 0
+    qnz = idot(F.col("qf"), F.col("qf")) > 0
+    scored = (F.broadcast(q.filter(qnz)).crossJoin(c.filter(nz))
               .filter(F.col("qid") != F.col("cid"))
               .select("qid", "cid", cos.alias("cos_sim")))
     from pyspark.sql import Window
@@ -328,13 +333,17 @@ WITH positions AS (
 ), feats AS (
   SELECT asset_id, (pos - 1) % 8 AS dim, CAST(SUM(b) AS BIGINT) AS v
   FROM bytes GROUP BY asset_id, (pos - 1) % 8
-), q AS (SELECT * FROM feats WHERE asset_id < 3),
+), nz AS (
+  SELECT asset_id FROM feats GROUP BY asset_id HAVING SUM(v * v) > 0
+), q AS (SELECT f.* FROM feats f JOIN nz USING (asset_id) WHERE asset_id < 3),
 scored AS (
   SELECT q.asset_id AS qid, c.asset_id AS cid,
          CAST(SUM(q.v * c.v) AS DOUBLE)
            / ( SQRT(CAST(SUM(q.v * q.v) AS DOUBLE))
              * SQRT(CAST(SUM(c.v * c.v) AS DOUBLE)) ) AS cos_sim
-  FROM q JOIN feats c ON q.dim = c.dim AND q.asset_id != c.asset_id
+  FROM q
+  JOIN (SELECT f.* FROM feats f JOIN nz USING (asset_id)) c
+    ON q.dim = c.dim AND q.asset_id != c.asset_id
   GROUP BY q.asset_id, c.asset_id
 )
 SELECT qid, cid, rank, cos_sim
