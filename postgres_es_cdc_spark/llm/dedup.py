@@ -396,3 +396,80 @@ DOCS_DEDUP_CLUSTERS_SQL = (
     "       MIN(doc_id) AS canonical_id, MAX(doc_id) AS max_member_id\n"
     "FROM l5 GROUP BY label"
 )
+
+
+def docs_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATION next to ground truth: for every LSH
+    candidate pair, the signature-agreement estimate (matching slots / 8
+    — the Broder estimator) alongside the exact shingle-set Jaccard.
+    Both values are deterministic, so the driver hash-checks the
+    estimator itself, not just a bound — closing the MinHash loop:
+    signatures (docs_minhash_signatures) -> candidates
+    (docs_minhash_lsh_pairs) -> estimation (here) -> exact verify
+    (docs_ngram_jaccard_pairs).
+
+    Scale: pairs are LSH-bounded; each pair costs one array_intersect
+    over the two (distinct-hash) shingle arrays — no explode, no
+    per-shingle shuffle for the verify step."""
+    sh = _mutated_shingle_hashes(spark, sf_dir)
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("sh"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+        )).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    enr = sh.select("doc_id", "sh", *sig_cols)
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    a = enr.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sh").alias("a_sh"),
+                   *[F.col(f"sig{i}").alias(f"a_sig{i}")
+                     for i in range(len(MINHASH_PERMS))])
+    b = enr.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sh").alias("b_sh"),
+                   *[F.col(f"sig{i}").alias(f"b_sig{i}")
+                     for i in range(len(MINHASH_PERMS))])
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    matches = sum(
+        F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_PERMS)))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    uni = F.size(F.array_union("a_sh", "b_sh"))
+    return j.select(
+        "doc_a", "doc_b",
+        (matches.cast("double") / F.lit(float(len(MINHASH_PERMS))))
+        .alias("est_jaccard"),
+        (inter.cast("double") / uni.cast("double")).alias("exact_jaccard"),
+    )
+
+
+_SIG_COLS_SQL = ",\n".join(
+    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS))
+
+_EST_SQL = " + ".join(
+    f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+    for i in range(len(MINHASH_PERMS)))
+
+DOCS_MINHASH_JACCARD_EST_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+enr AS (
+  SELECT doc_id, sh,
+{_SIG_COLS_SQL}
+  FROM sh
+),
+sigs AS (SELECT * EXCLUDE (sh) FROM enr),
+banded AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({_EST_SQL} AS DOUBLE) / {len(MINHASH_PERMS)}.0 AS est_jaccard,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS exact_jaccard
+FROM pairs p
+JOIN enr a ON a.doc_id = p.doc_a
+JOIN enr b ON b.doc_id = p.doc_b
+"""

@@ -117,6 +117,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_approx_distinct": QuerySpec(relational.agg_approx_distinct, relational.AGG_APPROX_DISTINCT_SQL),
     # ---- position 51+: below the driver's 50-query evaluation window ----
     "agg_approx_percentile": QuerySpec(stats.agg_approx_percentile, stats.AGG_APPROX_PERCENTILE_SQL),
+    # Broder estimator vs exact Jaccard, both hash-checked.
+    "docs_minhash_jaccard_estimate": QuerySpec(
+        dedup.docs_minhash_jaccard_estimate, dedup.DOCS_MINHASH_JACCARD_EST_SQL),
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
