@@ -226,6 +226,39 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+def rotate_by_correctness(registry: dict[str, QuerySpec],
+                          artifact_dir: str | None = None
+                          ) -> dict[str, QuerySpec]:
+    """Self-driving rotation of the driver's 50-query evaluation prefix:
+    any query with a hash-green row in ANY prior CORRECTNESS_r*.json
+    moves behind the ones still lacking driver verification, preserving
+    the authored priority order within each group. With no artifacts
+    present this is the identity, so the static ordering above remains
+    the round-1 behavior."""
+    import glob
+    import json
+    import os
+
+    if artifact_dir is None:
+        artifact_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    front = {k: v for k, v in registry.items() if k not in green}
+    back = {k: v for k, v in registry.items() if k in green}
+    return {**front, **back}
+
+
+REGISTRY = rotate_by_correctness(REGISTRY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
