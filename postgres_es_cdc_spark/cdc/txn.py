@@ -106,7 +106,8 @@ class TxnUpsertSink(UpsertSink):
         self.txn_col = txn_col
 
     def _pending_path(self) -> str:
-        return os.path.join(self.base_dir, self.PENDING)
+        # Manifest-resolved, like the state tables (crash-safe swap).
+        return self.table_path(self.PENDING)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -118,9 +119,9 @@ class TxnUpsertSink(UpsertSink):
         still_pending = pending_events(events, self.txn_col)
         for name in self.schemas:
             self._merge(spark, name,
-                        ready.filter(F.col("tableName") == name))
-        # Materialize BEFORE overwriting (still_pending reads the old
-        # buffer); tmp-then-final, same recipe as the state tables.
-        tmp = pending_path + ".tmp"
-        still_pending.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(pending_path)
+                        ready.filter(F.col("tableName") == name), batch_id)
+        # New versioned buffer + atomic manifest repoint (the write reads
+        # the OLD buffer, which stays in place until the commit).
+        new_dir = self._next_dir(self.PENDING, batch_id)
+        still_pending.write.mode("overwrite").parquet(new_dir)
+        self._commit(self.PENDING, new_dir)

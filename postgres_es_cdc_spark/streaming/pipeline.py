@@ -118,10 +118,46 @@ class UpsertSink:
         self.key = key
         self.order_col = order_col
 
+    # -- crash-safe commit protocol (the poor man's table format) -------
+    # Overwriting the state dir in place has a torn window: Spark's
+    # overwrite deletes before it rewrites, so a crash mid-write loses
+    # BOTH the old and new state. Instead every merge writes a fresh
+    # versioned directory and then atomically repoints a manifest file
+    # (os.replace — the same commit step Delta/Iceberg make on their
+    # log). A crash before the repoint leaves the old state current; a
+    # checkpoint-replayed batch rewrites the same version dir and
+    # repoints idempotently.
+
+    def _manifest(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}._manifest.json")
+
     def table_path(self, name: str) -> str:
+        """The CURRENT committed state directory for a table (resolves
+        the manifest; falls back to the legacy flat path)."""
+        import json as _json
+
+        m = self._manifest(name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return _json.load(f)["current"]
         return os.path.join(self.base_dir, name)
 
-    def _merge(self, spark: SparkSession, name: str, batch: DataFrame) -> None:
+    def _commit(self, name: str, new_dir: str) -> None:
+        import json as _json
+
+        old = self.table_path(name) if os.path.exists(self._manifest(name)) else None
+        tmp = self._manifest(name) + ".tmp"
+        os.makedirs(self.base_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            _json.dump({"current": new_dir}, f)
+        os.replace(tmp, self._manifest(name))
+        if old and old != new_dir and os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)  # best-effort GC
+
+    def _merge(self, spark: SparkSession, name: str, batch: DataFrame,
+               batch_id: int = 0) -> None:
         schema = self.schemas[name]
         path = self.table_path(name)
         # Represent existing state as synthetic INSERT events at offset -1:
@@ -141,16 +177,24 @@ class UpsertSink:
             events = events.unionByName(prior_ev)
         state = apply_changes(events, schema, self.key, self.order_col,
                               version_col=self.VERSION_COL)
-        tmp = path + ".tmp"
-        state.write.mode("overwrite").parquet(tmp)
-        final_df = spark.read.parquet(tmp)
-        final_df.write.mode("overwrite").parquet(path)
+        new_dir = self._next_dir(name, batch_id)
+        state.write.mode("overwrite").parquet(new_dir)
+        self._commit(name, new_dir)
+
+    def _next_dir(self, name: str, batch_id: int) -> str:
+        """Target dir for this merge — never the dir currently being
+        read (a replayed batch_id after a committed crash would
+        otherwise overwrite its own input mid-read)."""
+        new_dir = os.path.join(self.base_dir, f"{name}.v{batch_id}")
+        if new_dir == self.table_path(name):
+            new_dir += "r"
+        return new_dir
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         for name in self.schemas:
             table_events = batch.filter(F.col("tableName") == name)
-            self._merge(spark, name, table_events)
+            self._merge(spark, name, table_events, batch_id)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.apply_batch

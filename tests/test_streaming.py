@@ -521,3 +521,49 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_events == 3
     assert rows[0].sum_value == 6.0
+
+
+def test_sink_commit_protocol_survives_torn_write(spark, tmp_path):
+    """Crash-safety of the versioned-manifest commit: an aborted merge
+    (new version dir written or half-written, manifest never repointed)
+    leaves the prior committed state fully readable; replaying the same
+    batch id after a committed merge picks a fresh dir instead of
+    overwriting its own input."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import _parse_datatype_string
+    from postgres_es_cdc_spark.cdc.envelope import EVENT_SCHEMA
+
+    schema = _parse_datatype_string("id long, qty long")
+    sink = UpsertSink(str(tmp_path / "state"), {"t": schema})
+    b1 = spark.createDataFrame(
+        [Row(offset=1, operationType="INSERT", tableName="t",
+             payload='{"id":1,"qty":1}')], EVENT_SCHEMA)
+    sink.apply_batch(b1, 0)
+    committed = sink.table_path("t")
+    rows = spark.read.parquet(committed).collect()
+    assert [(r.id, r.qty) for r in rows] == [(1, 1)]
+
+    # Simulate a torn follow-up merge: garbage lands in the next version
+    # dir but the manifest is never repointed (the crash window).
+    torn = str(tmp_path / "state" / "t.v1")
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    assert sink.table_path("t") == committed  # still the old state
+    assert [(r.id, r.qty) for r in
+            spark.read.parquet(sink.table_path("t")).collect()] == [(1, 1)]
+
+    # Recovery: the replayed batch (same id) merges on top of the
+    # committed state and repoints; the sink converges.
+    b2 = spark.createDataFrame(
+        [Row(offset=2, operationType="UPDATE", tableName="t",
+             payload='{"id":1,"qty":9}')], EVENT_SCHEMA)
+    sink.apply_batch(b2, 1)
+    assert sorted((r.id, r.qty) for r in
+                  spark.read.parquet(sink.table_path("t")).collect()) == [(1, 9)]
+
+    # Same-batch-id replay (crash AFTER commit): must not write into the
+    # directory it reads from.
+    sink.apply_batch(b2, 1)
+    assert sorted((r.id, r.qty) for r in
+                  spark.read.parquet(sink.table_path("t")).collect()) == [(1, 9)]
