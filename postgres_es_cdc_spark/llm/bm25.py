@@ -77,6 +77,58 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .limit(TOP_K))
 
 
+RERANK_CANDIDATES = 20
+RERANK_K = 5
+
+
+def docs_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production search architecture: a cheap
+    lexical candidate generator (BM25 top-20) followed by a different,
+    more selective scorer over just those candidates (query-term
+    tf-vector cosine here; a cross-encoder in production). Only the
+    candidate set reaches stage 2, so the reranker's cost is O(k1)
+    per query regardless of corpus size.
+
+    Exactness: stage-1 scores are the detlog-quantized BM25 integers;
+    stage-2 cosine is ints under IEEE sqrt/divide — bit-identical in
+    both engines. Final order: cosine desc, bm25 desc, doc_id asc.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = d.filter(F.col("text").isNotNull()).count()
+    total_tokens = tok.count()
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.filter(F.col("term").isin(*MATCH_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = apply_stages_spark(
+        df_, ln_ratio_stages(f"{2 * n_docs + 2}", "(2*df + 1)"))
+    joined = (tf.join(F.broadcast(idf.select("term", "ln_ab")), "term")
+                .join(dl, "doc_id"))
+    scored = apply_stages_spark(
+        joined, _tfn_stages(str(n_docs), str(total_tokens)))
+    cands = (scored.groupBy("doc_id")
+                   .agg(F.sum("score_q").alias("bm25_q"))
+                   .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
+                   .limit(RERANK_CANDIDATES))
+    # stage 2: query-term tf-vector cosine against the all-ones query
+    # vector (|Q| = len(MATCH_TERMS)); candidates only reach this join.
+    tfv = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("s1"), F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+    rr = (cands.join(tfv, "doc_id")
+               .select("doc_id", "bm25_q",
+                       (F.col("s1").cast("double")
+                        / (F.sqrt(F.col("s2").cast("double"))
+                           * F.lit(float(len(MATCH_TERMS)) ** 0.5)))
+                       .alias("cos_rr")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cos_rr"), F.desc("bm25_q"), F.asc("doc_id"))
+    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= RERANK_K)
+              .select("rank", "doc_id", "bm25_q", "cos_rr"))
+
+
 def _build_sql() -> str:
     n_sub = "(SELECT n_docs FROM n)"
     t_sub = "(SELECT t_tokens FROM tot)"
@@ -115,3 +167,59 @@ LIMIT {TOP_K}
 
 
 DOCS_BM25_TOPK_SQL = _build_sql()
+
+
+def _build_rerank_sql() -> str:
+    n_sub = "(SELECT n_docs FROM n)"
+    t_sub = "(SELECT t_tokens FROM tot)"
+    idf_cte, idf_last = stages_cte_sql(
+        "dfreq", ln_ratio_stages(f"(2*{n_sub} + 2)", "(2*df + 1)"), "idf")
+    tfn_cte, tfn_last = stages_cte_sql(
+        "joined", _tfn_stages(n_sub, t_sub), "sc")
+    q_norm = float(len(MATCH_TERMS)) ** 0.5
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+  FROM documents
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+), tot AS (
+  SELECT COUNT(*) AS t_tokens FROM tok
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), qtok AS (
+  SELECT doc_id, term FROM tok WHERE term IN {str(tuple(MATCH_TERMS))}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY term
+), {idf_cte},
+joined AS (
+  SELECT tf.doc_id, tf.tf, dl.dl, i.ln_ab
+  FROM tf JOIN {idf_last} i USING (term) JOIN dl USING (doc_id)
+), {tfn_cte},
+cands AS (
+  SELECT doc_id, CAST(SUM(score_q) AS BIGINT) AS bm25_q
+  FROM {tfn_last}
+  GROUP BY doc_id
+  ORDER BY bm25_q DESC, doc_id ASC
+  LIMIT {RERANK_CANDIDATES}
+), tfv AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS s1,
+         CAST(SUM(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY doc_id
+), rr AS (
+  SELECT c.doc_id, c.bm25_q,
+         CAST(s1 AS DOUBLE) / (SQRT(CAST(s2 AS DOUBLE)) * {q_norm!r}) AS cos_rr
+  FROM cands c JOIN tfv USING (doc_id)
+)
+SELECT rank, doc_id, bm25_q, cos_rr
+FROM (SELECT doc_id, bm25_q, cos_rr,
+             ROW_NUMBER() OVER (
+               ORDER BY cos_rr DESC, bm25_q DESC, doc_id ASC) AS rank
+      FROM rr)
+WHERE rank <= {RERANK_K}
+"""
+
+
+DOCS_RETRIEVE_RERANK_SQL = _build_rerank_sql()

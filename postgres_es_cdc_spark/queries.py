@@ -120,6 +120,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # Broder estimator vs exact Jaccard, both hash-checked.
     "docs_minhash_jaccard_estimate": QuerySpec(
         dedup.docs_minhash_jaccard_estimate, dedup.DOCS_MINHASH_JACCARD_EST_SQL),
+    # two-stage retrieval: BM25 candidates -> tf-vector cosine rerank
+    "docs_retrieve_rerank": QuerySpec(
+        bm25.docs_retrieve_rerank, bm25.DOCS_RETRIEVE_RERANK_SQL),
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
