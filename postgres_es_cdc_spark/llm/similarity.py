@@ -253,10 +253,14 @@ def _kmeans_loop(ex: DataFrame, k: int,
     assign = None
     for _ in range(iters):
         scored = _cent_dist2(ex, cent, "vec_id")
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
-        assign = (scored.withColumn("rn", F.row_number().over(w))
-                        .filter(F.col("rn") == 1)
-                        .select("vec_id", "cid", "dist2"))
+        # argmin as ONE aggregation: min over struct(dist2, cid) orders
+        # lexicographically — identical to row_number()=1 by (dist2 asc,
+        # cid asc) but without the per-iteration window sort.
+        best = F.min(F.struct(F.col("dist2"), F.col("cid"))).alias("b")
+        assign = (scored.groupBy("vec_id").agg(best)
+                        .select("vec_id",
+                                F.col("b.cid").alias("cid"),
+                                F.col("b.dist2").alias("dist2")))
         cent = (ex.join(assign.select("vec_id", "cid"), "vec_id")
                   .groupBy("cid", "dim")
                   .agg(F.count("*").alias("n"), F.sum("xq").alias("sq")))
