@@ -171,3 +171,79 @@ SELECT doc_id,
        substr(scrubbed, len(scrubbed) - 27, 28) AS scrub_tail
 FROM s
 """
+
+
+# --- character-entropy quality signal --------------------------------------
+# The model-free perplexity proxy: character-unigram entropy
+# H = ln(n) - (Σ_c cnt_c·ln cnt_c)/n. Repetitive/degenerate text (the
+# classic low-quality failure mode) scores low. Logs are libm-free
+# (functions/detlog.py), per-row products are quantized to exact int64
+# before the order-dependent sum — the BM25 discipline — so the double
+# result is bit-identical cross-engine.
+ENTROPY_THRESHOLD = "2.6E0"  # nats; ~26 distinct chars of ASCII prose
+_H_EXPR = "ln_ab - (CAST(sq AS DOUBLE) / 1.0E6) / CAST(n AS DOUBLE)"
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy + low-entropy flag.
+
+    Shape: one explode to characters, two partial-agg passes
+    ((doc,char) counts, then per-doc combine), ln stages as codegen
+    expressions — no UDFs, no shuffle beyond the two aggregations."""
+    from postgres_es_cdc_spark.catalog import scan_parallel
+    from postgres_es_cdc_spark.functions.detlog import (
+        apply_stages_spark, ln_ratio_stages)
+
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chars = (d.select("doc_id", "text",
+                      F.explode(F.sequence(F.lit(1), F.length("text")))
+                       .alias("pos"))
+              .select("doc_id", F.expr("substring(text, pos, 1)").alias("ch")))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    with_ln = apply_stages_spark(cnt, ln_ratio_stages("cnt", "1"))
+    rowq = with_ln.select(
+        "doc_id", "cnt",
+        F.expr("CAST(floor(cnt * ln_ab * 1.0E6 + 5.0E-1) AS BIGINT)")
+         .alias("q"))
+    per = rowq.groupBy("doc_id").agg(F.sum("cnt").alias("n"),
+                                     F.sum("q").alias("sq"))
+    final = apply_stages_spark(per, ln_ratio_stages("n", "1"))
+    return final.select(
+        "doc_id", F.col("n").alias("n_chars_counted"),
+        F.expr(_H_EXPR).alias("entropy"),
+        F.expr(f"CAST({_H_EXPR} < {ENTROPY_THRESHOLD} AS BIGINT)")
+         .alias("low_entropy"))
+
+
+def _build_entropy_sql() -> str:
+    from postgres_es_cdc_spark.functions.detlog import (
+        ln_ratio_stages, stages_cte_sql)
+
+    cte1, last1 = stages_cte_sql("cnt", ln_ratio_stages("cnt", "1"), "lc")
+    cte2, last2 = stages_cte_sql("per", ln_ratio_stages("n", "1"), "ln_n")
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+  FROM documents
+), chars AS (
+  SELECT doc_id, substring(text, pos, 1) AS ch FROM pos
+), cnt AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
+), {cte1},
+rowq AS (
+  SELECT doc_id, cnt,
+         CAST(floor(cnt * ln_ab * 1.0E6 + 5.0E-1) AS BIGINT) AS q
+  FROM {last1}
+), per AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sq
+  FROM rowq GROUP BY doc_id
+), {cte2}
+SELECT doc_id, n AS n_chars_counted,
+       {_H_EXPR} AS entropy,
+       CAST({_H_EXPR} < {ENTROPY_THRESHOLD} AS BIGINT) AS low_entropy
+FROM {last2}
+"""
+
+
+DOCS_CHAR_ENTROPY_SQL = _build_entropy_sql()

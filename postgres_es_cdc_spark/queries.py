@@ -123,6 +123,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # two-stage retrieval: BM25 candidates -> tf-vector cosine rerank
     "docs_retrieve_rerank": QuerySpec(
         bm25.docs_retrieve_rerank, bm25.DOCS_RETRIEVE_RERANK_SQL),
+    # character-entropy quality signal (model-free perplexity proxy)
+    "docs_char_entropy": QuerySpec(
+        quality.docs_char_entropy, quality.DOCS_CHAR_ENTROPY_SQL),
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
