@@ -310,6 +310,14 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
                                 F.least(F.col("label"),
                                         F.coalesce("nlabel", F.col("label")))
                                  .alias("label")))
+        # Each round references `labels` TWICE (neighbor join + merge),
+        # so the uncut lineage doubles per iteration — 2^iters replays
+        # of the whole pipeline. Truncate it: materialize this round's
+        # labels (tiny: one row per doc) and start the next round from
+        # the materialized result. This is the per-iteration barrier
+        # every Pregel-style loop needs; on a cluster it would be a
+        # checkpoint to reliable storage.
+        labels = labels.localCheckpoint(eager=True)
     return (labels.groupBy("label")
                   .agg(F.count("*").alias("cluster_size"),
                        F.min("doc_id").alias("canonical_id"),

@@ -243,6 +243,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str,
                                (F.col("dist") + 1).alias("dist")))
         dist = (dist.unionByName(relaxed)
                     .groupBy("node").agg(F.min("dist").alias("dist")))
+        # `dist` appears twice per round (frontier + carry-over), so the
+        # uncut lineage doubles per iteration; materialize each round
+        # (one short row per reached node) to keep total work linear.
+        dist = dist.localCheckpoint(eager=True)
     return dist
 
 
