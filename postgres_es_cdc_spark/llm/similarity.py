@@ -717,3 +717,88 @@ FROM (SELECT qid, cand, dist2_q,
       FROM scored)
 WHERE rank <= {IVF_K}
 """
+
+
+PQ_SUBSPACES = 4
+PQ_DIMS_PER = 16
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def emb_pq_encode(spark: SparkSession, sf_dir: str,
+                  subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+                  iters: int = PQ_ITERS) -> DataFrame:
+    """Product quantization: split each 64-dim vector into 4 sub-vectors
+    of 16 dims, train an independent k-means codebook (k=4, 2 iters,
+    exact rational centroids) per subspace, and encode every vector as
+    its 4 nearest-centroid codes — 64 floats compressed to 4 small ints
+    plus shared codebooks, the memory layout modern billion-vector ANN
+    indexes store. Output carries the per-vector total assignment
+    distortion (sum of final subspace assign distances, fixed addition
+    order) so compression quality is part of the hash check.
+
+    Scale: subspace training loops touch disjoint dim slices of one
+    exploded frame; codebooks stay broadcast-size (k·dims rows); the
+    encode is the same broadcast assign as IVF. The DuckDB twin unrolls
+    all four training loops."""
+    ex = _exploded(spark, sf_dir)
+    out = None
+    dsum = None
+    for s in range(subspaces):
+        # posexplode dims are 0-based on the Spark side
+        lo, hi = s * PQ_DIMS_PER, (s + 1) * PQ_DIMS_PER
+        exs = ex.filter((F.col("dim") >= lo) & (F.col("dim") < hi))
+        assign, _cent = _kmeans_loop(exs, k, iters)
+        a = assign.select("vec_id", F.col("cid").alias(f"code{s}"),
+                          F.col("dist2").alias(f"_d{s}"))
+        out = a if out is None else out.join(a, "vec_id")
+        d = F.col(f"_d{s}")
+        dsum = d if dsum is None else dsum + d
+    return out.select(
+        "vec_id", *[f"code{s}" for s in range(subspaces)],
+        dsum.alias("dist2_total"))
+
+
+def _pq_sql(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+            iters: int = PQ_ITERS) -> str:
+    parts = [f"""WITH ex AS (
+  SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+)"""]
+    for s in range(subspaces):
+        lo, hi = s * PQ_DIMS_PER + 1, (s + 1) * PQ_DIMS_PER  # 1-based
+        parts.append(f""", ex{s} AS (
+  SELECT * FROM ex WHERE dim BETWEEN {lo} AND {hi}
+), c0_{s} AS (
+  SELECT vec_id AS cid, dim, CAST(1 AS BIGINT) AS n, xq AS sq
+  FROM ex{s} WHERE vec_id < {k}
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""", s{i}_{s} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM(CAST(e.xq*c.n - c.sq AS HUGEINT) * CAST(e.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM ex{s} e JOIN c{i-1}_{s} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+), a{i}_{s} AS (
+  SELECT vec_id, cid, dist2
+  FROM (SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM s{i}_{s})
+  WHERE rn = 1
+), c{i}_{s} AS (
+  SELECT a.cid, e.dim, COUNT(*) AS n, CAST(SUM(e.xq) AS BIGINT) AS sq
+  FROM ex{s} e JOIN a{i}_{s} a USING (vec_id)
+  GROUP BY a.cid, e.dim
+)""")
+    codes = ", ".join(f"a{iters}_{s}.cid AS code{s}" for s in range(subspaces))
+    total = " + ".join(f"a{iters}_{s}.dist2" for s in range(subspaces))
+    joins = f"a{iters}_0" + "".join(
+        f" JOIN a{iters}_{s} USING (vec_id)" for s in range(1, subspaces))
+    parts.append(f"""
+SELECT vec_id, {codes}, {total} AS dist2_total
+FROM {joins}""")
+    return "".join(parts)
+
+
+EMB_PQ_ENCODE_SQL = _pq_sql()

@@ -126,6 +126,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # character-entropy quality signal (model-free perplexity proxy)
     "docs_char_entropy": QuerySpec(
         quality.docs_char_entropy, quality.DOCS_CHAR_ENTROPY_SQL),
+    # product quantization: per-subspace codebooks + codes + distortion
+    "emb_pq_encode": QuerySpec(
+        similarity.emb_pq_encode, similarity.EMB_PQ_ENCODE_SQL),
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
