@@ -45,6 +45,10 @@ HEADLINE = [
     "events_gap_fill",
     "graph_bfs_distances",
     "multimodal_embed_topk",
+    # round-3 flagships
+    "docs_rrf_fusion",
+    "emb_pq_adc_topk",
+    "events_interval_join",
 ]
 
 

@@ -265,3 +265,55 @@ SELECT expected.*,
        CASE WHEN id % 11 = 0 THEN 'vip' END AS vip_note
 FROM expected
 """
+
+
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog observability report: per (table, operation) — event
+    count, parse-failure count, distinct touched keys, and offset span.
+    This is the monitoring query a CDC operator runs to spot a producer
+    emitting malformed payloads or an op-mix shift (mass deletes), the
+    aggregate twin of the reference's per-event logging (utils.go:99-113).
+
+    One partial-aggregable pass over the stream: the shuffle carries a
+    handful of counters per (table, op), never events. The oracle
+    re-synthesizes the same closed-form stream in SQL (corrupt events
+    ride the INSERT op with a NULL key, as decoded)."""
+    ev = orders_cdc_events(spark, sf_dir)
+    key = F.get_json_object("payload", "$.id").cast("long")
+    return (
+        ev.groupBy(F.col("tableName"), F.col("operationType"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.count(F.when(~is_valid(F.col("payload")), F.lit(1)))
+                .alias("n_corrupt"),
+               F.countDistinct(key).alias("n_distinct_keys"),
+               F.min("offset").alias("min_offset"),
+               F.max("offset").alias("max_offset"))
+    )
+
+
+CDC_CHANGELOG_STATS_SQL = """
+WITH ev AS (
+  SELECT o_orderkey*10 AS ev_offset, 'INSERT' AS op, o_orderkey AS id,
+         FALSE AS corrupt FROM orders
+  UNION ALL SELECT o_orderkey*10+3, 'UPDATE', o_orderkey, FALSE
+    FROM orders WHERE o_orderkey%5=0
+  UNION ALL SELECT o_orderkey*10+4, 'UPDATE', o_orderkey, FALSE
+    FROM orders WHERE o_orderkey%7=0
+  UNION ALL SELECT o_orderkey*10+5, 'DELETE', o_orderkey, FALSE
+    FROM orders WHERE o_orderkey%9=0
+  UNION ALL SELECT o_orderkey*10+6, 'INSERT', NULL, TRUE
+    FROM orders WHERE o_orderkey%13=0
+  UNION ALL SELECT o_orderkey*10+7, 'INSERT', o_orderkey, FALSE
+    FROM orders WHERE o_orderkey%9=0 AND o_orderkey%2=1
+  UNION ALL SELECT o_orderkey*10+8, 'UPDATE', -o_orderkey, FALSE
+    FROM orders WHERE o_orderkey%17=0
+)
+SELECT 'orders' AS tableName, op AS operationType,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN corrupt THEN 1 END) AS n_corrupt,
+       COUNT(DISTINCT id) AS n_distinct_keys,
+       MIN(ev_offset) AS min_offset,
+       MAX(ev_offset) AS max_offset
+FROM ev
+GROUP BY op
+"""

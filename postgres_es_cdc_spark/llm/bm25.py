@@ -223,3 +223,148 @@ WHERE rank <= {RERANK_K}
 
 
 DOCS_RETRIEVE_RERANK_SQL = _build_rerank_sql()
+
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_CANDIDATES = 20
+RRF_TOP = 10
+
+
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — the standard way
+    hybrid search merges lexical and semantic rankings without score
+    calibration: rrf(d) = Σ_r 1/(K + rank_r(d)), K=60 (Cormack et al.).
+    Here the fused rankers are BM25 top-20 and a tf-vector cosine
+    top-20 (independent scoring geometries over the same match query).
+
+    Exactness: ranks are integers, so each doc's fused score is the
+    exact rational Σ 1/(K+r) formed as integer numerator/denominator
+    and descaled by ONE double division — bit-identical cross-engine
+    (never sum the per-list float reciprocals). Scale: both rankers are
+    candidate-bounded top-k (TakeOrdered); the fusion join touches ≤40
+    rows."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = d.filter(F.col("text").isNotNull()).count()
+    total_tokens = tok.count()
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.filter(F.col("term").isin(*MATCH_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = apply_stages_spark(
+        df_, ln_ratio_stages(f"{2 * n_docs + 2}", "(2*df + 1)"))
+    joined = (tf.join(F.broadcast(idf.select("term", "ln_ab")), "term")
+                .join(dl, "doc_id"))
+    scored = apply_stages_spark(
+        joined, _tfn_stages(str(n_docs), str(total_tokens)))
+    wa = Window.orderBy(F.desc("bm25_q"), F.asc("doc_id"))
+    list_a = (scored.groupBy("doc_id")
+                    .agg(F.sum("score_q").alias("bm25_q"))
+                    .withColumn("rank_bm25",
+                                F.row_number().over(wa).cast("long"))
+                    .filter(F.col("rank_bm25") <= RRF_CANDIDATES)
+                    .select("doc_id", "rank_bm25"))
+    tfv = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("s1"), F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+    cos = tfv.select(
+        "doc_id",
+        (F.col("s1").cast("double")
+         / (F.sqrt(F.col("s2").cast("double"))
+            * F.lit(float(len(MATCH_TERMS)) ** 0.5))).alias("cos_tf"))
+    wb = Window.orderBy(F.desc("cos_tf"), F.asc("doc_id"))
+    list_b = (cos.withColumn("rank_cos",
+                             F.row_number().over(wb).cast("long"))
+                 .filter(F.col("rank_cos") <= RRF_CANDIDATES)
+                 .select("doc_id", "rank_cos"))
+    fused = list_a.join(list_b, "doc_id", "full_outer")
+    ta = F.col("rank_bm25") + F.lit(RRF_K)
+    tb = F.col("rank_cos") + F.lit(RRF_K)
+    num = (F.when(F.col("rank_bm25").isNotNull()
+                  & F.col("rank_cos").isNotNull(), ta + tb)
+            .when(F.col("rank_bm25").isNotNull(), F.lit(1))
+            .otherwise(F.lit(1))).cast("long")
+    den = (F.when(F.col("rank_bm25").isNotNull()
+                  & F.col("rank_cos").isNotNull(), ta * tb)
+            .when(F.col("rank_bm25").isNotNull(), ta)
+            .otherwise(tb)).cast("long")
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.withColumn("rrf", num.cast("double") / den.cast("double"))
+                 .withColumn("fused_rank",
+                             F.row_number().over(wf).cast("long"))
+                 .filter(F.col("fused_rank") <= RRF_TOP)
+                 .select("fused_rank", "doc_id", "rank_bm25", "rank_cos",
+                         "rrf"))
+
+
+def _build_rrf_sql() -> str:
+    n_sub = "(SELECT n_docs FROM n)"
+    t_sub = "(SELECT t_tokens FROM tot)"
+    idf_cte, idf_last = stages_cte_sql(
+        "dfreq", ln_ratio_stages(f"(2*{n_sub} + 2)", "(2*df + 1)"), "idf")
+    tfn_cte, tfn_last = stages_cte_sql(
+        "joined", _tfn_stages(n_sub, t_sub), "sc")
+    q_norm = float(len(MATCH_TERMS)) ** 0.5
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+  FROM documents
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+), tot AS (
+  SELECT COUNT(*) AS t_tokens FROM tok
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), qtok AS (
+  SELECT doc_id, term FROM tok WHERE term IN {str(tuple(MATCH_TERMS))}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY term
+), {idf_cte},
+joined AS (
+  SELECT tf.doc_id, tf.tf, dl.dl, i.ln_ab
+  FROM tf JOIN {idf_last} i USING (term) JOIN dl USING (doc_id)
+), {tfn_cte},
+list_a AS (
+  SELECT doc_id, rank_bm25 FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS rank_bm25
+    FROM (SELECT doc_id, CAST(SUM(score_q) AS BIGINT) AS bm25_q
+          FROM {tfn_last} GROUP BY doc_id))
+  WHERE rank_bm25 <= {RRF_CANDIDATES}
+), tfv AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS s1,
+         CAST(SUM(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY doc_id
+), list_b AS (
+  SELECT doc_id, rank_cos FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_tf DESC, doc_id ASC) AS rank_cos
+    FROM (SELECT doc_id,
+                 CAST(s1 AS DOUBLE) / (SQRT(CAST(s2 AS DOUBLE)) * {q_norm!r})
+                   AS cos_tf
+          FROM tfv))
+  WHERE rank_cos <= {RRF_CANDIDATES}
+), fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_bm25, b.rank_cos,
+         CAST(CASE WHEN a.rank_bm25 IS NOT NULL AND b.rank_cos IS NOT NULL
+                   THEN (a.rank_bm25 + {RRF_K}) + (b.rank_cos + {RRF_K})
+                   ELSE 1 END AS DOUBLE)
+         / CAST(CASE WHEN a.rank_bm25 IS NOT NULL AND b.rank_cos IS NOT NULL
+                     THEN (a.rank_bm25 + {RRF_K}) * (b.rank_cos + {RRF_K})
+                     WHEN a.rank_bm25 IS NOT NULL THEN a.rank_bm25 + {RRF_K}
+                     ELSE b.rank_cos + {RRF_K} END AS DOUBLE) AS rrf
+  FROM list_a a FULL OUTER JOIN list_b b USING (doc_id)
+)
+SELECT fused_rank, doc_id, rank_bm25, rank_cos, rrf
+FROM (SELECT doc_id, rank_bm25, rank_cos, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+      FROM fused)
+WHERE fused_rank <= {RRF_TOP}
+"""
+
+
+DOCS_RRF_FUSION_SQL = _build_rrf_sql()

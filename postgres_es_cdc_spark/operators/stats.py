@@ -172,3 +172,79 @@ SELECT o_orderpriority AS priority,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def stats_linreg_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept /
+    regr_r2 / regr_count) of y = extended price (exact cents) on
+    x = quantity, per returnflag — assembled from exact integer
+    sufficient statistics, NOT engine-native regr_* (whose double
+    accumulation order differs per engine; see module docstring).
+
+    slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    intercept = (Σy − slope·Σx) / n
+    r²        = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+
+    Sums carry cents (≤1e7) × quantity (≤50) over ~6e5 rows ⇒ n·Σxy can
+    exceed int64 — numerators are formed in DECIMAL(38,0)/HUGEINT (exact
+    in both engines) and cast to double only for the final correctly-
+    rounded divisions; r²'s squares are taken in double to avoid 38-digit
+    overflow (same fixed op order both sides). One partial-aggregable
+    pass: the shuffle carries six counters per group."""
+    l = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")  # cents
+    g = (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"),
+              F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"),
+              F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+              F.sum(x * y).alias("sxy"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * F.col("sy"))
+    den_x = (d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * F.col("sx"))
+    den_y = (d38(F.col("n")) * F.col("syy") - d38(F.col("sy")) * F.col("sy"))
+    slope = num.cast("double") / den_x.cast("double")
+    intercept = ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    r2 = ((num.cast("double") * num.cast("double"))
+          / (den_x.cast("double") * den_y.cast("double")))
+    return g.select(
+        "returnflag",
+        F.col("n").alias("regr_count"),
+        (slope * 0.01).alias("slope_dollars_per_unit"),
+        (intercept * 0.01).alias("intercept_dollars"),
+        r2.alias("r2"),
+    )
+
+
+STATS_LINREG_SQL = """
+WITH s AS (
+  SELECT l_returnflag AS returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT returnflag, n AS regr_count,
+       (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * 0.01
+         AS slope_dollars_per_unit,
+       ((CAST(sy AS DOUBLE)
+         - (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE)) * 0.01 AS intercept_dollars,
+       (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        * CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE))
+       / (CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+          * CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)) AS r2
+FROM s
+"""

@@ -168,3 +168,47 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       FROM orders)
 WHERE price_rank <= 3
 """
+
+
+def nation_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (nation, segment) customer-balance total as
+    a share of its nation's total and of the grand total — window
+    aggregates OVER an aggregated frame (sum over sum), the pattern
+    behind every 'share of' dashboard column.
+
+    Exactness: balances are exact-2dp; totals stay DECIMAL through both
+    window sums, and each share is ONE double division of exact cents —
+    deterministic cross-engine. Scale: windows run on the |nation|x
+    |segment| rollup (tiny), never the raw table; the heavy pass is the
+    single partial-aggregable groupBy."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    g = (c.groupBy(F.col("c_nationkey").alias("nationkey"),
+                   F.col("c_mktsegment").alias("mktsegment"))
+          .agg(F.sum(cents).alias("bal_c")))
+    wn = Window.partitionBy("nationkey")
+    wall = Window.partitionBy()
+    return g.select(
+        "nationkey", "mktsegment",
+        (F.col("bal_c").cast("double") / 100.0).alias("segment_bal"),
+        (F.col("bal_c").cast("double")
+         / F.sum("bal_c").over(wn).cast("double")).alias("share_of_nation"),
+        (F.col("bal_c").cast("double")
+         / F.sum("bal_c").over(wall).cast("double")).alias("share_of_total"),
+    )
+
+
+NATION_SHARE_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c
+  FROM customer GROUP BY 1, 2
+)
+SELECT nationkey, mktsegment,
+       CAST(bal_c AS DOUBLE) / 100.0 AS segment_bal,
+       CAST(bal_c AS DOUBLE)
+         / CAST(SUM(bal_c) OVER (PARTITION BY nationkey) AS DOUBLE) AS share_of_nation,
+       CAST(bal_c AS DOUBLE)
+         / CAST(SUM(bal_c) OVER () AS DOUBLE) AS share_of_total
+FROM g
+"""

@@ -232,18 +232,52 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentile_disc_prices": QuerySpec(advanced.percentile_disc_prices, advanced.PERCENTILE_SQL),
     "agg_stats_moments": QuerySpec(stats.agg_stats_moments, stats.AGG_STATS_MOMENTS_SQL),
     "percentile_cont_quantity": QuerySpec(stats.percentile_cont_quantity, stats.PERCENTILE_CONT_SQL),
+    # --- round 3 additions (authored AFTER the 40 driver-unverified
+    # queries above in rotation order: appended here so they fill the
+    # 50-window's remaining slots without displacing them) ---
+    "docs_rrf_fusion": QuerySpec(bm25.docs_rrf_fusion, bm25.DOCS_RRF_FUSION_SQL),
+    "emb_pq_adc_topk": QuerySpec(similarity.emb_pq_adc_topk, similarity.EMB_PQ_ADC_SQL),
+    "docs_dedup_rate_report": QuerySpec(dedup.docs_dedup_rate_report, dedup.DOCS_DEDUP_RATE_SQL),
+    "stats_linreg_price_qty": QuerySpec(stats.stats_linreg_price_qty, stats.STATS_LINREG_SQL),
+    "events_interval_join": QuerySpec(events_q.events_interval_join, events_q.EVENTS_INTERVAL_JOIN_SQL),
+    "events_asof_forward": QuerySpec(events_q.events_asof_forward, events_q.EVENTS_ASOF_FWD_SQL),
+    "events_props_schema_profile": QuerySpec(events_q.events_props_schema_profile, events_q.EVENTS_PROPS_PROFILE_SQL),
+    "events_daily_top_types_delta": QuerySpec(events_q.events_daily_top_types_delta, events_q.EVENTS_DAILY_TOP_SQL),
+    "cdc_changelog_stats": QuerySpec(cdcq.cdc_changelog_stats, cdcq.CDC_CHANGELOG_STATS_SQL),
+    "nation_share_of_segment": QuerySpec(windows.nation_share_of_segment, windows.NATION_SHARE_SQL),
 }
+
+
+def query_fingerprint(spec: QuerySpec) -> str:
+    """Identity of a query's *implementation*: sha256 over the registered
+    function's source plus its oracle SQL. Helper-function edits don't
+    change it (documented limitation — force re-validation of such
+    queries by dropping their QUERY_FINGERPRINTS.json entry)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = repr(spec.fn)
+    return hashlib.sha256(
+        (src + "\x00" + (spec.oracle or "")).encode()).hexdigest()
 
 
 def rotate_by_correctness(registry: dict[str, QuerySpec],
                           artifact_dir: str | None = None
                           ) -> dict[str, QuerySpec]:
     """Self-driving rotation of the driver's 50-query evaluation prefix:
-    any query with a hash-green row in ANY prior CORRECTNESS_r*.json
-    moves behind the ones still lacking driver verification, preserving
-    the authored priority order within each group. With no artifacts
-    present this is the identity, so the static ordering above remains
-    the round-1 behavior."""
+    any query with a STILL-VALID hash-green row in a prior
+    CORRECTNESS_r*.json moves behind the ones lacking driver
+    verification, preserving the authored priority order within each
+    group. A green row is valid only while the query's implementation
+    fingerprint matches the one recorded in QUERY_FINGERPRINTS.json
+    (maintained by tools/record_fingerprints.py at round start) — a
+    rewritten query or oracle rotates back into the evaluation window
+    instead of keeping stale green status. With no artifacts present
+    this is the identity, so the static ordering above remains the
+    round-1 behavior."""
     import glob
     import json
     import os
@@ -260,6 +294,15 @@ def rotate_by_correctness(registry: dict[str, QuerySpec],
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(name)
+    try:
+        with open(os.path.join(artifact_dir, "QUERY_FINGERPRINTS.json")) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        recorded = None
+    if recorded is not None:
+        green = {n for n in green
+                 if n in registry
+                 and recorded.get(n) == query_fingerprint(registry[n])}
     front = {k: v for k, v in registry.items() if k not in green}
     back = {k: v for k, v in registry.items() if k in green}
     return {**front, **back}

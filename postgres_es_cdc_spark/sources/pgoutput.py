@@ -222,7 +222,9 @@ def decode_messages(messages: DataFrame, relcache: dict,
                 out["payload"].append(payload)
                 out["txn_id"].append(txn)
 
-            for off, raw in zip(pdf[offset_col], pdf[data_col]):
+            # the select below aliases offset_col to "offset" before
+            # mapInPandas, so the batch always carries these two names
+            for off, raw in zip(pdf["offset"], pdf[data_col]):
                 data = bytes(raw)
                 tag = data[:1]
                 if tag == b"B":
@@ -309,6 +311,15 @@ def encode_typed_events(events: DataFrame, oid: int,
 
     def _fmt(v, kind: str) -> str:
         if kind in ("bigint", "int", "smallint", "tinyint"):
+            # Arrow hands nullable integer struct fields to pandas as
+            # float64, which is lossy above 2^53 — a silent str(int(v))
+            # would corrupt keys on the wire at realistic id ranges.
+            # Fail loudly at the boundary instead.
+            if isinstance(v, float) and (v != int(v) or abs(v) >= 2 ** 53):
+                raise ValueError(
+                    f"integer value {v!r} not exactly representable after "
+                    "Arrow float64 conversion; pass ids as strings or "
+                    "re-chunk the batch to avoid nulls in this column")
             return str(int(v))
         if kind == "double" or kind == "float":
             return repr(float(v))  # shortest repr: exact round trip
@@ -422,19 +433,61 @@ class WalStreamApply:
         os.replace(tmp, self._context_path())
 
     def apply(self, batch: DataFrame, batch_id: int) -> None:
-        self.relcache.update(relation_cache(batch))
-        ev = assign_txn_ids(decode_messages(batch, self.relcache))
+        ev = assign_txn_ids(self._decode_in_offset_order(batch))
         if self.last_xid is not None:
             ev = ev.withColumn(
                 "txn_id", F.coalesce("txn_id", F.lit(self.last_xid)))
         # tableName null on markers: keep them for the sink's commit scan
-        last_begin = (ev.filter(F.col("operationType") == "BEGIN")
-                        .orderBy(F.col("offset").desc())
-                        .select("txn_id").limit(1).collect())
+        last_marker = (ev.filter(F.col("operationType")
+                                  .isin("BEGIN", "COMMIT"))
+                         .orderBy(F.col("offset").desc())
+                         .select("operationType", "txn_id").limit(1)
+                         .collect())
         self.sink.apply_batch(ev, batch_id)
-        if last_begin:
-            self.last_xid = int(last_begin[0][0])
+        if last_marker:
+            if last_marker[0][0] == "BEGIN":
+                self.last_xid = int(last_marker[0][1])
+            else:
+                # the last transaction committed inside this batch — a
+                # malformed data row arriving outside a Begin/Commit
+                # bracket in a later batch must NOT be attributed to it
+                # (it would park in the pending buffer forever); with no
+                # open xid such rows keep txn_id null and surface.
+                self.last_xid = None
         self._save_context()
+
+    def _decode_in_offset_order(self, batch: DataFrame) -> DataFrame:
+        """Decode honoring WAL order across Relation re-sends: data rows
+        preceding a mid-batch Relation message decode against the PRIOR
+        schema version, exactly as a sequential reader (producer.go
+        caches as it reads) would. The batch is split at each Relation
+        offset and each span decodes with the cache as of that point;
+        Relation messages are vocabulary-count rare, so this is 1 span
+        in the steady state."""
+        rel_rows = sorted(
+            ((r[0], bytes(r[1])) for r in
+             batch.filter(F.expr("substring(data, 1, 1) = X'52'"))
+                  .select("offset", "data").collect()),
+            key=lambda t: t[0])
+        if not rel_rows:
+            return decode_messages(batch, dict(self.relcache))
+        cache = dict(self.relcache)
+        spans: list[DataFrame] = []
+        lo: int | None = None
+        for off, data in rel_rows:
+            cond = (F.col("offset") < off) if lo is None else (
+                (F.col("offset") > lo) & (F.col("offset") < off))
+            spans.append(decode_messages(batch.filter(cond), dict(cache)))
+            oid, name, cols = decode_relation(data)
+            cache[oid] = (name, cols)
+            lo = off
+        spans.append(
+            decode_messages(batch.filter(F.col("offset") > lo), dict(cache)))
+        self.relcache = cache
+        ev = spans[0]
+        for s in spans[1:]:
+            ev = ev.unionByName(s)
+        return ev
 
     def writer(self):
         return self.apply

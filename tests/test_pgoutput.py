@@ -91,6 +91,83 @@ def test_wal_to_committed_state_end_to_end(spark):
     assert rows == [(1, "a", 5), (2, "b", 60)]
 
 
+def test_decode_messages_nondefault_offset_col(spark):
+    """Regression (ADVICE r2): a forwarded non-default offset_col must
+    not KeyError inside the decode closure — the column is aliased to
+    'offset' before mapInPandas."""
+    msgs = [encode_relation(OID, "t", COLS), encode_insert(OID, [1, "a", 5])]
+    df = _wal_df(spark, msgs).withColumnRenamed("offset", "lsn")
+    cache = relation_cache(df)
+    ev = decode_messages(df, cache, offset_col="lsn").collect()
+    assert [(r.offset, r.operationType) for r in ev] == [(1, "INSERT")]
+
+
+def test_mid_batch_relation_resend_uses_prior_schema(spark, tmp_path):
+    """Rows preceding a Relation re-send in the SAME batch must decode
+    against the prior column list (sequential WAL semantics), not the
+    batch-final one (ADVICE r2: WalStreamApply folded all Relations
+    before decoding any data row)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.cdc.txn import TxnUpsertSink
+    from postgres_es_cdc_spark.sources.pgoutput import WalStreamApply
+
+    schema = _parse_datatype_string("id long, name string, qty long")
+    sink = TxnUpsertSink(str(tmp_path / "state"), {"t": schema})
+    apply = WalStreamApply(sink)
+
+    # One batch: v1 schema (id,name,qty) -> insert -> schema change
+    # renaming qty->qty2 -> insert. The first insert's third value must
+    # map to 'qty', the second one's to 'qty2'.
+    msgs = [
+        encode_relation(OID, "t", ["id", "name", "qty"]),
+        encode_begin(xid=1),
+        encode_insert(OID, [1, "a", 5]),
+        encode_commit(),
+        encode_relation(OID, "t", ["id", "name", "qty2"]),
+        encode_begin(xid=2),
+        encode_insert(OID, [2, "b", 6]),
+        encode_commit(),
+    ]
+    decoded = apply._decode_in_offset_order(_wal_df(spark, msgs))
+    payloads = {r.offset: r.payload for r in decoded.collect()
+                if r.operationType == "INSERT"}
+    assert payloads[2] == '{"id":"1","name":"a","qty":"5"}'
+    assert payloads[6] == '{"id":"2","name":"b","qty2":"6"}'
+    # and the carried cache ends at the newest version
+    assert apply.relcache[OID] == ("t", ["id", "name", "qty2"])
+
+
+def test_commit_clears_open_xid(spark, tmp_path):
+    """After a batch whose last marker is COMMIT, no transaction is
+    open: a stray unbracketed row in the next batch keeps txn_id null
+    instead of being attributed to the committed transaction and parked
+    forever (ADVICE r2)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.cdc.txn import TxnUpsertSink
+    from postgres_es_cdc_spark.sources.pgoutput import WalStreamApply
+
+    schema = _parse_datatype_string("id long, name string, qty long")
+    sink = TxnUpsertSink(str(tmp_path / "state"), {"t": schema})
+    apply = WalStreamApply(sink)
+
+    apply.apply(_wal_df(spark, [
+        encode_relation(OID, "t", COLS),
+        encode_begin(xid=7),
+        encode_insert(OID, [1, "a", 5]),
+        encode_commit(),
+    ]), 0)
+    assert apply.last_xid is None  # txn 7 closed within the batch
+
+    # unbracketed (malformed) row in the next batch: stays unattributed
+    ev = apply._decode_in_offset_order(
+        _wal_df(spark, [encode_insert(OID, [9, "z", 1])]))
+    from postgres_es_cdc_spark.sources.pgoutput import assign_txn_ids
+    row = assign_txn_ids(ev).collect()[0]
+    assert row.txn_id is None
+
+
 def test_wal_stream_pipeline_txn_atomic_across_segments(spark, tmp_path):
     """The whole loop as one stream: segmented WAL files -> decode ->
     transaction-atomic sink. Txn 8 spans a segment boundary and its

@@ -27,6 +27,25 @@ def test_fast_and_exact_topk_agree_on_ranking(spark, sf_dir):
     assert exact == fast
 
 
+def test_trained_quantizer_memoizes_and_roundtrips(spark, sf_dir, tmp_path):
+    """The quantizer artifact trains once per (session, corpus, k, iters)
+    — the same object comes back — and survives a parquet save/load
+    round-trip bit-exactly (all-integer columns, no float drift)."""
+    from postgres_es_cdc_spark.llm.similarity import (
+        load_quantizer, save_quantizer, trained_quantizer)
+
+    a1, c1 = trained_quantizer(spark, sf_dir, k=5, iters=2)
+    a2, c2 = trained_quantizer(spark, sf_dir, k=5, iters=2)
+    assert a1 is a2 and c1 is c2  # memoized, not retrained
+
+    path = str(tmp_path / "quantizer")
+    save_quantizer(a1, c1, path)
+    ra, rc = load_quantizer(spark, path)
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, ra.collect())) == sorted(map(key, a1.collect()))
+    assert sorted(map(key, rc.collect())) == sorted(map(key, c1.collect()))
+
+
 def test_near_dup_recall_is_total_on_planted_pairs(spark, sf_dir):
     """Banded sign-LSH must recover EVERY planted near-duplicate (the
     perturbation only touches band 0, so bands 1-7 always collide) and
