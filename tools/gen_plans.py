@@ -64,6 +64,27 @@ PICKS = {
         "Spine and hourly rollup both broadcast into the fill join; the "
         "raw event scan feeds ONE map-side-combinable aggregate and is "
         "never joined row-wise against the spine.",
+    "events_interval_join":
+        "Interval join as a conditional aggregate over a RANGE frame: "
+        "ONE Exchange on user_id and one sort — no range-join candidate "
+        "pairs, no second scan of the probe side.",
+    "emb_pq_adc_topk":
+        "ADC search: candidates join the broadcast per-query LUT on "
+        "their small-int codes; the corpus-wide stage reads 4 codes per "
+        "vector, never raw embeddings — memory-bandwidth shape of "
+        "IVF-PQ.",
+    "docs_rrf_fusion":
+        "Both rankers end in WindowGroupLimit-bounded top-20; the "
+        "full-outer fusion join and final rank touch <=40 rows.",
+    "stats_linreg_price_qty":
+        "Regression aggregates in one partial-aggregable pass: the "
+        "shuffle carries six DECIMAL counters per returnflag, never "
+        "rows.",
+    "graph_bfs_distances":
+        "Frontier-only BFS: iterations join the materialized "
+        "(localCheckpointed) edge blocks against only the last layer's "
+        "nodes; anti-join vs the settled union keeps expansion "
+        "monotone.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
