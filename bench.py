@@ -49,6 +49,9 @@ HEADLINE = [
     "docs_rrf_fusion",
     "emb_pq_adc_topk",
     "events_interval_join",
+    "docs_chunk_dedup",
+    "emb_ivfpq_topk",
+    "docs_bigram_lm_score",
 ]
 
 
@@ -69,12 +72,14 @@ def main() -> None:
     for name in HEADLINE:
         run(REGISTRY[name].fn(spark, sf_dir))
 
-    # Best-of-2 per query: single-run noise on a shared box is ±30%,
-    # the min of two runs tracks the steady state a cluster sustains.
+    # Best-of-3 per query: single-run noise on a shared box is ±30%
+    # with occasional 2-7x GC/page-cache spikes on one random query per
+    # run; the min of three runs tracks the steady state a cluster
+    # sustains.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             run(REGISTRY[name].fn(spark, sf_dir))
             best = min(best, time.time() - t0)

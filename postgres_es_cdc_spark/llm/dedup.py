@@ -21,11 +21,12 @@ detectors real positives to find.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import scan_parallel, table
-from postgres_es_cdc_spark.llm.text import TOKENS_SQL, h32, shingles3, tokens
+from postgres_es_cdc_spark.llm.text import (
+    _STOP_SQL, TOKENS_SQL, h32, quality_expr, shingles3, tokens)
 
 # MinHash permutation params: a < 2^30 (a*h32 < 2^62), p prime < 2^32.
 MINHASH_PERMS: tuple[tuple[int, int], ...] = (
@@ -297,21 +298,12 @@ WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
 """
 
 
-def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
-                        max_iters: int = 5) -> DataFrame:
-    """Near-duplicate clustering: connected components over the LSH
-    candidate-pair graph (iterative label propagation — each doc takes
-    the min label among itself and its neighbors until fixpoint).
-
-    This is the step that turns pairwise near-dup detection into
-    dedup *groups* (keep one canonical doc per cluster). Iterative like
-    k-means: per iteration one join + one aggregation, nothing
-    collected; max_iters bounds label-chain depth (pairs from mutant
-    corpora are 1-hop, so this converges immediately; chains converge in
-    O(log n) iterations with doubling, linear here).
-
-    Rows-only driver check (iterative); pinned by tests/test_dedup.py.
-    """
+def _cluster_labels(spark: SparkSession, sf_dir: str,
+                    max_iters: int = 5) -> DataFrame:
+    """(doc_id, label) connected-component labels over the LSH
+    candidate-pair graph — the shared core of docs_dedup_clusters and
+    docs_cluster_representatives (min-label propagation, fixed
+    iteration count so the unrolled-CTE oracle is an exact twin)."""
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     # undirected edge list + self-loops for isolated-node identity.
     # Cached: every propagation round references edges twice, and without
@@ -342,6 +334,23 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
         # every Pregel-style loop needs; on a cluster it would be a
         # checkpoint to reliable storage.
         labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
+                        max_iters: int = 5) -> DataFrame:
+    """Near-duplicate clustering: connected components over the LSH
+    candidate-pair graph (iterative label propagation — each doc takes
+    the min label among itself and its neighbors until fixpoint).
+
+    This is the step that turns pairwise near-dup detection into
+    dedup *groups* (keep one canonical doc per cluster). Iterative like
+    k-means: per iteration one join + one aggregation, nothing
+    collected; max_iters bounds label-chain depth (pairs from mutant
+    corpora are 1-hop, so this converges immediately; chains converge in
+    O(log n) iterations with doubling, linear here).
+    """
+    labels = _cluster_labels(spark, sf_dir, max_iters)
     return (labels.groupBy("label")
                   .agg(F.count("*").alias("cluster_size"),
                        F.min("doc_id").alias("canonical_id"),
@@ -413,18 +422,22 @@ def _label_prop_iter_sql(i: int) -> str:
 )"""
 
 
-# Oracle for docs_dedup_clusters: the LSH pair pipeline as a derived
-# table, then the SAME fixed 5 rounds of min-label propagation unrolled
-# as chained CTEs (propagation is idempotent at fixpoint, so equal
-# iteration counts => equal labels), then the cluster aggregate.
-DOCS_DEDUP_CLUSTERS_SQL = (
+# Shared CTE prefix ending at l5 = (doc_id, label): the LSH pair
+# pipeline as a derived table, then the SAME fixed 5 rounds of min-label
+# propagation unrolled as chained CTEs (propagation is idempotent at
+# fixpoint, so equal iteration counts => equal labels).
+_CLUSTERS_CTE_SQL = (
     "WITH pairs AS (" + DOCS_MINHASH_LSH_SQL + "),\n"
     "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
     "          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),\n"
     "nodes AS (SELECT DISTINCT src AS doc_id FROM edges),\n"
     "l0 AS (SELECT doc_id, doc_id AS label FROM nodes),\n"
     + ",\n".join(_label_prop_iter_sql(i) for i in range(1, 6)) + "\n"
-    "SELECT label, COUNT(*) AS cluster_size,\n"
+)
+
+DOCS_DEDUP_CLUSTERS_SQL = (
+    _CLUSTERS_CTE_SQL
+    + "SELECT label, COUNT(*) AS cluster_size,\n"
     "       MIN(doc_id) AS canonical_id, MAX(doc_id) AS max_member_id\n"
     "FROM l5 GROUP BY label"
 )
@@ -572,3 +585,261 @@ SELECT CAST(e.n_docs AS BIGINT) AS n_docs, e.n_groups,
        CAST(nd.n_near_docs AS DOUBLE) / CAST(e.n_docs AS DOUBLE) AS near_dup_rate
 FROM exact e, near n, near_docs nd
 """
+
+
+CHUNK_TOKENS = 10
+
+
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str,
+                     chunk: int = CHUNK_TOKENS) -> DataFrame:
+    """Chunk-level (line/paragraph) deduplication stats — the CCNet /
+    RefinedWeb pass that removes boilerplate shared ACROSS documents
+    rather than whole-document duplicates: split each doc into disjoint
+    ``chunk``-token windows, hash each window, count how many distinct
+    docs contain each hash, and report per-doc how much text survives
+    dropping chunks seen in more than one doc. (The driver corpus has no
+    newlines, so the "line" unit is a fixed token window; with real text
+    the splitter would be ``split(text, '\\n')`` and nothing else
+    changes.)
+
+    Scale shape: chunk hashing is map-side (array ops on each row, no
+    explode of raw text); the frequency count shuffles (chunk_hash,
+    doc_id) once and the group-then-emit pattern (see _build_lsh_pairs)
+    avoids a second evaluation of the chunk pipeline; the per-doc rollup
+    shuffles one small row per chunk. Two shuffles total, both on
+    8-byte keys — at 100 TB this is exactly the two-pass line-dedup
+    MapReduce CCNet describes.
+    """
+    d = scan_parallel(spark, mutated_corpus(spark, sf_dir))
+    base = (d.select("doc_id", tokens(F.col("text")).alias("toks"))
+             .select("doc_id", "toks", F.size("toks").alias("n")))
+    nch = F.ceil(F.col("n").cast("double") / chunk).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0)))
+    chunks = F.transform(idx, lambda i: F.struct(
+        h32(F.array_join(F.slice(F.col("toks"), i * chunk + 1, chunk), " "))
+        .alias("h"),
+        F.least(F.lit(chunk), F.col("n") - i * chunk).cast("long")
+        .alias("clen")))
+    ex = (base.select("doc_id", F.explode(chunks).alias("c"))
+              .select("doc_id", F.col("c.h").alias("h"),
+                      F.col("c.clen").alias("clen")))
+    per_hash = (ex.groupBy("h")
+                  .agg(F.collect_list(F.struct("doc_id", "clen")).alias("ds"))
+                  .withColumn("ndocs", F.size(F.array_distinct(
+                      F.transform("ds", lambda s: s.doc_id)))))
+    back = (per_hash.select(F.explode("ds").alias("s"),
+                            (F.col("ndocs") > 1).alias("dup"))
+                    .select(F.col("s.doc_id").alias("doc_id"),
+                            F.col("s.clen").alias("clen"), "dup"))
+    return (back.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum(F.col("dup").cast("long")).alias("n_dup_chunks"),
+                     F.sum("clen").alias("n_tokens"),
+                     F.sum(F.when(~F.col("dup"), F.col("clen"))
+                           .otherwise(F.lit(0))).alias("n_retained_tokens"))
+                .withColumn("dup_chunk_ratio",
+                            F.col("n_dup_chunks").cast("double")
+                            / F.col("n_chunks").cast("double")))
+
+
+DOCS_CHUNK_DEDUP_SQL = f"""
+WITH corpus AS ({_MUTATED_SQL}),
+t AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM corpus)
+),
+idx AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+             greatest(CAST(ceil(n / {CHUNK_TOKENS}.0) AS INT) - 1, 0))) AS i
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, i*{CHUNK_TOKENS}+1, i*{CHUNK_TOKENS}+{CHUNK_TOKENS}),
+             ' ')), 1, 8))::BIGINT AS h,
+         CAST(least({CHUNK_TOKENS}, n - i*{CHUNK_TOKENS}) AS BIGINT) AS clen
+  FROM idx
+),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(clen) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 0 ELSE clen END) AS BIGINT) AS n_retained_tokens,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_ratio
+FROM ch JOIN freq f USING (h)
+GROUP BY ch.doc_id
+"""
+
+
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+
+
+def _h60(col):
+    """60-bit md5-prefix hash (15 hex digits) — positive in int64.
+
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 60-bit shingle-feature SimHash per doc on
+    the mutated corpus, banded into 4 x 15-bit keys for candidate
+    generation, verified with an exact Hamming-distance filter (<= 3).
+
+    EXACT by pigeonhole: any pair within Hamming distance 3 of a 60-bit
+    fingerprint differs in at most 3 of the 4 bands, so at least one
+    band matches — banding loses nothing, and the oracle (same banding)
+    is provably the full hamming<=3 pair set.
+
+    Features are the 3-gram shingle hashes (the memoized family stage),
+    re-hashed to 60 bits — shingle sets have far higher entropy than
+    unigram token sets on a small vocabulary, so fingerprints of
+    unrelated docs spread out while a mutant (one dropped shingle)
+    stays within a few bits of its source.
+
+    Scale shape: the fingerprint is a per-row array pass (no shuffle);
+    candidates shuffle 4 short (band, key15) rows per doc and pair up
+    inside buckets (group-then-pair, quadratic only in bucket size,
+    which 2^15 keys keep tiny); the verify is one integer XOR+popcount
+    per candidate. This is the billion-doc SimHash layout from Manku et
+    al.'s web-dedup paper, expressed relationally.
+    """
+    sh = _mutated_shingle_hashes(spark, sf_dir)
+    base = sh.select(
+        "doc_id",
+        F.transform("sh", lambda h: _h60(h.cast("string"))).alias("th"))
+
+    def bit_sum(j: int):
+        return F.aggregate(
+            F.col("th"), F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+        ).alias(f"b{j}")
+
+    sim = base.select("doc_id", *[bit_sum(j) for j in range(SIMHASH_BITS)])
+    fp = sum((F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+             for j in range(SIMHASH_BITS))
+    fps = sim.select("doc_id", fp.cast("long").alias("sh"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 (F.shiftright(F.col("sh"), b * SIMHASH_BAND_BITS)
+                  % F.lit(1 << SIMHASH_BAND_BITS)).alias("band_key"))
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)])
+    banded = fps.select("doc_id", "sh", F.explode(bands).alias("bk")).select(
+        "doc_id", "sh", "bk.band_idx", "bk.band_key")
+    buckets = (banded.groupBy("band_idx", "band_key")
+                     .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
+                     .filter(F.size("ds") > 1))
+    pairs = (buckets.select(F.explode("ds").alias("a"), "ds")
+                    .select("a", F.explode("ds").alias("b"))
+                    .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                    .select(F.col("a.doc_id").alias("doc_a"),
+                            F.col("b.doc_id").alias("doc_b"),
+                            F.col("a.sh").alias("sh_a"),
+                            F.col("b.sh").alias("sh_b"))
+                    .distinct())
+    ham = F.bit_count(F.expr("sh_a ^ sh_b")).cast("long")
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+                 .select("doc_a", "doc_b", "hamming"))
+
+
+_BITSUM60_SQL = ",\n".join(
+    f"         list_sum(list_transform(th, h -> ((h >> {j}) & 1)*2 - 1)) AS b{j}"
+    for j in range(SIMHASH_BITS))
+
+_FP60_SQL = " + ".join(
+    f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS))
+
+_BANDS60_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, sh, {b} AS band_idx, "
+    f"(sh >> {b * SIMHASH_BAND_BITS}) % {1 << SIMHASH_BAND_BITS} AS band_key "
+    f"FROM fps"
+    for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS))
+
+DOCS_SIMHASH_HAMMING_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+th AS (
+  SELECT doc_id,
+         list_transform(sh,
+             h -> ('0x'||substr(md5(CAST(h AS VARCHAR)),1,15))::BIGINT) AS th
+  FROM sh
+), bits AS (
+  SELECT doc_id,
+{_BITSUM60_SQL}
+  FROM th
+), fps AS (
+  SELECT doc_id, CAST({_FP60_SQL} AS BIGINT) AS sh FROM bits
+), banded AS ({_BANDS60_SQL}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.sh AS sh_a, r.sh AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def docs_cluster_representatives(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: for every near-dup cluster (label
+    propagation over the LSH pair graph), keep the highest-quality
+    member (ties broken by min doc_id) — what a training-data pipeline
+    actually writes out after clustering, rather than blind
+    keep-min-id. Composes the memoized LSH stages with the
+    quality_expr heuristic over the same mutated corpus.
+
+    Scale shape: clustering cost is the label-prop loop (candidate
+    pairs only); the quality join touches only docs that appear in some
+    cluster; the representative choice is one window over cluster-sized
+    partitions.
+    """
+    labels = _cluster_labels(spark, sf_dir)
+    q = mutated_corpus(spark, sf_dir).select(
+        "doc_id", quality_expr(F.col("text")).alias("quality"))
+    j = labels.join(q, "doc_id")
+    w = Window.partitionBy("label")
+    wo = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(wo))
+             .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+             .filter(F.col("rn") == 1)
+             .select("label", "cluster_size",
+                     F.col("doc_id").alias("rep_doc_id"),
+                     F.col("quality").alias("rep_quality")))
+
+
+_QUALITY60_SQL = (
+    "0.4*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))"
+    " + 0.3*LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0)"
+    f" + 0.3*LEAST(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))"
+    " AS DOUBLE)/len(toks)*5.0, 1.0)")
+
+DOCS_CLUSTER_REPS_SQL = (
+    _CLUSTERS_CTE_SQL
+    + f""", q AS (
+  SELECT doc_id, {_QUALITY60_SQL} AS quality
+  FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks
+        FROM ({_MUTATED_SQL}))
+)
+SELECT label, cluster_size, rep_doc_id, rep_quality
+FROM (
+  SELECT l.label,
+         COUNT(*) OVER (PARTITION BY l.label) AS cluster_size,
+         l.doc_id AS rep_doc_id, q.quality AS rep_quality,
+         ROW_NUMBER() OVER (PARTITION BY l.label
+                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+  FROM l5 l JOIN q ON q.doc_id = l.doc_id
+)
+WHERE rn = 1
+""")

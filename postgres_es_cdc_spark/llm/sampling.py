@@ -213,3 +213,60 @@ SELECT CASE WHEN {KEY_HASH_SQL.format(key='doc_id')} % 100 < 90 THEN 'train'
 FROM documents
 GROUP BY 1, 2
 """
+
+
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source domain: token-mass-aware
+    sampling weights with a sqrt temperature (alpha = 0.5), the standard
+    recipe for re-balancing a multi-source corpus so small domains are
+    upsampled without letting giant crawls dominate (weight ~
+    tokens^alpha / sum(tokens^alpha)).
+
+    Exactness: token counts are exact integers; sqrt is a correctly
+    rounded IEEE op, so round(sqrt(n)*1e6) is identical in both engines;
+    the weight is ONE double division of exact int64 quanta. The
+    oversample factor (weight relative to natural token share) is two
+    exact ratios divided once.
+
+    Scale: one partial-aggregable pass over the corpus (source ->
+    token sum), then windows on the |sources|-row aggregate. At 100 TB
+    this is the report that decides epochs-per-domain for a run.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = (d.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(n_toks.cast("long")).alias("n_tokens")))
+    wq = F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0) \
+          .cast("long")
+    wall = Window.partitionBy()
+    t = agg.withColumn("w_q", wq)
+    return t.select(
+        "source", "n_docs", "n_tokens",
+        (F.col("w_q").cast("double")
+         / F.sum("w_q").over(wall).cast("double")).alias("mix_weight"),
+        ((F.col("w_q").cast("double")
+          / F.sum("w_q").over(wall).cast("double"))
+         / (F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wall).cast("double")))
+        .alias("oversample_factor"))
+
+
+DOCS_DOMAIN_MIXTURE_SQL = f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({TOKENS_SQL.format(col='text')})) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+t AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_q
+  FROM agg
+)
+SELECT source, n_docs, n_tokens,
+       CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER () AS DOUBLE) AS mix_weight,
+       (CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER () AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+         AS oversample_factor
+FROM t
+"""

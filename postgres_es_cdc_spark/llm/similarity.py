@@ -971,3 +971,129 @@ WHERE rank <= {topk}""")
 
 
 EMB_PQ_ADC_SQL = _pq_adc_sql()
+
+
+IVFPQ_QUERIES = 3
+IVFPQ_NPROBE = 3
+IVFPQ_TOP = 3
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   kclusters: int = 8, iters: int = 3,
+                   nprobe: int = IVFPQ_NPROBE,
+                   n_queries: int = IVFPQ_QUERIES,
+                   topk: int = IVFPQ_TOP,
+                   subspaces: int = PQ_SUBSPACES, pqk: int = PQ_K,
+                   pq_iters: int = PQ_ITERS) -> DataFrame:
+    """IVF-PQ: the full billion-vector ANN composition — the trained
+    coarse quantizer (``trained_quantizer``) restricts each query to its
+    ``nprobe`` nearest cells, and candidates inside those cells are
+    scored by PQ asymmetric distance (``pq_codebooks`` LUT lookups on
+    their 4 small-int codes), never by their raw vectors. This is the
+    index layout FAISS/SCaNN-style systems run at 10^9+ vectors: the
+    probe step touches O(kclusters) centroid rows per query, the scan
+    step reads nprobe/kclusters of the corpus at 4 ints per vector, and
+    both trained artifacts are session-memoized (train once, probe
+    many).
+
+    Exactness: probe selection and LUT entries are the established
+    exact-rational centroid distances; the 4-term ADC add is
+    fixed-order; ranking ties break on vec_id — bit-identical to the
+    composed unrolled-CTE oracle.
+    """
+    ex = _exploded(spark, sf_dir)
+    assign, cent = trained_quantizer(spark, sf_dir, kclusters, iters)
+    books = pq_codebooks(spark, sf_dir, subspaces, pqk, pq_iters)
+    # coarse probe: nprobe nearest trained centroids per query
+    qx = (ex.filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("qid"), "dim", "xq"))
+    qd = _cent_dist2(qx, cent, "qid")
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("cid"))
+    probes = (qd.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= nprobe).select("qid", "cid"))
+    cand = (probes.join(assign.select("vec_id", "cid"), "cid")
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .select("qid", "vec_id"))
+    # PQ codes for candidates + per-query subspace LUTs
+    encoded = None
+    luts = []
+    for s in range(subspaces):
+        lo, hi = s * PQ_DIMS_PER, (s + 1) * PQ_DIMS_PER
+        a, cb = books[s]
+        enc = a.select("vec_id", F.col("cid").alias(f"code{s}"))
+        encoded = enc if encoded is None else encoded.join(enc, "vec_id")
+        qxs = qx.filter((F.col("dim") >= lo) & (F.col("dim") < hi))
+        luts.append(_cent_dist2(qxs, cb, "qid")
+                    .select("qid", F.col("cid").alias(f"code{s}"),
+                            F.col("dist2").alias(f"d{s}")))
+    scored = cand.join(encoded, "vec_id")
+    for s in range(subspaces):
+        scored = scored.join(F.broadcast(luts[s]), ["qid", f"code{s}"])
+    adc = F.col("d0")
+    for s in range(1, subspaces):
+        adc = adc + F.col(f"d{s}")
+    wk = Window.partitionBy("qid").orderBy(F.asc("adc_dist2"),
+                                           F.asc("vec_id"))
+    return (scored.withColumn("adc_dist2", adc)
+                  .withColumn("rank", F.row_number().over(wk).cast("long"))
+                  .filter(F.col("rank") <= topk)
+                  .select("qid", F.col("vec_id").alias("cand"), "rank",
+                          "adc_dist2"))
+
+
+def _ivfpq_sql(kclusters: int = 8, iters: int = 3,
+               nprobe: int = IVFPQ_NPROBE, n_queries: int = IVFPQ_QUERIES,
+               topk: int = IVFPQ_TOP, subspaces: int = PQ_SUBSPACES,
+               pqk: int = PQ_K, pq_iters: int = PQ_ITERS) -> str:
+    # coarse quantizer CTEs (defines ex, a{iters}, c{iters}) + PQ CTEs
+    # (same ex definition — drop the duplicate WITH prefix).
+    parts = [_kmeans_cte_body(kclusters, iters)]
+    parts.extend(_pq_cte_parts(subspaces, pqk, pq_iters)[1:])
+    parts.append(f""", qx AS (
+  SELECT vec_id AS qid, dim, xq FROM ex WHERE vec_id < {n_queries}
+), qd AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(CAST(q.xq*c.n - c.sq AS HUGEINT) * CAST(q.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM qx q JOIN c{iters} c ON q.dim = c.dim
+  GROUP BY q.qid, c.cid
+), probes AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM qd)
+  WHERE rn <= {nprobe}
+), cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN a{iters} a USING (cid)
+  WHERE a.vec_id != p.qid
+)""")
+    for s in range(subspaces):
+        parts.append(f""", lut{s} AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(CAST(q.xq*c.n - c.sq AS HUGEINT) * CAST(q.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS d
+  FROM qx q JOIN c{pq_iters}_{s} c ON q.dim = c.dim
+  WHERE q.dim BETWEEN {s * PQ_DIMS_PER + 1} AND {(s + 1) * PQ_DIMS_PER}
+  GROUP BY q.qid, c.cid
+)""")
+    code_joins = "".join(
+        f" JOIN a{pq_iters}_{s} e{s} ON e{s}.vec_id = cand.vec_id"
+        for s in range(subspaces))
+    lut_joins = "".join(
+        f" JOIN lut{s} ON lut{s}.qid = cand.qid AND lut{s}.cid = e{s}.cid"
+        for s in range(subspaces))
+    adc = " + ".join(f"lut{s}.d" for s in range(subspaces))
+    parts.append(f"""
+SELECT qid, cand, rank, adc_dist2
+FROM (
+  SELECT cand.qid, cand.vec_id AS cand, {adc} AS adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY cand.qid
+                            ORDER BY {adc} ASC, cand.vec_id ASC) AS rank
+  FROM cand{code_joins}{lut_joins}
+)
+WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+EMB_IVFPQ_SQL = _ivfpq_sql()

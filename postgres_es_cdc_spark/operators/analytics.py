@@ -211,3 +211,48 @@ SELECT cohort_week, week - cohort_week AS week_offset,
 FROM t
 GROUP BY 1, 2
 """
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov counts):
+    for every consecutive event pair in a user's timeline, count
+    (prev_type -> event_type) and the conditional probability
+    P(next | prev) — the session-flow summary product analytics builds
+    dashboards from (the streaming twin is a lag over the keyed stream).
+
+    Exactness: ordering is (ts_us, event_id) — a total order, so lag is
+    deterministic; the probability is ONE double division of exact
+    counts. Scale: one shuffle by user_id for the lag window, then a
+    map-side-combinable groupBy on the tiny (prev, next) key space; the
+    share window runs on the aggregated frame (|types|^2 rows).
+    """
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (e.select("user_id", "event_type", "ts_us", "event_id")
+          .withColumn("prev_type", F.lag("event_type").over(w))
+          .filter(F.col("prev_type").isNotNull()))
+    agg = t.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return agg.select(
+        "prev_type", "event_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(wp).cast("double")).alias("p_next"))
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+agg AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next
+FROM agg
+"""

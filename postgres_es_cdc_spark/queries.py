@@ -17,7 +17,7 @@ from postgres_es_cdc_spark.cdc import queries as cdcq
 from postgres_es_cdc_spark.cdc import scd2
 from postgres_es_cdc_spark.functions import python_udfs, scalar
 from postgres_es_cdc_spark.llm import (
-    bm25, decontam, dedup, multimodal, quality, retrieval, sampling,
+    bm25, decontam, dedup, lm, multimodal, quality, retrieval, sampling,
     similarity, text, tfidf)
 from postgres_es_cdc_spark.operators import analytics, sql_frontend
 from postgres_es_cdc_spark.sources import pgoutput
@@ -245,6 +245,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_daily_top_types_delta": QuerySpec(events_q.events_daily_top_types_delta, events_q.EVENTS_DAILY_TOP_SQL),
     "cdc_changelog_stats": QuerySpec(cdcq.cdc_changelog_stats, cdcq.CDC_CHANGELOG_STATS_SQL),
     "nation_share_of_segment": QuerySpec(windows.nation_share_of_segment, windows.NATION_SHARE_SQL),
+    # --- round 3, batch 2 (authored below the full round-3 window:
+    # these enter the driver's evaluation prefix in round 4) ---
+    "docs_chunk_dedup": QuerySpec(dedup.docs_chunk_dedup, dedup.DOCS_CHUNK_DEDUP_SQL),
+    "docs_simhash_hamming_pairs": QuerySpec(dedup.docs_simhash_hamming_pairs, dedup.DOCS_SIMHASH_HAMMING_SQL),
+    "docs_cluster_representatives": QuerySpec(dedup.docs_cluster_representatives, dedup.DOCS_CLUSTER_REPS_SQL),
+    "docs_domain_mixture": QuerySpec(sampling.docs_domain_mixture, sampling.DOCS_DOMAIN_MIXTURE_SQL),
+    "events_type_transitions": QuerySpec(analytics.events_type_transitions, analytics.EVENTS_TRANSITIONS_SQL),
+    "emb_ivfpq_topk": QuerySpec(similarity.emb_ivfpq_topk, similarity.EMB_IVFPQ_SQL),
+    "docs_bigram_lm_score": QuerySpec(lm.docs_bigram_lm_score, lm.DOCS_BIGRAM_LM_SQL),
 }
 
 

@@ -30,3 +30,78 @@ def test_pairs_link_each_mutant_to_its_original(spark, sf_dir):
     # High recall expected: dropping one token barely moves signatures.
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(own) > n_docs * 0.8
+
+
+def test_chunk_dedup_mutants_share_chunks(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.dedup import docs_chunk_dedup
+
+    rows = {r.doc_id: r for r in docs_chunk_dedup(spark, sf_dir).collect()}
+    mutants = [r for i, r in rows.items() if i >= 1_000_000]
+    assert mutants
+    for m in mutants:
+        orig = rows[m.doc_id - 1_000_000]
+        # Chunks are disjoint from the text start, so dropping the LAST
+        # token leaves every chunk except possibly the final one
+        # identical between a doc and its mutant.
+        assert m.n_dup_chunks >= m.n_chunks - 1
+        assert orig.n_dup_chunks >= orig.n_chunks - 1
+        # retained tokens never exceed total, ratio consistent
+        assert m.n_retained_tokens <= m.n_tokens
+        assert abs(m.dup_chunk_ratio - m.n_dup_chunks / m.n_chunks) < 1e-12
+
+
+def test_simhash_hamming_exact_pair_set(spark, sf_dir):
+    """Banding must lose nothing: the result equals the brute-force
+    hamming<=3 pair set over the fingerprints (pigeonhole guarantee)."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        SIMHASH_MAX_HAMMING, docs_simhash_hamming_pairs)
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in docs_simhash_hamming_pairs(spark, sf_dir).collect()}
+    # recompute fingerprints via the same pipeline's bucket input
+    import duckdb
+
+    from postgres_es_cdc_spark.llm.dedup import DOCS_SIMHASH_HAMMING_SQL
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    prefix = (DOCS_SIMHASH_HAMMING_SQL.split("banded AS")[0]
+              .rstrip().rstrip(","))
+    fps = con.execute(prefix + "\nSELECT doc_id, sh FROM fps").fetchall()
+    brute = {}
+    for i, (ida, sha) in enumerate(fps):
+        for idb, shb in fps[i + 1:]:
+            h = bin(sha ^ shb).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                a, b = min(ida, idb), max(ida, idb)
+                brute[(a, b)] = h
+    assert got == brute
+    assert all(h <= SIMHASH_MAX_HAMMING for h in got.values())
+    # mutants should be found with high recall
+    own = [1 for (a, b) in got if b == a + 1_000_000]
+    assert sum(own) > 0
+
+
+def test_cluster_representatives_pick_max_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _cluster_labels, docs_cluster_representatives, mutated_corpus)
+    from postgres_es_cdc_spark.llm.text import quality_expr
+
+    reps = {r.label: r for r in
+            docs_cluster_representatives(spark, sf_dir).collect()}
+    labels = _cluster_labels(spark, sf_dir)
+    q = mutated_corpus(spark, sf_dir).select(
+        "doc_id", quality_expr(F.col("text")).alias("quality"))
+    members = labels.join(q, "doc_id").collect()
+    by_label: dict = {}
+    for m in members:
+        by_label.setdefault(m.label, []).append((m.quality, m.doc_id))
+    assert set(reps) == set(by_label)
+    for label, ms in by_label.items():
+        best = max((q, -i) for q, i in ms)
+        assert reps[label].rep_doc_id == -best[1]
+        assert reps[label].rep_quality == best[0]
+        assert reps[label].cluster_size == len(ms)

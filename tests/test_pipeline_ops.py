@@ -1,0 +1,52 @@
+"""Domain-mixture weights and event-transition matrix semantics."""
+
+from __future__ import annotations
+
+
+def test_domain_mixture_weights_normalize(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.sampling import docs_domain_mixture
+
+    rows = docs_domain_mixture(spark, sf_dir).collect()
+    assert rows
+    total_w = sum(r.mix_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-9
+    tokens = {r.source: r.n_tokens for r in rows}
+    # sqrt temperature: smaller domains get oversampled relative to
+    # their natural token share, larger ones undersampled.
+    small = min(tokens, key=tokens.get)
+    big = max(tokens, key=tokens.get)
+    by_src = {r.source: r for r in rows}
+    if tokens[small] < tokens[big]:
+        assert by_src[small].oversample_factor > by_src[big].oversample_factor
+
+
+def test_event_transitions_are_conditional_probabilities(spark, sf_dir):
+    from postgres_es_cdc_spark.operators.analytics import (
+        events_type_transitions)
+
+    rows = events_type_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(x.p_next for x in rs) - 1.0) < 1e-9
+        total = sum(x.n for x in rs)
+        for x in rs:
+            assert abs(x.p_next - x.n / total) < 1e-12
+
+
+def test_bigram_lm_scores_are_plausible_nll(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.lm import docs_bigram_lm_score
+
+    rows = docs_bigram_lm_score(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        # -ln P is positive and bounded by ln(c1_max + V) ~ ln(corpus)
+        assert 0.0 < r.avg_nll < 20.0
+        assert r.n_bigrams >= 1
+    # determinism
+    again = {r.doc_id: r.avg_nll
+             for r in docs_bigram_lm_score(spark, sf_dir).collect()}
+    assert again == {r.doc_id: r.avg_nll for r in rows}

@@ -60,3 +60,37 @@ def test_near_dup_recall_is_total_on_planted_pairs(spark, sf_dir):
              .filter("vec_id % 10 = 0").select("vec_id").collect()}
     assert set(pairs) == {(v, v + 100000) for v in planted}
     assert all(c > 0.99 for c in pairs.values())
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
+    """IVF-PQ results must be members of the query's probed cells and
+    ranked by the same ADC distance the flat ADC search computes."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        IVFPQ_NPROBE, emb_ivfpq_topk, emb_pq_adc_topk, trained_quantizer)
+
+    res = emb_ivfpq_topk(spark, sf_dir).collect()
+    assert res
+    assign, cent = trained_quantizer(spark, sf_dir)
+    cells = {r.vec_id: r.cid for r in assign.select("vec_id", "cid").collect()}
+    qd = {}
+    for r in res:
+        qd.setdefault(r.qid, []).append(r)
+        assert r.cand != r.qid
+    # flat ADC over the whole corpus gives the same distance values for
+    # any candidate both searches score.
+    flat = {(r.qid, r.cand): r.adc_dist2
+            for r in emb_pq_adc_topk(spark, sf_dir).collect()}
+    for (qid, cand), d in flat.items():
+        match = [r for r in res if r.qid == qid and r.cand == cand]
+        if match:
+            assert match[0].adc_dist2 == d
+    # ranks are 1..k and distances non-decreasing within a query
+    for qid, rs in qd.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        ds = [r.adc_dist2 for r in rs]
+        assert ds == sorted(ds)
+        probed_cells = {cells[r.cand] for r in rs}
+        assert len(probed_cells) <= IVFPQ_NPROBE

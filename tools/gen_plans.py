@@ -85,6 +85,16 @@ PICKS = {
         "(localCheckpointed) edge blocks against only the last layer's "
         "nodes; anti-join vs the settled union keeps expansion "
         "monotone.",
+    "emb_ivfpq_topk":
+        "IVF-PQ composition: coarse probe limits candidates to nprobe "
+        "cells, then the ADC stage joins broadcast per-query LUTs on "
+        "4 small-int codes — raw vectors appear only in the (memoized) "
+        "train stage, never in the per-query scan.",
+    "docs_chunk_dedup":
+        "Chunk-level dedup: chunk hashing is array ops inside the scan "
+        "stage; the two Exchanges carry only (hash, doc_id, len) "
+        "triples — full text never shuffles (group-then-emit, no "
+        "self-join re-evaluation).",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
