@@ -303,7 +303,15 @@ def _cluster_labels(spark: SparkSession, sf_dir: str,
     """(doc_id, label) connected-component labels over the LSH
     candidate-pair graph — the shared core of docs_dedup_clusters and
     docs_cluster_representatives (min-label propagation, fixed
-    iteration count so the unrolled-CTE oracle is an exact twin)."""
+    iteration count so the unrolled-CTE oracle is an exact twin).
+    Memoized per (session, corpus) like the other family stages: both
+    consumers read one run of the propagation loop."""
+    return _memoized(spark, sf_dir, f"labels{max_iters}",
+                     lambda: _build_cluster_labels(spark, sf_dir, max_iters))
+
+
+def _build_cluster_labels(spark: SparkSession, sf_dir: str,
+                          max_iters: int) -> DataFrame:
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     # undirected edge list + self-loops for isolated-node identity.
     # Cached: every propagation round references edges twice, and without

@@ -352,3 +352,96 @@ FROM (SELECT qid, cid, cos_sim,
       FROM scored)
 WHERE rank <= 3
 """
+
+
+FRAME_SIZE = 64
+FRAME_EVERY_N = 2
+
+
+def multimodal_frame_dedup(spark, sf_dir: str,
+                           frame_size: int = FRAME_SIZE,
+                           every_n: int = FRAME_EVERY_N) -> DataFrame:
+    """Cross-asset FRAME deduplication — the video/binary analog of
+    docs_chunk_dedup: frame-sample every asset's payload (the
+    ``fake_frame_sample`` kernel through the real mapInPandas plumbing,
+    exactly as a libav sampler would run), hash each kept frame, count
+    distinct assets per frame hash, and report how much of each asset
+    is boilerplate shared with other assets (intros/outros/logo frames
+    in a real video corpus).
+
+    Corpus: the mutated documents (payload = UTF-8 text bytes), so
+    mutants share almost all frames with their originals. The oracle
+    hashes the same windows as VARCHAR — identical md5 because the
+    fixture is ASCII (with multibyte payloads the oracle would hash
+    raw bytes instead; Spark-side hashing is bytes either way).
+
+    Scale shape: frame extraction is Arrow-batched map-side work; the
+    shuffles carry (16-byte hash, asset_id) pairs, never frame bytes
+    twice (group-then-emit); per-asset rollup is partial-aggregable.
+    """
+    from postgres_es_cdc_spark.llm.dedup import mutated_corpus
+
+    assets = mutated_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ])
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {"asset_id": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fr in fake_frame_sample(bytes(payload), every_n,
+                                            frame_size):
+                    rows["asset_id"].append(int(aid))
+                    rows["frame"].append(fr)
+            yield pd.DataFrame(rows)
+
+    frames = assets.mapInPandas(_frames, out_schema)
+    per_hash = (frames.select("asset_id", F.md5("frame").alias("h"))
+                      .groupBy("h")
+                      .agg(F.collect_list("asset_id").alias("ids"))
+                      .withColumn("na", F.size(F.array_distinct("ids"))))
+    back = (per_hash.select(F.explode("ids").alias("asset_id"),
+                            (F.col("na") > 1).alias("dup")))
+    return (back.groupBy("asset_id")
+                .agg(F.count(F.lit(1)).alias("n_frames"),
+                     F.sum(F.col("dup").cast("long")).alias("n_dup_frames"))
+                .withColumn("dup_frame_ratio",
+                            F.col("n_dup_frames").cast("double")
+                            / F.col("n_frames").cast("double")))
+
+
+def _frame_dedup_sql(frame_size: int = FRAME_SIZE,
+                     every_n: int = FRAME_EVERY_N) -> str:
+    from postgres_es_cdc_spark.llm.dedup import _MUTATED_SQL
+
+    return f"""
+WITH corpus AS ({_MUTATED_SQL}),
+t AS (SELECT doc_id AS asset_id, text, length(text) AS n FROM corpus),
+f AS (
+  SELECT asset_id, text, n,
+         unnest(generate_series(0,
+             greatest(CAST(ceil(n / {frame_size}.0) AS INT) - 1, 0))) AS fi
+  FROM t
+),
+frames AS (
+  SELECT asset_id, md5(substring(text, fi*{frame_size}+1, {frame_size})) AS h
+  FROM f
+  WHERE fi % {every_n} = 0 AND fi*{frame_size} < n
+),
+freq AS (SELECT h, COUNT(DISTINCT asset_id) AS na FROM frames GROUP BY h)
+SELECT fr.asset_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN q.na > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+       CAST(SUM(CASE WHEN q.na > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frame_ratio
+FROM frames fr JOIN freq q USING (h)
+GROUP BY fr.asset_id
+"""
+
+
+MULTIMODAL_FRAME_DEDUP_SQL = _frame_dedup_sql()

@@ -1097,3 +1097,85 @@ WHERE rank <= {topk}""")
 
 
 EMB_IVFPQ_SQL = _ivfpq_sql()
+
+
+PREFIX_DIMS = 16
+PREFIX_SHORTLIST = 20
+
+
+def emb_prefix_rerank_topk(spark: SparkSession, sf_dir: str,
+                           prefix_dims: int = PREFIX_DIMS,
+                           shortlist: int = PREFIX_SHORTLIST,
+                           k: int = 3, n_queries: int = 5) -> DataFrame:
+    """Matryoshka-style two-stage search: rank the WHOLE corpus by the
+    distance over only the first ``prefix_dims`` dimensions (the cheap
+    filter — MRL-trained embeddings front-load information, so a prefix
+    is a usable coarse embedding), shortlist the best ``shortlist``
+    candidates, then rerank just those by the exact full-dimension
+    distance. The adaptive-retrieval recipe modern embedding models
+    ship with.
+
+    Scale shape: stage 1 projects vectors to the prefix BEFORE any
+    join/shuffle — in a columnar layout with dimension-split storage it
+    reads prefix_dims/64 of the vector bytes for the corpus-wide pass;
+    stage 2 fetches full vectors for shortlist rows only (a semi-join
+    by id, |queries|·shortlist rows). Exactness: both stages rank on
+    integer quantized distances with id tie-breaks.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 quantize(F.col("embedding")).alias("cq"))
+    qp = q.select("qid", F.slice("qq", 1, prefix_dims).alias("qp"))
+    cp = c.select("cid", F.slice("cq", 1, prefix_dims).alias("cp"))
+    stage1 = (F.broadcast(qp).crossJoin(cp)
+               .filter(F.col("qid") != F.col("cid"))
+               .select("qid", "cid",
+                       l2sq_q(F.col("qp"), F.col("cp")).alias("pfx_d")))
+    w1 = Window.partitionBy("qid").orderBy(F.asc("pfx_d"), F.asc("cid"))
+    short = (stage1.withColumn("prn", F.row_number().over(w1))
+                   .filter(F.col("prn") <= shortlist).select("qid", "cid"))
+    rerank = (short.join(c, "cid").join(F.broadcast(q), "qid")
+                   .select("qid", "cid",
+                           l2sq_q(F.col("qq"), F.col("cq")).alias("l2sq_q")))
+    w2 = Window.partitionBy("qid").orderBy(F.asc("l2sq_q"), F.asc("cid"))
+    return (rerank.withColumn("rank", F.row_number().over(w2).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", "cid", "rank", "l2sq_q"))
+
+
+EMB_PREFIX_RERANK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings),
+pfx AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS pfx_d
+  FROM q, c, generate_series(1, {PREFIX_DIMS}) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+),
+short AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pfx_d ASC, cid ASC) AS prn
+        FROM pfx)
+  WHERE prn <= {PREFIX_SHORTLIST}
+),
+rerank AS (
+  SELECT s.qid, s.cid,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS l2sq_q
+  FROM short s
+  JOIN q ON q.qid = s.qid
+  JOIN c ON c.cid = s.cid
+  CROSS JOIN generate_series(1, 64) i(i)
+  GROUP BY s.qid, s.cid
+)
+SELECT qid, cid, rank, l2sq_q
+FROM (SELECT qid, cid, l2sq_q,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2sq_q ASC, cid ASC) AS rank
+      FROM rerank)
+WHERE rank <= 3
+"""

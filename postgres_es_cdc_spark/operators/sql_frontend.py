@@ -41,3 +41,40 @@ def sql_ansi_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan language."""
     register_views(spark, sf_dir)
     return spark.sql(SQL_ANSI_PORTABLE)
+
+
+# Second verbatim-portable text: CTE + multiple window shapes (lag with
+# default, moving ROWS frame, partitioned rank) over an aggregate —
+# the dashboard-query idiom, run char-for-char by both engines.
+SQL_ANSI_WINDOW_PORTABLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12
+         + CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12
+           + CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT),
+           o_orderpriority
+)
+SELECT ym, priority, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       n_orders - LAG(n_orders, 1, CAST(0 AS BIGINT)) OVER (
+         PARTITION BY priority ORDER BY ym) AS n_delta,
+       CAST(SUM(n_orders) OVER (
+         PARTITION BY priority ORDER BY ym
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3mo,
+       RANK() OVER (
+         PARTITION BY ym ORDER BY n_orders DESC, priority) AS rank_in_month
+FROM monthly
+"""
+
+
+def sql_ansi_window_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed dashboard text through Spark's SQL frontend;
+    the same string is the DuckDB oracle. Plan shape: one shuffle for
+    the monthly rollup, then all three windows evaluate on the tiny
+    aggregated frame (two sorts share the priority/ym partitioning)."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ANSI_WINDOW_PORTABLE)

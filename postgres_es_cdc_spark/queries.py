@@ -254,6 +254,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_type_transitions": QuerySpec(analytics.events_type_transitions, analytics.EVENTS_TRANSITIONS_SQL),
     "emb_ivfpq_topk": QuerySpec(similarity.emb_ivfpq_topk, similarity.EMB_IVFPQ_SQL),
     "docs_bigram_lm_score": QuerySpec(lm.docs_bigram_lm_score, lm.DOCS_BIGRAM_LM_SQL),
+    "emb_prefix_rerank_topk": QuerySpec(similarity.emb_prefix_rerank_topk, similarity.EMB_PREFIX_RERANK_SQL),
+    # verbatim-portable SQL #2: the oracle IS the same text.
+    "sql_ansi_window_portable": QuerySpec(sql_frontend.sql_ansi_window_portable, sql_frontend.SQL_ANSI_WINDOW_PORTABLE),
+    "multimodal_frame_dedup": QuerySpec(multimodal.multimodal_frame_dedup, multimodal.MULTIMODAL_FRAME_DEDUP_SQL),
 }
 
 

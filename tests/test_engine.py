@@ -54,3 +54,14 @@ def test_es_sink_absent_in_container(spark):
     assert opts["es.mapping.id"] == "id"
     assert opts["es.write.operation"] == "upsert"
     assert opts["es.net.http.auth.user"] == "u"
+
+
+def test_sql_window_portable_same_text_both_engines(spark, sf_dir, duck):
+    from postgres_es_cdc_spark.operators.sql_frontend import (
+        SQL_ANSI_WINDOW_PORTABLE, sql_ansi_window_portable)
+    from tests.oracle_harness import compare
+
+    r = compare("sql_ansi_window_portable",
+                sql_ansi_window_portable(spark, sf_dir), duck,
+                SQL_ANSI_WINDOW_PORTABLE)
+    assert r.ok, r.message()

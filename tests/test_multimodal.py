@@ -53,3 +53,18 @@ def test_modality_stats_prunes_payload(assets):
     # payload column must not appear in the optimized scan schema
     plan = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_frame_dedup_mutants_share_frames(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.multimodal import multimodal_frame_dedup
+
+    rows = {r.asset_id: r
+            for r in multimodal_frame_dedup(spark, sf_dir).collect()}
+    mutants = [r for i, r in rows.items() if i >= 1_000_000]
+    assert mutants
+    for m in mutants:
+        # mutant payload is a byte-prefix of the original, so every kept
+        # frame except possibly the final (truncated) one also exists in
+        # the original asset
+        assert m.n_dup_frames >= m.n_frames - 1
+        assert 0.0 <= m.dup_frame_ratio <= 1.0

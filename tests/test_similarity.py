@@ -94,3 +94,26 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
         assert ds == sorted(ds)
         probed_cells = {cells[r.cand] for r in rs}
         assert len(probed_cells) <= IVFPQ_NPROBE
+
+
+def test_prefix_rerank_recall_vs_brute_force(spark, sf_dir):
+    """The prefix filter is approximate; with a 20-candidate shortlist
+    over this corpus the full-dim rerank should recover most of the
+    true euclidean top-3 (and every returned distance must equal the
+    exact full-dim distance)."""
+    from postgres_es_cdc_spark.llm.similarity import (
+        emb_euclidean_topk, emb_prefix_rerank_topk)
+
+    pr = emb_prefix_rerank_topk(spark, sf_dir).collect()
+    assert pr
+    exact = {(r.qid, r.cid): r.l2sq_q
+             for r in emb_euclidean_topk(spark, sf_dir).collect()}
+    hits = sum(1 for r in pr if (r.qid, r.cid) in exact)
+    # Synthetic embeddings are isotropic random — the prefix carries
+    # only 16/64 of the variance (no MRL front-loading), so recall is
+    # far below what a Matryoshka-trained model gives; a third is the
+    # realistic floor here and the point is the two-stage mechanics.
+    assert hits >= len(exact) * 0.33
+    for r in pr:
+        if (r.qid, r.cid) in exact:
+            assert r.l2sq_q == exact[(r.qid, r.cid)]
