@@ -270,3 +270,71 @@ SELECT source, n_docs, n_tokens,
          AS oversample_factor
 FROM t
 """
+
+
+WEIGHTED_SAMPLE_K = 25
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str,
+                         k: int = WEIGHTED_SAMPLE_K) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = -ln(u) / w with u a
+    deterministic per-doc uniform (key-hash / 2^32) and w its weight
+    (here n_chars: longer docs proportionally likelier); the k smallest
+    keys are the sample. The standard one-pass distributed weighted
+    sampler — no collect, no sequential reservoir.
+
+    Exactness: -ln(u) = ln(2^32 / h) is detlog's a>=b integer-ratio
+    form, bit-identical across engines; the division by w and the
+    ranking are deterministic IEEE ops. Scale: the key is computed
+    scan-side; TakeOrdered(k) needs no global sort.
+    """
+    from postgres_es_cdc_spark.functions.detlog import (
+        apply_stages_spark, ln_ratio_stages)
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (key_hash(F.col("doc_id")) + 1).alias("h"))  # 1..2^32, never 0
+    staged = apply_stages_spark(
+        d.withColumn("two32", F.lit(_MOD)),
+        ln_ratio_stages("two32", "h", out="neg_ln_u"))
+    keyed = staged.select(
+        "doc_id", "n_chars",
+        (F.col("neg_ln_u") / F.col("n_chars").cast("double"))
+        .alias("sample_key"))
+    # limit-after-sort plans as TakeOrderedAndProject (per-partition
+    # top-k + merge); the rank window then touches only k rows. A
+    # global row_number window instead would single-partition-sort the
+    # whole corpus.
+    top = keyed.orderBy(F.asc("sample_key"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.asc("sample_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _weighted_sample_sql(k: int = WEIGHTED_SAMPLE_K) -> str:
+    from postgres_es_cdc_spark.functions.detlog import (
+        ln_ratio_stages, stages_cte_sql)
+
+    ctes, last = stages_cte_sql(
+        "d", ln_ratio_stages("two32", "h", out="neg_ln_u"), "wsc")
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ({KEY_HASH_SQL.format(key='doc_id')}) + 1 AS h,
+         CAST({_MOD} AS BIGINT) AS two32
+  FROM documents
+),
+{ctes},
+keyed AS (
+  SELECT doc_id, n_chars,
+         neg_ln_u / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM {last}
+)
+SELECT doc_id, n_chars, sample_key, rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sample_key ASC, doc_id ASC) AS rank
+      FROM keyed)
+WHERE rank <= {k}
+"""
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()

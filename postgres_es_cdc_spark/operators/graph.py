@@ -308,3 +308,105 @@ WITH pairs AS (
 )"""
     + "".join(_bfs_iter_sql(f"d{i}", f"d{i+1}") for i in range(BFS_ITERS))
     + f"\nSELECT node, dist FROM d{BFS_ITERS}")
+
+
+CC_CHAIN = 50
+CC_ROUNDS = 7
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial CC input: pure chains of ~CC_CHAIN consecutive
+    customer keys (k -> k+1 within each key-block). Long paths are the
+    worst case for naive label propagation — min-label moves ONE hop
+    per round, so chains need O(diameter) rounds; the pointer-doubling
+    operator below needs O(log diameter)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    nxt = c.select((F.col("c_custkey")).alias("k2"))
+    e = (c.join(nxt, F.col("c_custkey") + 1 == F.col("k2"))
+          .filter(F.expr(f"c_custkey div {CC_CHAIN}")
+                  == F.expr(f"(c_custkey + 1) div {CC_CHAIN}"))
+          .select(F.col("c_custkey").alias("src"), F.col("k2").alias("dst")))
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str,
+                               rounds: int = CC_ROUNDS) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    doubling: each round takes the min of (own label, the label OF the
+    label — one extra join on label-as-node — and neighbor labels).
+    Reachable-min distance follows D(r+1) = max(2*D(r), D(r)+1) = 2^(r-1)
+    (the jump reads the SAME round's labels, so it doubles rather than
+    doubles-plus-one), so 7 rounds cover diameter 64 where plain
+    propagation covers 7 — the log-round shortcut (Kiveris et al.'s
+    star-contraction family) that makes CC on path-shaped graphs
+    feasible at 100 TB. docs_dedup_clusters uses
+    plain propagation because LSH near-dup clusters are shallow; this
+    operator is the deep-graph variant.
+
+    Per round: one join keyed by label (the jump), one edge join + min
+    aggregate (the hop), lineage cut per round (localCheckpoint — the
+    Pregel barrier). All arithmetic is integer min — bit-exact against
+    the unrolled-CTE oracle by construction.
+    """
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node"))
+                  .unionByName(
+                      table(spark, sf_dir, "customer")
+                      .select(F.col("c_custkey").alias("node")))
+                  .distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        jump = labels.select(F.col("node").alias("label"),
+                             F.col("label").alias("jlabel"))
+        neigh = (edges.join(labels, edges.dst == labels.node)
+                      .groupBy(F.col("src").alias("node"))
+                      .agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(jump, "label")
+                        .join(neigh, "node", "left")
+                        .select("node",
+                                F.least(F.col("label"), F.col("jlabel"),
+                                        F.coalesce("nlabel", F.col("label")))
+                                .alias("label")))
+        labels = labels.localCheckpoint(eager=True)
+    return (labels.groupBy(F.col("label").alias("component"))
+                  .agg(F.count(F.lit(1)).alias("n_nodes"),
+                       F.min("node").alias("min_node"),
+                       F.max("node").alias("max_node")))
+
+
+def _cc_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous one THREE times (self, jump, neighbor) —
+    # inlining makes the unrolled chain exponential (3^rounds scans).
+    return f"""l{i} AS MATERIALIZED (
+  SELECT l.node,
+         LEAST(l.label, MAX(j.label),
+               COALESCE(MIN(r.label), l.label)) AS label
+  FROM {prev} l
+  JOIN {prev} j ON j.node = l.label
+  LEFT JOIN cedges e ON e.src = l.node
+  LEFT JOIN {prev} r ON r.node = e.dst
+  GROUP BY l.node, l.label
+)"""
+
+
+GRAPH_CC_SQL = (f"""
+WITH chain AS (
+  SELECT c.c_custkey AS src, c.c_custkey + 1 AS dst
+  FROM customer c JOIN customer c2 ON c2.c_custkey = c.c_custkey + 1
+  WHERE c.c_custkey // {CC_CHAIN} = (c.c_custkey + 1) // {CC_CHAIN}
+),
+cedges AS MATERIALIZED (SELECT src, dst FROM chain
+           UNION ALL SELECT dst AS src, src AS dst FROM chain),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM cedges
+  UNION ALL SELECT c_custkey AS node FROM customer)),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+"""
+    + ",\n".join(_cc_iter_sql(i) for i in range(1, CC_ROUNDS + 1)) + f"""
+SELECT label AS component, COUNT(*) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM l{CC_ROUNDS} GROUP BY label
+""")

@@ -258,6 +258,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # verbatim-portable SQL #2: the oracle IS the same text.
     "sql_ansi_window_portable": QuerySpec(sql_frontend.sql_ansi_window_portable, sql_frontend.SQL_ANSI_WINDOW_PORTABLE),
     "multimodal_frame_dedup": QuerySpec(multimodal.multimodal_frame_dedup, multimodal.MULTIMODAL_FRAME_DEDUP_SQL),
+    "graph_connected_components": QuerySpec(graph.graph_connected_components, graph.GRAPH_CC_SQL),
+    "docs_weighted_sample": QuerySpec(sampling.docs_weighted_sample, sampling.DOCS_WEIGHTED_SAMPLE_SQL),
 }
 
 

@@ -50,3 +50,23 @@ def test_bigram_lm_scores_are_plausible_nll(spark, sf_dir):
     again = {r.doc_id: r.avg_nll
              for r in docs_bigram_lm_score(spark, sf_dir).collect()}
     assert again == {r.doc_id: r.avg_nll for r in rows}
+
+
+def test_weighted_sample_prefers_heavier_docs(spark, sf_dir):
+    """Efraimidis-Spirakis: inclusion probability rises with weight —
+    the sampled docs' mean n_chars should exceed the corpus mean, and
+    the sample must be deterministic."""
+    from postgres_es_cdc_spark.llm.sampling import (
+        WEIGHTED_SAMPLE_K, docs_weighted_sample)
+
+    rows = docs_weighted_sample(spark, sf_dir).collect()
+    assert len(rows) == WEIGHTED_SAMPLE_K
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, WEIGHTED_SAMPLE_K + 1))
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean_chars = corpus.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > mean_chars * 0.95
+    again = {(r.doc_id, r.rank)
+             for r in docs_weighted_sample(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.rank) for r in rows}

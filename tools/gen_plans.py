@@ -95,6 +95,15 @@ PICKS = {
         "stage; the two Exchanges carry only (hash, doc_id, len) "
         "triples — full text never shuffles (group-then-emit, no "
         "self-join re-evaluation).",
+    "emb_prefix_rerank_topk":
+        "Two-stage adaptive retrieval: stage 1 projects to the 16-dim "
+        "prefix BEFORE the broadcast cross join (scan reads a quarter "
+        "of the vector payload); stage 2's exact rerank joins full "
+        "vectors only for shortlist ids.",
+    "docs_weighted_sample":
+        "Weighted sampling: the A-ES key is pure scan-side codegen "
+        "(hash + detlog ln); selection is TakeOrderedAndProject — no "
+        "global sort, no shuffle of the corpus.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
