@@ -247,3 +247,105 @@ FROM {last2}
 
 
 DOCS_CHAR_ENTROPY_SQL = _build_entropy_sql()
+
+
+def corpus_governance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus card a training-data platform publishes per
+    snapshot: volume (docs/tokens/vocab), provenance breadth
+    (langs/sources), quality distribution (exact mean score + share
+    above threshold), exact-duplicate exposure, and the Gopher-filter
+    keep rate. Composes the existing per-doc batteries into corpus
+    aggregates — the numbers that gate a dataset release.
+
+    Exactness: the mean quality is a 1e-9-quantized integer sum (each
+    per-doc score is deterministic IEEE, so its quantization is
+    identical cross-engine) divided once; every rate is ONE double
+    division of exact counts. Scale: three partial-aggregable passes
+    (doc stats, vocabulary, md5 groups) + the gopher scan, each a
+    map-side-combinable aggregate; the final assembly cross-joins
+    five one-row frames.
+    """
+    from postgres_es_cdc_spark.llm.text import quality_expr
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = d.select(
+        quality_expr(F.col("text")).alias("q"),
+        F.size(toks).cast("long").alias("nt"),
+        "lang", "source")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.round(F.col("q") * 1_000_000_000, 0).cast("long"))
+         .alias("q_sum"),
+        F.sum((F.col("q") > 0.5).cast("long")).alias("n_hi_quality"))
+    vocab = (d.select(F.explode(toks).alias("tok"))
+              .agg(F.countDistinct("tok").alias("vocab_size")))
+    dup = (d.groupBy(F.md5("text").alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_exact_dup_docs")))
+    gopher = docs_gopher_filters(spark, sf_dir).agg(
+        F.sum("keep").alias("n_keep"),
+        F.count(F.lit(1)).alias("n_scored"))
+    return (stats.crossJoin(F.broadcast(vocab))
+                 .crossJoin(F.broadcast(dup))
+                 .crossJoin(F.broadcast(gopher))
+                 .select(
+        "n_docs", "n_tokens", "vocab_size", "n_langs", "n_sources",
+        (F.col("n_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("avg_doc_tokens"),
+        (F.col("q_sum").cast("double") / F.lit(1.0e9)
+         / F.col("n_docs").cast("double")).alias("mean_quality"),
+        (F.col("n_hi_quality").cast("double")
+         / F.col("n_docs").cast("double")).alias("share_hi_quality"),
+        "n_exact_dup_docs",
+        (F.col("n_keep").cast("double")
+         / F.col("n_scored").cast("double")).alias("gopher_keep_rate")))
+
+
+_QUALITY_CORE_SQL = (
+    "0.4*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))"
+    " + 0.3*LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0)"
+    " + 0.3*LEAST(CAST(len(list_filter(toks, x -> x IN"
+    " ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"
+    " AS DOUBLE)/len(toks)*5.0, 1.0)")
+
+CORPUS_GOVERNANCE_SQL = f"""
+WITH per_doc AS (
+  SELECT {_QUALITY_CORE_SQL} AS q, len(toks) AS nt, lang, source
+  FROM (SELECT {TOKENS_SQL.format(col='text')} AS toks, lang, source
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(CAST(round(q * 1000000000) AS BIGINT)) AS BIGINT) AS q_sum,
+         CAST(SUM(CASE WHEN q > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
+  FROM per_doc
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS vocab_size
+  FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS tok FROM documents)
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_exact_dup_docs
+  FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)
+  WHERE n > 1
+),
+gopher AS (
+  SELECT CAST(SUM(keep) AS BIGINT) AS n_keep, COUNT(*) AS n_scored
+  FROM ({DOCS_GOPHER_SQL})
+)
+SELECT s.n_docs, s.n_tokens, v.vocab_size, s.n_langs, s.n_sources,
+       CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avg_doc_tokens,
+       CAST(s.q_sum AS DOUBLE) / 1.0E9 / CAST(s.n_docs AS DOUBLE) AS mean_quality,
+       CAST(s.n_hi_quality AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS share_hi_quality,
+       d.n_exact_dup_docs,
+       CAST(g.n_keep AS DOUBLE) / CAST(g.n_scored AS DOUBLE) AS gopher_keep_rate
+FROM stats s, vocab v, dup d, gopher g
+"""

@@ -260,6 +260,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frame_dedup": QuerySpec(multimodal.multimodal_frame_dedup, multimodal.MULTIMODAL_FRAME_DEDUP_SQL),
     "graph_connected_components": QuerySpec(graph.graph_connected_components, graph.GRAPH_CC_SQL),
     "docs_weighted_sample": QuerySpec(sampling.docs_weighted_sample, sampling.DOCS_WEIGHTED_SAMPLE_SQL),
+    "corpus_governance_report": QuerySpec(quality.corpus_governance_report, quality.CORPUS_GOVERNANCE_SQL),
 }
 
 

@@ -70,3 +70,20 @@ def test_weighted_sample_prefers_heavier_docs(spark, sf_dir):
     again = {(r.doc_id, r.rank)
              for r in docs_weighted_sample(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.rank) for r in rows}
+
+
+def test_corpus_governance_report_internally_consistent(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.quality import corpus_governance_report
+
+    r = corpus_governance_report(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert row.n_docs == n_docs
+    assert row.n_tokens > row.n_docs
+    assert 0 < row.vocab_size <= row.n_tokens
+    assert abs(row.avg_doc_tokens - row.n_tokens / row.n_docs) < 1e-9
+    assert 0.0 <= row.mean_quality <= 1.0
+    assert 0.0 <= row.share_hi_quality <= 1.0
+    assert 0.0 <= row.gopher_keep_rate <= 1.0
+    assert row.n_exact_dup_docs >= 0
