@@ -851,3 +851,45 @@ FROM (
 )
 WHERE rn = 1
 """)
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before
+    it (doc_id order = ingestion order): the share of a doc's distinct
+    shingles whose FIRST corpus occurrence is this doc. The running
+    redundancy diagnostic a crawl pipeline tracks — novelty trending
+    to zero means the crawl is re-reading the web; mutants score ~0
+    because their source doc (lower id) already contributed every
+    shingle.
+
+    Reuses the memoized family shingle stage. Scale shape: one
+    explode + min-aggregate keyed by shingle hash (the first-seen
+    table), one join back, one per-doc rollup — all 8-byte-key
+    shuffles, text never moves.
+    """
+    sh = _mutated_shingle_hashes(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (ex.join(first, "h")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.sum((F.col("first_doc") == F.col("doc_id"))
+                         .cast("long")).alias("n_novel"))
+              .withColumn("novelty",
+                          F.col("n_novel").cast("double")
+                          / F.col("n_shingles").cast("double")))
+
+
+DOCS_NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+first AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+SELECT ex.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM ex JOIN first f USING (h)
+GROUP BY ex.doc_id
+"""

@@ -261,6 +261,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "graph_connected_components": QuerySpec(graph.graph_connected_components, graph.GRAPH_CC_SQL),
     "docs_weighted_sample": QuerySpec(sampling.docs_weighted_sample, sampling.DOCS_WEIGHTED_SAMPLE_SQL),
     "corpus_governance_report": QuerySpec(quality.corpus_governance_report, quality.CORPUS_GOVERNANCE_SQL),
+    "docs_ngram_novelty": QuerySpec(dedup.docs_ngram_novelty, dedup.DOCS_NGRAM_NOVELTY_SQL),
 }
 
 

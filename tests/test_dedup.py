@@ -105,3 +105,20 @@ def test_cluster_representatives_pick_max_quality(spark, sf_dir):
         assert reps[label].rep_doc_id == -best[1]
         assert reps[label].rep_quality == best[0]
         assert reps[label].cluster_size == len(ms)
+
+
+def test_ngram_novelty_mutants_contribute_nothing_new(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.dedup import docs_ngram_novelty
+
+    rows = {r.doc_id: r for r in docs_ngram_novelty(spark, sf_dir).collect()}
+    muts = [r for i, r in rows.items() if i >= 1_000_000]
+    origs = [r for i, r in rows.items() if i < 1_000_000]
+    assert muts and origs
+    # a mutant's shingles are a subset of its (lower-id) source's
+    for m in muts:
+        assert m.n_novel == 0
+        assert m.novelty == 0.0
+    # originals collectively introduce every shingle
+    assert sum(o.n_novel for o in origs) > 0
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_shingles
