@@ -256,3 +256,96 @@ SELECT prev_type, event_type, n,
          / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next
 FROM agg
 """
+
+
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio — THE product-engagement dashboard metric.
+
+    Sliding COUNT(DISTINCT) is not partial-aggregable with a plain
+    window, so WAU uses the standard explode trick: each (user, day)
+    activity contributes to the 7 window-ends day..day+6, then one
+    distinct aggregate per window end. Exactly 7x row amplification of
+    the already-deduplicated (user, day) frame — the scalable shape —
+    and every count is exact; the ratio is ONE double division.
+    """
+    e = events_table(spark, sf_dir)
+    us_day = 24 * 3600 * 1_000_000
+    ud = (e.select("user_id", F.expr(f"ts_us div {us_day}").alias("day"))
+           .distinct())
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    cover = (ud.select("user_id", F.explode(
+                 F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"))
+               .distinct()
+               .groupBy(F.col("wday").alias("day"))
+               .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(cover, "day")
+               .select("day", "dau", "wau",
+                       (F.col("dau").cast("double")
+                        / F.col("wau").cast("double")).alias("stickiness")))
+
+
+EVENTS_DAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+cover AS (
+  SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+  FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+        FROM ud)
+  GROUP BY wday
+)
+SELECT d.day, d.dau, c.wau,
+       CAST(d.dau AS DOUBLE) / CAST(c.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN cover c USING (day)
+"""
+
+
+def orders_interpurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-purchase gap statistics (days between
+    consecutive orders): repeat-purchase cadence, the lifetime-value
+    input next to RFM. Customers with a single order have no gaps and
+    are excluded.
+
+    Ordering is (o_orderdate, o_orderkey) — total, so lag is
+    deterministic; gaps are exact integer days and the mean is one
+    double division. One shuffle by customer for the lag window, then
+    a map-side-combinable rollup.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+          .filter(F.col("prev_date").isNotNull())
+          .select("o_custkey",
+                  F.datediff("o_orderdate", "prev_date").cast("long")
+                  .alias("gap_days")))
+    return (g.groupBy(F.col("o_custkey").alias("custkey"))
+             .agg(F.count(F.lit(1)).alias("n_gaps"),
+                  F.sum("gap_days").alias("total_gap_days"),
+                  F.max("gap_days").alias("max_gap_days"))
+             .withColumn("avg_gap_days",
+                         F.col("total_gap_days").cast("double")
+                         / F.col("n_gaps").cast("double")))
+
+
+ORDERS_INTERPURCHASE_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days
+FROM g
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""

@@ -262,6 +262,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_weighted_sample": QuerySpec(sampling.docs_weighted_sample, sampling.DOCS_WEIGHTED_SAMPLE_SQL),
     "corpus_governance_report": QuerySpec(quality.corpus_governance_report, quality.CORPUS_GOVERNANCE_SQL),
     "docs_ngram_novelty": QuerySpec(dedup.docs_ngram_novelty, dedup.DOCS_NGRAM_NOVELTY_SQL),
+    "events_dau_stickiness": QuerySpec(analytics.events_dau_stickiness, analytics.EVENTS_DAU_STICKINESS_SQL),
+    "orders_interpurchase_stats": QuerySpec(analytics.orders_interpurchase_stats, analytics.ORDERS_INTERPURCHASE_SQL),
 }
 
 

@@ -87,3 +87,26 @@ def test_corpus_governance_report_internally_consistent(spark, sf_dir):
     assert 0.0 <= row.share_hi_quality <= 1.0
     assert 0.0 <= row.gopher_keep_rate <= 1.0
     assert row.n_exact_dup_docs >= 0
+
+
+def test_dau_stickiness_bounds(spark, sf_dir):
+    from postgres_es_cdc_spark.operators.analytics import (
+        events_dau_stickiness)
+
+    rows = events_dau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_interpurchase_gaps_consistent(spark, sf_dir):
+    from postgres_es_cdc_spark.operators.analytics import (
+        orders_interpurchase_stats)
+
+    rows = orders_interpurchase_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 1
+        assert 0 <= r.max_gap_days <= r.total_gap_days
+        assert abs(r.avg_gap_days - r.total_gap_days / r.n_gaps) < 1e-9
