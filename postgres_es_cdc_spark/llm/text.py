@@ -372,3 +372,36 @@ SELECT r.doc_id, r.term, r.tf, d.df, r.term_rank
 FROM ranked r JOIN df d USING (term)
 WHERE r.term_rank <= 3
 """
+
+
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class recall for the bigram language-ID
+    classifier — the eval step that belongs next to any classifier in a
+    data pipeline (is 'mis-tagged lang' noise worth a better model?).
+    Composes docs_lang_id (the per-doc argmax predictions); docs whose
+    bigrams overlap no profile are absent there and excluded here, in
+    both engines.
+
+    Scale: the matrix aggregate is map-side-combinable over the
+    prediction frame; the recall window runs on the |langs|^2 result.
+    """
+    pred = docs_lang_id(spark, sf_dir)
+    agg = (pred.groupBy("lang", "pred_lang")
+               .agg(F.count(F.lit(1)).alias("n")))
+    wl = Window.partitionBy("lang")
+    return agg.select(
+        "lang", "pred_lang", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(wl).cast("double")).alias("row_share"))
+
+
+DOCS_LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({DOCS_LANG_ID_SQL}),
+agg AS (
+  SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
+FROM agg
+"""

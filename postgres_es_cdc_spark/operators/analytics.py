@@ -349,3 +349,65 @@ FROM g
 WHERE gap_days IS NOT NULL
 GROUP BY o_custkey
 """
+
+
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time (order date -> line ship
+    date): the vendor-SLA profile a supply dashboard ranks suppliers
+    by — line volume, mean and max lead days, and the share shipped
+    within 30 days. One fact-fact equi-join on orderkey (both sides
+    huge: the shuffle join is correct here), then a map-side-
+    combinable rollup per supplier and a broadcast join to the
+    supplier dimension. Lead days are exact integers; mean and share
+    are ONE double division each.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lead = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .select("l_suppkey",
+                     F.datediff("l_shipdate", "o_orderdate").cast("long")
+                     .alias("lead_days")))
+    agg = (lead.groupBy("l_suppkey")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum("lead_days").alias("total_lead_days"),
+                    F.max("lead_days").alias("max_lead_days"),
+                    F.sum((F.col("lead_days") <= 30).cast("long"))
+                     .alias("n_fast")))
+    return (agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey)
+               .select(F.col("l_suppkey").alias("suppkey"),
+                       F.col("s_nationkey").alias("nationkey"),
+                       "n_lines", "max_lead_days",
+                       (F.col("total_lead_days").cast("double")
+                        / F.col("n_lines").cast("double"))
+                       .alias("avg_lead_days"),
+                       (F.col("n_fast").cast("double")
+                        / F.col("n_lines").cast("double"))
+                       .alias("share_within_30d")))
+
+
+SUPPLIER_LEAD_TIME_SQL = """
+WITH lead AS (
+  SELECT l_suppkey,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+agg AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(SUM(lead_days) AS BIGINT) AS total_lead_days,
+         CAST(MAX(lead_days) AS BIGINT) AS max_lead_days,
+         CAST(SUM(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fast
+  FROM lead GROUP BY l_suppkey
+)
+SELECT a.l_suppkey AS suppkey, s.s_nationkey AS nationkey,
+       a.n_lines, a.max_lead_days,
+       CAST(a.total_lead_days AS DOUBLE) / CAST(a.n_lines AS DOUBLE)
+         AS avg_lead_days,
+       CAST(a.n_fast AS DOUBLE) / CAST(a.n_lines AS DOUBLE)
+         AS share_within_30d
+FROM agg a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+"""

@@ -264,6 +264,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_ngram_novelty": QuerySpec(dedup.docs_ngram_novelty, dedup.DOCS_NGRAM_NOVELTY_SQL),
     "events_dau_stickiness": QuerySpec(analytics.events_dau_stickiness, analytics.EVENTS_DAU_STICKINESS_SQL),
     "orders_interpurchase_stats": QuerySpec(analytics.orders_interpurchase_stats, analytics.ORDERS_INTERPURCHASE_SQL),
+    "docs_langid_confusion": QuerySpec(text.docs_langid_confusion, text.DOCS_LANGID_CONFUSION_SQL),
+    "supplier_lead_time_stats": QuerySpec(analytics.supplier_lead_time_stats, analytics.SUPPLIER_LEAD_TIME_SQL),
 }
 
 

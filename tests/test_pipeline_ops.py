@@ -110,3 +110,27 @@ def test_interpurchase_gaps_consistent(spark, sf_dir):
         assert r.n_gaps >= 1
         assert 0 <= r.max_gap_days <= r.total_gap_days
         assert abs(r.avg_gap_days - r.total_gap_days / r.n_gaps) < 1e-9
+
+
+def test_langid_confusion_rows_sum_to_one(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.text import docs_langid_confusion
+
+    rows = docs_langid_confusion(spark, sf_dir).collect()
+    assert rows
+    by_true: dict = {}
+    for r in rows:
+        by_true.setdefault(r.lang, []).append(r)
+    for lang, rs in by_true.items():
+        assert abs(sum(x.row_share for x in rs) - 1.0) < 1e-9
+
+
+def test_supplier_lead_time_bounds(spark, sf_dir):
+    from postgres_es_cdc_spark.operators.analytics import (
+        supplier_lead_time_stats)
+
+    rows = supplier_lead_time_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines >= 1
+        assert r.avg_lead_days <= r.max_lead_days
+        assert 0.0 <= r.share_within_30d <= 1.0
