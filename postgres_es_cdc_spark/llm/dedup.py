@@ -37,6 +37,34 @@ MINHASH_PERMS: tuple[tuple[int, int], ...] = (
 MINHASH_P = 4294967291  # largest prime < 2^32
 LSH_BANDS = tuple((i, i + 1) for i in range(0, len(MINHASH_PERMS), 2))
 
+# Degenerate-bucket guard for the pair-generation paths. LSH bounds
+# EXPECTED bucket size, but one adversarial key (empty/boilerplate docs
+# with identical signatures) would make a single bucket's quadratic pair
+# fan-out unbounded at 100 TB. Band buckets (MinHash LSH, SimHash) keep
+# only the first PAIR_BUCKET_CAP members (deterministic: lowest doc_ids,
+# bounded BEFORE the array is collected, via a spill-capable row_number
+# window); shingle-blocking buckets over the cap are dropped whole
+# (document-frequency capping — truncation would undercount pair
+# intersections, dropping keeps Jaccard exact over the retained feature
+# space, the standard stop-shingle treatment). NO SILENT CAPS:
+# dedup_bucket_overflow_report reports per-path bucket counts, max
+# bucket size, over-cap bucket count, and dropped members/pairs; at the
+# driver scale factors no bucket comes near the cap, so capped and
+# uncapped outputs are identical (the report proves it with zeros).
+PAIR_BUCKET_CAP = 1000
+
+
+def _cap_buckets(banded: DataFrame, keys: list, order_col: str,
+                 cap: int) -> DataFrame:
+    """Keep at most ``cap`` members per bucket, lowest ``order_col``
+    first. row_number runs in the same shuffle partitioning as the
+    downstream groupBy (no extra exchange) and WindowExec spills its
+    per-key buffer — bounded executor memory even on a degenerate key."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= cap)
+                  .drop("_rn"))
+
 _MUTATED_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -188,7 +216,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda: _build_lsh_pairs(spark, sf_dir))
 
 
-def _build_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the MinHash LSH banding stage,
+    shared by the pair generator and dedup_bucket_overflow_report."""
     sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
     bands = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
@@ -197,18 +227,25 @@ def _build_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col(f"sig{b}").cast("string"))).alias("band_key"))
         for bi, (a, b) in enumerate(LSH_BANDS)
     ])
-    banded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", "bk.band_idx", "bk.band_key")
+
+
+def _build_lsh_pairs(spark: SparkSession, sf_dir: str,
+                     cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    banded = _lsh_banded(spark, sf_dir)
     # Group-then-pair instead of a self-join: a self-join would evaluate
     # the whole signature pipeline twice (both join inputs are the same
     # unmaterialized subplan). collect_list computes signatures ONCE,
     # shuffles only (band_idx, band_key, doc_id), and emits pairs from
     # each bucket's id array — in-bucket work is quadratic only in the
-    # duplicate-cluster size, which is exactly what LSH bounds.
+    # duplicate-cluster size, which LSH bounds in expectation and
+    # _cap_buckets bounds worst-case (see PAIR_BUCKET_CAP).
     buckets = (
-        banded.groupBy("band_idx", "band_key")
-              .agg(F.collect_list("doc_id").alias("ids"))
-              .filter(F.size("ids") > 1)
+        _cap_buckets(banded, ["band_idx", "band_key"], "doc_id", cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     return (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
@@ -243,21 +280,32 @@ WHERE l.doc_id < r.doc_id
 """
 
 
-def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                             cap: int = PAIR_BUCKET_CAP) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at
     least one shingle (shared-shingle blocking), threshold 0.5.
 
     Explode-join-group: shuffles (shingle_hash, doc_id); blocking keeps
-    the pair space sparse. At 100 TB you'd run LSH first and verify only
-    candidates — that composition is docs_minhash_lsh_pairs + this."""
+    the pair space sparse. Shingles shared by more than ``cap`` docs are
+    dropped whole (document-frequency cap — boilerplate features; see
+    PAIR_BUCKET_CAP), keeping both the bucket array and the pair fan-out
+    bounded; when the cap fires, intersections count only retained
+    features while set sizes stay full, so the score is a conservative
+    lower bound (the cap never fires at driver scale factors). At
+    100 TB you'd run LSH first and verify only candidates — that
+    composition is docs_minhash_lsh_pairs + this."""
     sh = _mutated_shingle_hashes(spark, sf_dir)
     sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
                       F.explode("sh").alias("h"))
     # Same group-then-pair shape as the LSH stage (see there): one
     # computation of the shingle pipeline, shuffle by shingle hash,
-    # per-shingle doc lists expanded to ordered pairs.
+    # per-shingle doc lists expanded to ordered pairs. The df-cap window
+    # count runs in the same partitioning (no extra exchange) and spills.
+    df_w = Window.partitionBy("h")
     docs_per_shingle = (
-        sized.groupBy("h")
+        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
+             .filter(F.col("_df") <= cap)
+             .groupBy("h")
              .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
              .filter(F.size("ds") > 1)
     )
@@ -631,14 +679,16 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str,
     ex = (base.select("doc_id", F.explode(chunks).alias("c"))
               .select("doc_id", F.col("c.h").alias("h"),
                       F.col("c.clen").alias("clen")))
-    per_hash = (ex.groupBy("h")
-                  .agg(F.collect_list(F.struct("doc_id", "clen")).alias("ds"))
-                  .withColumn("ndocs", F.size(F.array_distinct(
-                      F.transform("ds", lambda s: s.doc_id)))))
-    back = (per_hash.select(F.explode("ds").alias("s"),
-                            (F.col("ndocs") > 1).alias("dup"))
-                    .select(F.col("s.doc_id").alias("doc_id"),
-                            F.col("s.clen").alias("clen"), "dup"))
+    # "Seen in more than one doc" needs no per-hash array at all:
+    # min(doc_id) != max(doc_id) over a window partitioned by the chunk
+    # hash. WindowExec buffers each key run with spill — bounded
+    # executor memory even on a degenerate hash (a boilerplate chunk
+    # shared by millions of docs), where a collect_list bucket would be
+    # an unbounded single array. Same single evaluation of the chunk
+    # pipeline, same one shuffle on the 8-byte hash.
+    hw = Window.partitionBy("h")
+    back = ex.withColumn(
+        "dup", F.min("doc_id").over(hw) != F.max("doc_id").over(hw))
     return (back.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_chunks"),
                      F.sum(F.col("dup").cast("long")).alias("n_dup_chunks"),
@@ -650,7 +700,10 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str,
                             / F.col("n_chunks").cast("double")))
 
 
-DOCS_CHUNK_DEDUP_SQL = f"""
+def _chunk_dedup_sql(chunk: int = CHUNK_TOKENS) -> str:
+    """DuckDB twin of docs_chunk_dedup, parameterized by the same
+    ``chunk`` window so non-default calls keep the parity contract."""
+    return f"""
 WITH corpus AS ({_MUTATED_SQL}),
 t AS (
   SELECT doc_id, toks, len(toks) AS n
@@ -659,15 +712,15 @@ t AS (
 idx AS (
   SELECT doc_id, toks, n,
          unnest(generate_series(0,
-             greatest(CAST(ceil(n / {CHUNK_TOKENS}.0) AS INT) - 1, 0))) AS i
+             greatest(CAST(ceil(n / {chunk}.0) AS INT) - 1, 0))) AS i
   FROM t
 ),
 ch AS (
   SELECT doc_id,
          ('0x' || substr(md5(array_to_string(
-             list_slice(toks, i*{CHUNK_TOKENS}+1, i*{CHUNK_TOKENS}+{CHUNK_TOKENS}),
+             list_slice(toks, i*{chunk}+1, i*{chunk}+{chunk}),
              ' ')), 1, 8))::BIGINT AS h,
-         CAST(least({CHUNK_TOKENS}, n - i*{CHUNK_TOKENS}) AS BIGINT) AS clen
+         CAST(least({chunk}, n - i*{chunk}) AS BIGINT) AS clen
   FROM idx
 ),
 freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
@@ -683,6 +736,9 @@ GROUP BY ch.doc_id
 """
 
 
+DOCS_CHUNK_DEDUP_SQL = _chunk_dedup_sql()
+
+
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
 SIMHASH_MAX_HAMMING = 3
@@ -696,29 +752,10 @@ def _h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: 60-bit shingle-feature SimHash per doc on
-    the mutated corpus, banded into 4 x 15-bit keys for candidate
-    generation, verified with an exact Hamming-distance filter (<= 3).
-
-    EXACT by pigeonhole: any pair within Hamming distance 3 of a 60-bit
-    fingerprint differs in at most 3 of the 4 bands, so at least one
-    band matches — banding loses nothing, and the oracle (same banding)
-    is provably the full hamming<=3 pair set.
-
-    Features are the 3-gram shingle hashes (the memoized family stage),
-    re-hashed to 60 bits — shingle sets have far higher entropy than
-    unigram token sets on a small vocabulary, so fingerprints of
-    unrelated docs spread out while a mutant (one dropped shingle)
-    stays within a few bits of its source.
-
-    Scale shape: the fingerprint is a per-row array pass (no shuffle);
-    candidates shuffle 4 short (band, key15) rows per doc and pair up
-    inside buckets (group-then-pair, quadratic only in bucket size,
-    which 2^15 keys keep tiny); the verify is one integer XOR+popcount
-    per candidate. This is the billion-doc SimHash layout from Manku et
-    al.'s web-dedup paper, expressed relationally.
-    """
+def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, band_idx, band_key) — 60-bit shingle-feature SimHash
+    fingerprints banded into 4 x 15-bit keys; shared by the Hamming-pair
+    generator and dedup_bucket_overflow_report."""
     sh = _mutated_shingle_hashes(spark, sf_dir)
     base = sh.select(
         "doc_id",
@@ -739,9 +776,42 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.shiftright(F.col("sh"), b * SIMHASH_BAND_BITS)
                   % F.lit(1 << SIMHASH_BAND_BITS)).alias("band_key"))
         for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)])
-    banded = fps.select("doc_id", "sh", F.explode(bands).alias("bk")).select(
+    return fps.select("doc_id", "sh", F.explode(bands).alias("bk")).select(
         "doc_id", "sh", "bk.band_idx", "bk.band_key")
-    buckets = (banded.groupBy("band_idx", "band_key")
+
+
+def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 60-bit shingle-feature SimHash per doc on
+    the mutated corpus, banded into 4 x 15-bit keys for candidate
+    generation, verified with an exact Hamming-distance filter (<= 3).
+
+    EXACT by pigeonhole: any pair within Hamming distance 3 of a 60-bit
+    fingerprint differs in at most 3 of the 4 bands, so at least one
+    band matches — banding loses nothing, and the oracle (same banding)
+    is provably the full hamming<=3 pair set. (Exactness holds while no
+    band bucket exceeds PAIR_BUCKET_CAP — never at driver scale factors;
+    over-cap buckets are bounded and reported, see
+    dedup_bucket_overflow_report.)
+
+    Features are the 3-gram shingle hashes (the memoized family stage),
+    re-hashed to 60 bits — shingle sets have far higher entropy than
+    unigram token sets on a small vocabulary, so fingerprints of
+    unrelated docs spread out while a mutant (one dropped shingle)
+    stays within a few bits of its source.
+
+    Scale shape: the fingerprint is a per-row array pass (no shuffle);
+    candidates shuffle 4 short (band, key15) rows per doc and pair up
+    inside buckets (group-then-pair, quadratic only in bucket size,
+    which 2^15 keys keep tiny); the verify is one integer XOR+popcount
+    per candidate. This is the billion-doc SimHash layout from Manku et
+    al.'s web-dedup paper, expressed relationally.
+    """
+    banded = _simhash_banded(spark, sf_dir)
+    # Degenerate-bucket guard, same as the MinHash band stage: bound the
+    # bucket BEFORE collecting it (see PAIR_BUCKET_CAP).
+    capped = _cap_buckets(banded, ["band_idx", "band_key"], "doc_id",
+                          PAIR_BUCKET_CAP)
+    buckets = (capped.groupBy("band_idx", "band_key")
                      .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
                      .filter(F.size("ds") > 1))
     pairs = (buckets.select(F.explode("ds").alias("a"), "ds")
@@ -772,7 +842,10 @@ _BANDS60_SQL = " UNION ALL ".join(
     f"FROM fps"
     for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS))
 
-DOCS_SIMHASH_HAMMING_SQL = f"""
+# Fingerprint-CTE prefix ending at the `fps` CTE — referenced directly
+# by tests (append a SELECT over `fps`) so the full query text below can
+# be reformatted freely.
+SIMHASH_FPS_CTE_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 th AS (
   SELECT doc_id,
@@ -785,7 +858,9 @@ th AS (
   FROM th
 ), fps AS (
   SELECT doc_id, CAST({_FP60_SQL} AS BIGINT) AS sh FROM bits
-), banded AS ({_BANDS60_SQL}),
+)"""
+
+DOCS_SIMHASH_HAMMING_SQL = f"""{SIMHASH_FPS_CTE_SQL}, banded AS ({_BANDS60_SQL}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
          l.sh AS sh_a, r.sh AS sh_b
@@ -796,6 +871,95 @@ pairs AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM pairs
 WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def dedup_bucket_overflow_report(spark: SparkSession, sf_dir: str,
+                                 cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """Observability for the PAIR_BUCKET_CAP guard (no-silent-caps): one
+    row per capped pair-generation path with the bucket count, the
+    largest bucket, how many buckets exceed the cap, and how many bucket
+    members the cap would drop (band paths truncate to the cap;
+    shingle-blocking drops over-cap buckets whole). At driver scale
+    factors every n_over_cap/n_dropped_members is 0 — the proof that the
+    capped pair queries equal their uncapped oracles — while n_buckets/
+    max_bucket are real corpus statistics. At 100 TB this is the health
+    report a pipeline operator watches for boilerplate explosions.
+
+    Scale shape: three partial-aggregable count passes over the memoized
+    banding stages; each path's rollup is a one-row aggregate."""
+    def path_stats(df: DataFrame, keys: list, path: str,
+                   drop_whole: bool) -> DataFrame:
+        sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+        over = F.col("c") > cap
+        dropped = F.when(
+            over, F.col("c") if drop_whole else F.col("c") - cap
+        ).otherwise(F.lit(0))
+        return sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.sum(over.cast("long")).alias("n_over_cap"),
+            F.sum(dropped).alias("n_dropped_members"),
+        ).select(F.lit(path).alias("path"), "n_buckets", "max_bucket",
+                 "n_over_cap", "n_dropped_members")
+
+    sh_ex = _mutated_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("h"))
+    return (
+        path_stats(_lsh_banded(spark, sf_dir), ["band_idx", "band_key"],
+                   "minhash_lsh_bands", False)
+        .unionByName(path_stats(sh_ex, ["h"],
+                                "jaccard_shingle_blocks", True))
+        .unionByName(path_stats(_simhash_banded(spark, sf_dir),
+                                ["band_idx", "band_key"],
+                                "simhash_bands", False))
+    )
+
+
+_SIGS_SELECT_SQL = ",\n".join(
+    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS))
+
+_OVERFLOW_PATH_SQL = """
+SELECT '{path}' AS path, COUNT(*) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN c > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(SUM(CASE WHEN c > {cap} THEN {dropped} ELSE 0 END) AS BIGINT)
+         AS n_dropped_members
+FROM {sizes}"""
+
+DEDUP_BUCKET_OVERFLOW_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_SIGS_SELECT_SQL}
+  FROM sh
+),
+banded AS ({_BANDS_SQL}),
+lsh_sz AS (SELECT COUNT(*) AS c FROM banded GROUP BY band_idx, band_key),
+ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+sh_sz AS (SELECT COUNT(*) AS c FROM ex GROUP BY h),
+th AS (
+  SELECT doc_id,
+         list_transform(sh,
+             h -> ('0x'||substr(md5(CAST(h AS VARCHAR)),1,15))::BIGINT) AS th
+  FROM sh
+), bits AS (
+  SELECT doc_id,
+{_BITSUM60_SQL}
+  FROM th
+), fps AS (
+  SELECT doc_id, CAST({_FP60_SQL} AS BIGINT) AS sh FROM bits
+), banded60 AS ({_BANDS60_SQL}),
+sim_sz AS (SELECT COUNT(*) AS c FROM banded60 GROUP BY band_idx, band_key)
+{_OVERFLOW_PATH_SQL.format(path="minhash_lsh_bands", cap=PAIR_BUCKET_CAP,
+                           dropped=f"c - {PAIR_BUCKET_CAP}", sizes="lsh_sz")}
+UNION ALL
+{_OVERFLOW_PATH_SQL.format(path="jaccard_shingle_blocks",
+                           cap=PAIR_BUCKET_CAP, dropped="c", sizes="sh_sz")}
+UNION ALL
+{_OVERFLOW_PATH_SQL.format(path="simhash_bands", cap=PAIR_BUCKET_CAP,
+                           dropped=f"c - {PAIR_BUCKET_CAP}", sizes="sim_sz")}
 """
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
@@ -370,10 +370,13 @@ def multimodal_frame_dedup(spark, sf_dir: str,
     in a real video corpus).
 
     Corpus: the mutated documents (payload = UTF-8 text bytes), so
-    mutants share almost all frames with their originals. The oracle
-    hashes the same windows as VARCHAR — identical md5 because the
-    fixture is ASCII (with multibyte payloads the oracle would hash
-    raw bytes instead; Spark-side hashing is bytes either way).
+    mutants share almost all frames with their originals. Frames are
+    fingerprinted as md5(hex(frame_bytes)): DuckDB 1.x has no
+    md5(BLOB)/substring(BLOB), but hex() of a byte window is identical
+    in both engines for ANY payload, so the parity contract is
+    byte-exact even for non-ASCII/multibyte content (windows are byte
+    offsets on both sides — the oracle slices the hex string at 2 chars
+    per byte).
 
     Scale shape: frame extraction is Arrow-batched map-side work; the
     shuffles carry (16-byte hash, asset_id) pairs, never frame bytes
@@ -401,12 +404,16 @@ def multimodal_frame_dedup(spark, sf_dir: str,
             yield pd.DataFrame(rows)
 
     frames = assets.mapInPandas(_frames, out_schema)
-    per_hash = (frames.select("asset_id", F.md5("frame").alias("h"))
-                      .groupBy("h")
-                      .agg(F.collect_list("asset_id").alias("ids"))
-                      .withColumn("na", F.size(F.array_distinct("ids"))))
-    back = (per_hash.select(F.explode("ids").alias("asset_id"),
-                            (F.col("na") > 1).alias("dup")))
+    # "Shared with another asset" = min(asset_id) != max(asset_id) over
+    # a window partitioned by the frame hash — no per-hash array, so a
+    # degenerate hash (an all-black frame in millions of assets) buffers
+    # through WindowExec's spillable run instead of one unbounded
+    # collect_list bucket. Same single evaluation, same one shuffle
+    # carrying (16-byte hash, asset_id).
+    hw = Window.partitionBy("h")
+    back = (frames.select("asset_id", F.md5(F.hex("frame")).alias("h"))
+                  .withColumn("dup", F.min("asset_id").over(hw)
+                              != F.max("asset_id").over(hw)))
     return (back.groupBy("asset_id")
                 .agg(F.count(F.lit(1)).alias("n_frames"),
                      F.sum(F.col("dup").cast("long")).alias("n_dup_frames"))
@@ -421,15 +428,18 @@ def _frame_dedup_sql(frame_size: int = FRAME_SIZE,
 
     return f"""
 WITH corpus AS ({_MUTATED_SQL}),
-t AS (SELECT doc_id AS asset_id, text, length(text) AS n FROM corpus),
+t AS (SELECT doc_id AS asset_id, upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM corpus),
 f AS (
-  SELECT asset_id, text, n,
+  SELECT asset_id, hx, n,
          unnest(generate_series(0,
              greatest(CAST(ceil(n / {frame_size}.0) AS INT) - 1, 0))) AS fi
   FROM t
 ),
 frames AS (
-  SELECT asset_id, md5(substring(text, fi*{frame_size}+1, {frame_size})) AS h
+  SELECT asset_id,
+         md5(substring(hx, fi*{frame_size}*2+1, {frame_size}*2)) AS h
   FROM f
   WHERE fi % {every_n} = 0 AND fi*{frame_size} < n
 ),

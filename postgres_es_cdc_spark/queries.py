@@ -266,6 +266,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_interpurchase_stats": QuerySpec(analytics.orders_interpurchase_stats, analytics.ORDERS_INTERPURCHASE_SQL),
     "docs_langid_confusion": QuerySpec(text.docs_langid_confusion, text.DOCS_LANGID_CONFUSION_SQL),
     "supplier_lead_time_stats": QuerySpec(analytics.supplier_lead_time_stats, analytics.SUPPLIER_LEAD_TIME_SQL),
+    # --- round 4: scale hardening & observability ---
+    "dedup_bucket_overflow_report": QuerySpec(
+        dedup.dedup_bucket_overflow_report, dedup.DEDUP_BUCKET_OVERFLOW_SQL),
 }
 
 

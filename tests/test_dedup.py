@@ -61,14 +61,13 @@ def test_simhash_hamming_exact_pair_set(spark, sf_dir):
     # recompute fingerprints via the same pipeline's bucket input
     import duckdb
 
-    from postgres_es_cdc_spark.llm.dedup import DOCS_SIMHASH_HAMMING_SQL
+    from postgres_es_cdc_spark.llm.dedup import SIMHASH_FPS_CTE_SQL
     con = duckdb.connect()
     for t in ("documents",):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
-    prefix = (DOCS_SIMHASH_HAMMING_SQL.split("banded AS")[0]
-              .rstrip().rstrip(","))
-    fps = con.execute(prefix + "\nSELECT doc_id, sh FROM fps").fetchall()
+    fps = con.execute(
+        SIMHASH_FPS_CTE_SQL + "\nSELECT doc_id, sh FROM fps").fetchall()
     brute = {}
     for i, (ida, sha) in enumerate(fps):
         for idb, shb in fps[i + 1:]:
@@ -122,3 +121,62 @@ def test_ngram_novelty_mutants_contribute_nothing_new(spark, sf_dir):
     assert sum(o.n_novel for o in origs) > 0
     for r in rows.values():
         assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_pair_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
+    """Adversarial fixture: 40 identical documents (so the mutated
+    corpus holds 80 docs whose signatures all collide). Every band
+    bucket is degenerate; the cap must bound the pair fan-out
+    deterministically and the overflow report must account for every
+    over-cap bucket."""
+    import pandas as pd
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _build_lsh_pairs, dedup_bucket_overflow_report,
+        docs_ngram_jaccard_pairs)
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": list(range(40)),
+        "text": ["the same boilerplate text repeated in every document"] * 40,
+    })
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    pairs = {(r.doc_a, r.doc_b)
+             for r in _build_lsh_pairs(spark, sf, cap=5).collect()}
+    # Each bucket keeps only its 5 lowest doc_ids -> at most C(5,2) pairs
+    # from the original half plus C(5,2) from the mutant half.
+    assert 0 < len(pairs) <= 20
+    assert {(a, b) for a in range(5) for b in range(5) if a < b} <= pairs
+    assert all(b < 5 or b >= 1_000_000 for _, b in pairs)
+    # deterministic under the cap (row_number orders by doc_id)
+    again = {(r.doc_a, r.doc_b)
+             for r in _build_lsh_pairs(spark, sf, cap=5).collect()}
+    assert again == pairs
+
+    # shingle blocking drops over-cap buckets whole -> no pairs at all
+    assert docs_ngram_jaccard_pairs(spark, sf, cap=5).count() == 0
+
+    rep = {r.path: r
+           for r in dedup_bucket_overflow_report(spark, sf, cap=5).collect()}
+    lsh = rep["minhash_lsh_bands"]
+    assert lsh.max_bucket >= 40
+    assert lsh.n_over_cap >= 4          # every band has a degenerate bucket
+    assert lsh.n_dropped_members >= 4 * 35
+    jac = rep["jaccard_shingle_blocks"]
+    assert jac.n_over_cap == jac.n_buckets  # every shingle is boilerplate
+    assert jac.n_dropped_members > 0
+    assert rep["simhash_bands"].max_bucket >= 40
+
+
+def test_bucket_overflow_report_zero_at_test_scale(spark, sf_dir):
+    """At driver scale factors no bucket approaches PAIR_BUCKET_CAP, so
+    capped pair queries provably equal their uncapped oracles."""
+    from postgres_es_cdc_spark.llm.dedup import dedup_bucket_overflow_report
+
+    rows = dedup_bucket_overflow_report(spark, sf_dir).collect()
+    assert {r.path for r in rows} == {
+        "minhash_lsh_bands", "jaccard_shingle_blocks", "simhash_bands"}
+    for r in rows:
+        assert r.n_over_cap == 0 and r.n_dropped_members == 0
+        assert r.n_buckets > 0 and r.max_bucket >= 1

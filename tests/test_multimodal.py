@@ -68,3 +68,30 @@ def test_frame_dedup_mutants_share_frames(spark, sf_dir):
         # the original asset
         assert m.n_dup_frames >= m.n_frames - 1
         assert 0.0 <= m.dup_frame_ratio <= 1.0
+
+
+def test_frame_dedup_byte_exact_for_non_ascii(spark, tmp_path):
+    """The frame fingerprint is md5(hex(bytes)) on both engines, so the
+    Spark/DuckDB parity contract holds for multibyte payloads too (the
+    oracle slices the hex string at 2 chars per byte — byte windows,
+    not character windows)."""
+    import duckdb
+    import pandas as pd
+
+    from postgres_es_cdc_spark.llm.multimodal import (
+        _frame_dedup_sql, multimodal_frame_dedup)
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["héllo wörld ünicode text ümlauts éverywhere in this döc",
+                 "ascii only document with plain words here",
+                 "日本語のテキストとemoji混在のドキュメント test"],
+    })
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    got = sorted(tuple(r) for r in multimodal_frame_dedup(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(_frame_dedup_sql()).fetchall())
+    assert got == want
