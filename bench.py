@@ -52,6 +52,35 @@ HEADLINE = [
     "docs_chunk_dedup",
     "emb_ivfpq_topk",
     "docs_bigram_lm_score",
+    # round-3 batch 2 (driver window r4)
+    "docs_simhash_hamming_pairs",
+    "docs_cluster_representatives",
+    "docs_domain_mixture",
+    "events_type_transitions",
+    "emb_prefix_rerank_topk",
+    "sql_ansi_window_portable",
+    "multimodal_frame_dedup",
+    "graph_connected_components",
+    "docs_weighted_sample",
+    "corpus_governance_report",
+    "docs_ngram_novelty",
+    "events_dau_stickiness",
+    "orders_interpurchase_stats",
+    "docs_langid_confusion",
+    "supplier_lead_time_stats",
+    # round-4 flagships
+    "dedup_bucket_overflow_report",
+    "orders_segment_skew_join",
+    "ivm_orders_priority_rollup",
+    "emb_semdedup_prune",
+    "docs_pmi_collocations",
+    "docs_minhash_containment",
+    "docs_zipf_slope",
+    "emb_range_search",
+    "graph_degree_distribution",
+    "emb_pair_cosine_histogram",
+    "orders_pareto_revenue_share",
+    "events_hourly_seasonality",
 ]
 
 

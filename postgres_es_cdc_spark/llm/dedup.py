@@ -218,7 +218,14 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_key) — the MinHash LSH banding stage,
-    shared by the pair generator and dedup_bucket_overflow_report."""
+    shared by the pair generator and dedup_bucket_overflow_report.
+    Memoized like the other family stages: consumers read one
+    materialization of the signature pipeline."""
+    return _memoized(spark, sf_dir, "lsh_banded",
+                     lambda: _build_lsh_banded(spark, sf_dir))
+
+
+def _build_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
     bands = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
@@ -755,7 +762,14 @@ def _h60(col):
 def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh, band_idx, band_key) — 60-bit shingle-feature SimHash
     fingerprints banded into 4 x 15-bit keys; shared by the Hamming-pair
-    generator and dedup_bucket_overflow_report."""
+    generator and dedup_bucket_overflow_report. Memoized: the 60
+    bit-sum aggregates per doc are the family's most expensive stage
+    (~5 s at sf0.1), so consumers must read one materialization."""
+    return _memoized(spark, sf_dir, "simhash_banded",
+                     lambda: _build_simhash_banded(spark, sf_dir))
+
+
+def _build_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _mutated_shingle_hashes(spark, sf_dir)
     base = sh.select(
         "doc_id",
@@ -1057,3 +1071,131 @@ SELECT ex.doc_id,
 FROM ex JOIN first f USING (h)
 GROUP BY ex.doc_id
 """
+
+
+CONTAINMENT_TAU = 0.9
+
+
+def docs_minhash_containment(spark: SparkSession, sf_dir: str,
+                             threshold: float = CONTAINMENT_TAU,
+                             cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """Shingle-set CONTAINMENT C(sub→sup) = |sub ∩ sup| / |sub| — the
+    asymmetric companion of Jaccard that catches sub-document
+    duplication (quotes, boilerplate wrappers, truncated copies): a
+    mutant whose shingles are a strict subset of its source scores
+    containment 1.0 while its Jaccard is below 1. Standard kit next to
+    Jaccard since Broder's original resemblance/containment pair.
+
+    Same shared-shingle blocking + document-frequency cap as
+    docs_ngram_jaccard_pairs (one shuffle on the 8-byte shingle hash,
+    pair space sparse, over-cap boilerplate features dropped whole and
+    reported); each unordered candidate pair emits both directions and
+    keeps those with containment >= threshold."""
+    sh = _mutated_shingle_hashes(spark, sf_dir)
+    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
+                      F.explode("sh").alias("h"))
+    df_w = Window.partitionBy("h")
+    docs_per_shingle = (
+        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
+             .filter(F.col("_df") <= cap)
+             .groupBy("h")
+             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+             .filter(F.size("ds") > 1)
+    )
+    shared = (
+        docs_per_shingle
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    fwd = shared.select(F.col("doc_a").alias("doc_sub"),
+                        F.col("doc_b").alias("doc_sup"),
+                        (F.col("inter").cast("double") / F.col("na"))
+                        .alias("containment"))
+    bwd = shared.select(F.col("doc_b").alias("doc_sub"),
+                        F.col("doc_a").alias("doc_sup"),
+                        (F.col("inter").cast("double") / F.col("nb"))
+                        .alias("containment"))
+    return fwd.unionByName(bwd).filter(
+        F.col("containment") >= threshold)
+
+
+DOCS_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS inter
+  FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+both_dirs AS (
+  SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+         CAST(inter AS DOUBLE)/na AS containment FROM shared
+  UNION ALL
+  SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+         CAST(inter AS DOUBLE)/nb AS containment FROM shared
+)
+SELECT doc_sub, doc_sup, containment
+FROM both_dirs WHERE containment >= {CONTAINMENT_TAU}
+"""
+
+
+def docs_dedup_survivorship_quality(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report: for the clustered (near-duplicate) portion
+    of the corpus, compare kept representatives vs pruned members on
+    count, token mass, and mean quality — the before/after evidence a
+    pipeline owner reviews before enabling a dedup pass (quality-aware
+    representative selection should show kept-quality >= pruned).
+
+    Composes the memoized label-propagation stage with the shared
+    quality heuristic; quality is quantized to 1e-6 integers so the
+    per-class mean is an exact integer sum with one deterministic
+    division. Output: one row per status ('kept' / 'pruned')."""
+    labels = _cluster_labels(spark, sf_dir)
+    q = mutated_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.floor(quality_expr(F.col("text")) * 1000000 + F.lit(0.5))
+         .cast("long").alias("q6"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    m = labels.join(q, "doc_id")
+    w = Window.partitionBy("label").orderBy(F.desc("q6"), F.asc("doc_id"))
+    status = F.when(F.row_number().over(w) == 1,
+                    F.lit("kept")).otherwise(F.lit("pruned"))
+    return (m.withColumn("status", status)
+             .groupBy("status")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("sum_tokens"),
+                  (F.sum("q6").cast("double") / F.count(F.lit(1))
+                   / F.lit(1.0e6)).alias("avg_quality")))
+
+
+DOCS_SURVIVORSHIP_SQL = (
+    _CLUSTERS_CTE_SQL
+    + f""", qq AS (
+  SELECT doc_id,
+         CAST(floor(({_QUALITY60_SQL}) * 1000000 + 0.5) AS BIGINT) AS q6,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks
+        FROM ({_MUTATED_SQL}))
+),
+m AS (
+  SELECT l.label, l.doc_id, qq.q6, qq.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY l.label
+                            ORDER BY qq.q6 DESC, l.doc_id ASC) AS rn
+  FROM l5 l JOIN qq ON qq.doc_id = l.doc_id
+)
+SELECT CASE WHEN rn = 1 THEN 'kept' ELSE 'pruned' END AS status,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1.0E6 AS avg_quality
+FROM m GROUP BY 1
+""")

@@ -24,7 +24,7 @@ aggregation. No Python, no libm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import scan_parallel, table
@@ -94,4 +94,173 @@ q AS (SELECT doc_id, {_TERM_Q} AS term_q FROM {_LN_LAST})
 SELECT doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(term_q) AS DOUBLE) / 1.0E9 / COUNT(*) AS avg_nll
 FROM q GROUP BY doc_id
+"""
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str,
+                          min_count: int = PMI_MIN_COUNT,
+                          top: int = PMI_TOP) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    phrase-mining pass (Mikolov-style word2phrase uses exactly this
+    statistic to merge "new york" into one token before training).
+
+    PMI(w1,w2) = ln( N·c12 / (c1·c2) ) over bigram-start positions,
+    restricted to positive-PMI pairs (N·c12 >= c1·c2), which is the
+    a >= b >= 1 form functions/detlog.py computes bit-identically in
+    both engines. Counts fit int64: c12·N <= N² ~ 1e11 at sf0.1.
+
+    Scale shape: the same word-count MapReduce as the bigram LM (explode
+    -> two partial-aggregable groupBys) plus one broadcast of the tiny
+    (N, c2) side; ranking runs on the collocation table (vocabulary²
+    -bounded, corpus-size independent). Deterministic ties: (w1, w2)."""
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    t2 = F.slice(F.col("t"), 2, F.greatest(F.col("n") - 1, F.lit(0)))
+    bg_full = F.zip_with(
+        F.col("t"), t2,
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    bg_col = F.slice(bg_full, 1, F.greatest(F.col("n") - 1, F.lit(0)))
+    bg = (base.select(F.explode(bg_col).alias("b"))
+              .select("b.w1", "b.w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2t = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    ntot = c12.agg(F.sum("c12").alias("nn"))
+    j = (c12.filter(F.col("c12") >= min_count)
+            .join(c1, "w1").join(c2t, "w2")
+            .crossJoin(F.broadcast(ntot))
+            .select("w1", "w2", "c12",
+                    (F.col("nn") * F.col("c12")).alias("pmi_a"),
+                    (F.col("c1") * F.col("c2")).alias("pmi_b"))
+            .filter(F.col("pmi_a") >= F.col("pmi_b")))
+    scored = apply_stages_spark(j, ln_ratio_stages("pmi_a", "pmi_b"))
+    q = scored.select("w1", "w2", "c12",
+                      F.expr(_TERM_Q).alias("pmi_q"))
+    w = Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+    return (q.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= top)
+             .select("rank", "w1", "w2", "c12",
+                     (F.col("pmi_q").cast("double") / F.lit(1.0e9))
+                     .alias("pmi")))
+
+
+_PMI_LN_CTES, _PMI_LN_LAST = stages_cte_sql(
+    "j", ln_ratio_stages("pmi_a", "pmi_b"), "lnc")
+
+DOCS_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS t FROM documents
+),
+bgl AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+),
+bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM bgl),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+c2t AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+ntot AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM c12),
+j AS (
+  SELECT w1, w2, c12, (nn * c12) AS pmi_a, (c1 * c2) AS pmi_b
+  FROM c12 JOIN c1 USING (w1) JOIN c2t USING (w2) CROSS JOIN ntot
+  WHERE c12 >= {PMI_MIN_COUNT} AND (nn * c12) >= (c1 * c2)
+),
+{_PMI_LN_CTES},
+q AS (SELECT w1, w2, c12, {_TERM_Q} AS pmi_q FROM {_PMI_LN_LAST})
+SELECT rank, w1, w2, c12, CAST(pmi_q AS DOUBLE) / 1.0E9 AS pmi
+FROM (SELECT w1, w2, c12, pmi_q,
+             ROW_NUMBER() OVER (ORDER BY pmi_q DESC, w1 ASC, w2 ASC) AS rank
+      FROM q)
+WHERE rank <= {PMI_TOP}
+"""
+
+
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: OLS slope/intercept of ln(freq) on ln(rank)
+    over the term frequency table — the standard sanity check that a
+    training corpus has natural-language token statistics (slope near
+    -1) rather than generator artifacts.
+
+    Both logs come from functions/detlog.py (bit-identical IEEE
+    primitives), quantized to 1e-9 integers so the regression's
+    sufficient statistics are exact DECIMAL(38,0) sums — the same
+    discipline as stats_linreg_price_qty. Everything after the term
+    count runs on the vocabulary table (corpus-size independent); the
+    count itself is the word-count MapReduce."""
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
+    counts = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
+               .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    s = apply_stages_spark(ranked,
+                           ln_ratio_stages("r", "1", "ln_r", "_zr"))
+    s = apply_stages_spark(s, ln_ratio_stages("c", "1", "ln_c", "_zc"))
+    q = s.select(
+        F.expr("CAST(floor(ln_r * 1.0E9 + 5.0E-1) AS BIGINT)").alias("qx"),
+        F.expr("CAST(floor(ln_c * 1.0E9 + 5.0E-1) AS BIGINT)").alias("qy"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = q.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("qx").alias("sx"), F.sum("qy").alias("sy"),
+              F.sum(d38(F.col("qx")) * F.col("qx")).alias("sxx"),
+              F.sum(d38(F.col("qx")) * F.col("qy")).alias("sxy"))
+    num = d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * F.col("sy")
+    den = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("sy").cast("double") - slope
+                  * F.col("sx").cast("double"))
+                 / F.col("n").cast("double") / F.lit(1.0e9))
+    return g.select(F.col("n").alias("n_terms"),
+                    slope.alias("zipf_slope"),
+                    intercept.alias("ln_c_intercept"))
+
+
+_ZR_CTES, _ZR_LAST = stages_cte_sql("ranked",
+                                    ln_ratio_stages("r", "1", "ln_r", "_zr"),
+                                    "zr")
+_ZC_CTES, _ZC_LAST = stages_cte_sql(_ZR_LAST,
+                                    ln_ratio_stages("c", "1", "ln_c", "_zc"),
+                                    "zc")
+
+DOCS_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS term
+        FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT term, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+  FROM counts
+),
+{_ZR_CTES},
+{_ZC_CTES},
+q AS (
+  SELECT CAST(floor(ln_r * 1.0E9 + 5.0E-1) AS BIGINT) AS qx,
+         CAST(floor(ln_c * 1.0E9 + 5.0E-1) AS BIGINT) AS qy
+  FROM {_ZC_LAST}
+),
+g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         CAST(SUM(CAST(qx AS HUGEINT) * qx) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(qx AS HUGEINT) * qy) AS HUGEINT) AS sxy
+  FROM q
+)
+SELECT n AS n_terms,
+       CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+         AS zipf_slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) / 1.0E9 AS ln_c_intercept
+FROM g
 """

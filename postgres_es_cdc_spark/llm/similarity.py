@@ -1179,3 +1179,234 @@ FROM (SELECT qid, cid, l2sq_q,
       FROM rerank)
 WHERE rank <= 3
 """
+
+
+def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.9, kclusters: int = 8,
+                       iters: int = 3) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the train-once coarse quantizer, then search for near-duplicate
+    pairs ONLY inside each cluster and prune the higher-id member of
+    every pair with cosine >= threshold. This is the published SemDeDup
+    recipe (k-means first, pairwise similarity second) whose whole point
+    is scale: pairwise work is quadratic only in cluster size, never in
+    corpus size — with k ~ sqrt(N) clusters the total pair count stays
+    ~N^1.5 instead of N^2, and each cluster's pair generation is an
+    independent task.
+
+    Corpus: the planted-near-dup corpus (_q_corpus). Base members reuse
+    the memoized training assignments; mutants are assigned by the same
+    exact rational centroid-distance argmin (the probe step every ANN
+    consumer shares). The verify kernel is the exact integer-quantized
+    cosine, so the DuckDB twin reproduces the prune set bit-for-bit.
+
+    Returns one row per corpus member: (id, cluster, pruned)."""
+    assign, cent = trained_quantizer(spark, sf_dir, kclusters, iters)
+    ex = _exploded(spark, sf_dir)
+    mex = (ex.filter(F.col("vec_id") % 10 == 0)
+             .select((F.col("vec_id") + 100000).alias("vec_id"), "dim",
+                     (F.col("xq") + F.when(F.col("dim") == 0, F.lit(50000))
+                                     .otherwise(F.lit(0))).alias("xq")))
+    md = _cent_dist2(mex, cent, "vec_id")
+    wm = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    ma = (md.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1).select("vec_id", "cid"))
+    alla = assign.select("vec_id", "cid").unionByName(ma)
+
+    # Per-vector norms are computed ONCE here and carried through the
+    # pair join — one integer dot per pair instead of three (the exact
+    # same integers reach the same double ops, so the result is
+    # bit-identical to the oracle's three-aggregate form).
+    c = _q_corpus(spark, sf_dir).withColumn(
+        "n2", dot_q(F.col("q"), F.col("q")))
+    l = alla.select(F.col("vec_id").alias("id1"), "cid")
+    r = alla.select(F.col("vec_id").alias("id2"), "cid")
+    pairs = (l.join(r, "cid").filter(F.col("id1") < F.col("id2")))
+    c1 = c.select(F.col("id").alias("id1"), F.col("q").alias("q1"),
+                  F.col("n2").alias("n2a"))
+    c2 = c.select(F.col("id").alias("id2"), F.col("q").alias("q2"),
+                  F.col("n2").alias("n2b"))
+    cos = (dot_q(F.col("q1"), F.col("q2")).cast("double")
+           / (F.sqrt(F.col("n2a").cast("double"))
+              * F.sqrt(F.col("n2b").cast("double"))))
+    pruned = (pairs.join(c1, "id1").join(c2, "id2")
+                   .filter(cos >= threshold)
+                   .select(F.col("id2").alias("vec_id")).distinct()
+                   .withColumn("_p", F.lit(True)))
+    return (alla.join(pruned, "vec_id", "left")
+                .select(F.col("vec_id").alias("id"),
+                        F.col("cid").alias("cluster"),
+                        F.coalesce("_p", F.lit(False)).alias("pruned")))
+
+
+EMB_SEMDEDUP_SQL = _kmeans_cte_body() + f"""
+, mex AS (
+  SELECT vec_id + 100000 AS vec_id, dim,
+         xq + CASE WHEN dim = 1 THEN 50000 ELSE 0 END AS xq
+  FROM ex WHERE vec_id % 10 = 0
+), ms AS (
+  SELECT m.vec_id, c.cid,
+         CAST(SUM(CAST(m.xq*c.n - c.sq AS HUGEINT) * CAST(m.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM mex m JOIN c3 c ON m.dim = c.dim
+  GROUP BY m.vec_id, c.cid
+), ma AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM ms)
+  WHERE rn = 1
+), alla AS (
+  SELECT vec_id, cid FROM a3 UNION ALL SELECT vec_id, cid FROM ma
+), corpus AS ({_QC_SQL}),
+pairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2
+  FROM alla l JOIN alla r ON l.cid = r.cid AND l.vec_id < r.vec_id
+), scored AS (
+  SELECT id1, id2,
+         CAST(CAST(SUM(c1.q[i.i] * c2.q[i.i]) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM(c1.q[i.i] * c1.q[i.i]) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM(c2.q[i.i] * c2.q[i.i]) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM pairs
+  JOIN corpus c1 ON c1.id = pairs.id1
+  JOIN corpus c2 ON c2.id = pairs.id2,
+  generate_series(1, 64) i(i)
+  GROUP BY id1, id2
+), pruned AS (
+  SELECT DISTINCT id2 FROM scored WHERE cos_sim >= 0.9
+)
+SELECT a.vec_id AS id, a.cid AS cluster,
+       (p.id2 IS NOT NULL) AS pruned
+FROM alla a LEFT JOIN pruned p ON a.vec_id = p.id2
+"""
+
+
+RANGE_TAU = 0.45
+RANGE_QUERIES = 10
+
+
+def emb_range_search(spark: SparkSession, sf_dir: str,
+                     tau: float = RANGE_TAU,
+                     n_queries: int = RANGE_QUERIES) -> DataFrame:
+    """Cosine RANGE search (radius query): every corpus member within
+    similarity >= tau of each query vector — the dual of top-k (top-k
+    bounds count, range bounds similarity; recommendation and dedup
+    candidates both need this form).
+
+    Scale shape: the query block (n_queries rows) is broadcast against
+    the corpus scan — one pass over the corpus per query batch, no
+    shuffle of corpus vectors; at billions of vectors the same query
+    composes with the IVF probe (emb_ivf_trained_topk) to scan only
+    nearby cells. Kernel is the exact integer-quantized cosine."""
+    c = _q_corpus(spark, sf_dir).withColumn(
+        "n2", dot_q(F.col("q"), F.col("q")))
+    q = (c.filter(F.col("id") < n_queries)
+          .select(F.col("id").alias("qid"), F.col("q").alias("qv"),
+                  F.col("n2").alias("qn2")))
+    cos = (dot_q(F.col("qv"), F.col("q")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    return (c.crossJoin(F.broadcast(q))
+             .filter(F.col("id") != F.col("qid"))
+             .select("qid", F.col("id").alias("match_id"),
+                     cos.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= tau))
+
+
+EMB_RANGE_SEARCH_SQL = f"""
+WITH corpus AS ({_QC_SQL}),
+q AS (SELECT id AS qid, q AS qv FROM corpus WHERE id < {RANGE_QUERIES}),
+scored AS (
+  SELECT q.qid, c.id AS match_id,
+         CAST(CAST(SUM(q.qv[i.i] * c.q[i.i]) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM(q.qv[i.i] * q.qv[i.i]) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM(c.q[i.i] * c.q[i.i]) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM q JOIN corpus c ON c.id != q.qid,
+  generate_series(1, 64) i(i)
+  GROUP BY q.qid, c.id
+)
+SELECT qid, match_id, cos_sim FROM scored WHERE cos_sim >= {RANGE_TAU}
+"""
+
+
+def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str,
+                              mod: int = 10, residue: int = 3) -> DataFrame:
+    """Corpus similarity-structure report: histogram of pairwise cosines
+    over a DETERMINISTIC id-sampled subset (vec_id % mod == residue) —
+    the estimator a pipeline runs to pick dedup/ANN thresholds, because
+    the full pair matrix is quadratic and unnecessary. Bins are
+    floor(cos·10) on the exact integer-quantized cosine (bit-identical
+    both engines, so bin edges cannot flake).
+
+    Scale: sampling is scan-side (no shuffle to sample); the sampled
+    block (N/mod rows) self-joins, so the pair cost is (N/mod)² —
+    choose mod ~ sqrt(corpus) to hold it constant as N grows."""
+    c = (_q_corpus(spark, sf_dir)
+         .filter((F.col("id") < 100000) & (F.col("id") % mod == residue))
+         .withColumn("n2", dot_q(F.col("q"), F.col("q"))))
+    a = c.select(F.col("id").alias("id1"), F.col("q").alias("q1"),
+                 F.col("n2").alias("n2a"))
+    b = c.select(F.col("id").alias("id2"), F.col("q").alias("q2"),
+                 F.col("n2").alias("n2b"))
+    cos = (dot_q(F.col("q1"), F.col("q2")).cast("double")
+           / (F.sqrt(F.col("n2a").cast("double"))
+              * F.sqrt(F.col("n2b").cast("double"))))
+    return (a.join(b, F.col("id1") < F.col("id2"))
+             .select(F.floor(cos * 10).cast("int").alias("bin"))
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def _pair_hist_sql(mod: int = 10, residue: int = 3) -> str:
+    return f"""
+WITH corpus AS ({_QC_SQL}),
+s AS (SELECT id, q FROM corpus WHERE id < 100000 AND id % {mod} = {residue}),
+scored AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CAST(CAST(SUM(a.q[i.i] * b.q[i.i]) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM(a.q[i.i] * a.q[i.i]) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM(b.q[i.i] * b.q[i.i]) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM s a JOIN s b ON a.id < b.id,
+  generate_series(1, 64) i(i)
+  GROUP BY a.id, b.id
+)
+SELECT CAST(floor(cos_sim * 10) AS INT) AS bin, COUNT(*) AS n_pairs
+FROM scored GROUP BY 1
+"""
+
+
+EMB_PAIR_HIST_SQL = _pair_hist_sql()
+
+
+def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of squared vector norms over the quantized corpus
+    — the sanity check before cosine vs dot-product decisions (are the
+    embeddings normalized?) and before int8 quantization (dynamic
+    range). Entirely integer: norm² is the exact int64 self-dot, the
+    bucket its bit-length. One map-side pass, O(log range) output."""
+    c = _q_corpus(spark, sf_dir)
+    n2 = dot_q(F.col("q"), F.col("q"))
+    return (c.select(n2.alias("n2"))
+             .select(F.expr("CAST(length(bin(n2)) AS INT)").alias("bucket"),
+                     "n2")
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.min("n2").alias("min_norm2"),
+                  F.max("n2").alias("max_norm2")))
+
+
+EMB_NORM_HIST_SQL = f"""
+WITH corpus AS ({_QC_SQL}),
+n AS (
+  SELECT CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM corpus
+)
+SELECT CAST(length(bin(n2)) AS INT) AS bucket,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(n2) AS BIGINT) AS min_norm2,
+       CAST(MAX(n2) AS BIGINT) AS max_norm2
+FROM n GROUP BY 1
+"""

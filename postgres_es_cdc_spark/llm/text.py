@@ -405,3 +405,75 @@ SELECT lang, pred_lang, n,
          / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
 FROM agg
 """
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram — the first chart of every
+    corpus datasheet (sequence-length budget planning, truncation-rate
+    estimation). The bucket is the integer bit-length of the token
+    count (length(bin(n)) — the same libm-free log2 trick detlog uses),
+    so bucket b holds docs with 2^(b-1) <= n_tokens < 2^b; no floats
+    anywhere. One partial-aggregable pass; output is O(log max_len)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(tokens(F.col("text")))
+    return (d.select(n.alias("n"))
+             .select(F.expr("length(bin(n))").alias("bucket"), "n")
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("n").alias("min_tokens"),
+                  F.max("n").alias("max_tokens"),
+                  F.sum("n").alias("sum_tokens")))
+
+
+DOCS_LENGTH_HIST_SQL = f"""
+SELECT CAST(length(bin(n)) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n) AS INT) AS min_tokens,
+       CAST(MAX(n) AS INT) AS max_tokens,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens
+FROM (SELECT len({TOKENS_SQL.format(col='text')}) AS n FROM documents)
+GROUP BY CAST(length(bin(n)) AS INT)
+"""
+
+
+CHAR_TRIGRAM_TOP = 5
+
+
+def docs_char_trigram_profile(spark: SparkSession, sf_dir: str,
+                              top: int = CHAR_TRIGRAM_TOP) -> DataFrame:
+    """Per-language top character trigrams — the training table of the
+    classic char-n-gram language identifier (Cavnar-Trenkle): the
+    profile docs_lang_id scores against, exposed as its own query so
+    the profile itself is driver-verified.
+
+    Scale shape: trigram expansion is a per-row generate (O(chars)
+    short rows), counting is one partial-aggregable groupBy on
+    (lang, trigram), and the top-k window runs on the counted profile
+    (alphabet³-bounded, corpus-size independent). Ties break on the
+    trigram string for cross-engine determinism."""
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+    ex = (d.select("lang", F.explode(idx).alias("i"), "text")
+           .select("lang", F.expr("substring(text, i, 3)").alias("tri")))
+    counts = ex.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= top)
+                  .select("lang", "rank", "tri", "n"))
+
+
+DOCS_CHAR_TRIGRAM_SQL = f"""
+WITH ex AS (
+  SELECT lang, substring(text, i, 3) AS tri
+  FROM (SELECT lang, text,
+               unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
+        FROM documents)
+),
+counts AS (SELECT lang, tri, COUNT(*) AS n FROM ex GROUP BY 1, 2)
+SELECT lang, rank, tri, n
+FROM (SELECT lang, tri, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tri ASC) AS rank
+      FROM counts)
+WHERE rank <= {CHAR_TRIGRAM_TOP}
+"""

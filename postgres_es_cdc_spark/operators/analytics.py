@@ -411,3 +411,201 @@ SELECT a.l_suppkey AS suppkey, s.s_nationkey AS nationkey,
          AS share_within_30d
 FROM agg a JOIN supplier s ON s.s_suppkey = a.l_suppkey
 """
+
+
+def orders_segment_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed-key join: the whole orders fact table keyed
+    by market segment (5 distinct keys, so each key carries ~20% of all
+    rows) joined to a 5-row per-segment dim. At test scale Catalyst
+    rightly broadcasts the dim; at 100 TB with a too-big-to-broadcast
+    dim this exact shape is the classic skew case, and AQE's
+    OptimizeSkewedJoin splits the oversized partitions — proven with a
+    forced sort-merge plan in tests/test_plans.py::
+    test_aqe_splits_skewed_segment_join. All money stays in exact
+    integer cents (raw-2dp doubles, dsum rationale in operators/
+    common.py)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment",
+                                                "c_acctbal")
+    o = table(spark, sf_dir, "orders")
+    # The dim is materialized (5 rows) before the join: with the
+    # aggregate inlined, the join's dim child is Sort(HashAgg(shuffle))
+    # and OptimizeSkewedJoin's pattern — Sort over a plain shuffle stage
+    # on BOTH sides — cannot match, so the skewed fact partitions would
+    # never split. Materializing is also what a real pipeline does with
+    # a dim table (it is read, not recomputed per query).
+    seg = (c.groupBy("c_mktsegment")
+            .agg(F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                  .alias("segment_bal_cents"))
+            .localCheckpoint(eager=False))
+    fact = o.join(c.select("c_custkey", "c_mktsegment"),
+                  o.o_custkey == c.c_custkey)
+    return (fact.join(seg, "c_mktsegment")
+                .groupBy("c_mktsegment", "o_orderpriority",
+                         "segment_bal_cents")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).alias("revenue_cents"))
+                .select(F.col("c_mktsegment").alias("segment"),
+                        F.col("o_orderpriority").alias("priority"),
+                        "n_orders", "revenue_cents", "segment_bal_cents"))
+
+
+ORDERS_SEGMENT_SKEW_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS segment_bal_cents
+  FROM customer GROUP BY c_mktsegment
+),
+fact AS (
+  SELECT o.o_orderpriority, o.o_totalprice, c.c_mktsegment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT f.c_mktsegment AS segment, f.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(f.o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       s.segment_bal_cents
+FROM fact f JOIN seg s ON f.c_mktsegment = s.c_mktsegment
+GROUP BY f.c_mktsegment, f.o_orderpriority, s.segment_bal_cents
+"""
+
+
+def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Pareto concentration report: how many customers cover 50/80/90%
+    of total revenue (the 80/20 chart of every revenue dashboard).
+
+    Revenue stays exact integer cents; the cumulative sum runs over the
+    PER-CUSTOMER rollup (|customers| rows, corpus-size independent), so
+    the single-partition ordered window — unavoidable for a global
+    cumulative rank — never touches raw orders; the heavy input pass is
+    one partial-aggregable groupBy. Share thresholds use the cumsum
+    STRICTLY BEFORE each customer (< t), so the count includes exactly
+    the customers needed to first reach the threshold — deterministic
+    ties by (revenue desc, custkey asc)."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                             .cast("long")).alias("cents")))
+    w = (Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    total = per_cust.agg(F.sum("cents").alias("total_cents"),
+                         F.count(F.lit(1)).alias("n_customers"))
+    ranked = per_cust.withColumn(
+        "before", F.coalesce(F.sum("cents").over(w), F.lit(0)))
+    counts = ranked.crossJoin(F.broadcast(total)).agg(
+        *[F.sum((F.col("before") * 100 < F.col("total_cents") * pct)
+                .cast("long")).alias(f"n_top_{pct}pct")
+          for pct in (50, 80, 90)])
+    return (total.crossJoin(F.broadcast(counts))
+                 .select("n_customers", "total_cents",
+                         "n_top_50pct", "n_top_80pct", "n_top_90pct"))
+
+
+ORDERS_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS n_customers
+  FROM per_cust
+),
+ranked AS (
+  SELECT cents,
+         CAST(COALESCE(SUM(cents) OVER (
+             ORDER BY cents DESC, o_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before
+  FROM per_cust
+)
+SELECT t.n_customers, t.total_cents,
+       CAST(SUM(CASE WHEN before*100 < total_cents*50 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top_50pct,
+       CAST(SUM(CASE WHEN before*100 < total_cents*80 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top_80pct,
+       CAST(SUM(CASE WHEN before*100 < total_cents*90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top_90pct
+FROM ranked CROSS JOIN t
+GROUP BY t.n_customers, t.total_cents
+"""
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event count and distinct-user count
+    per (day-of-week, hour-of-day) — the load-shape table behind
+    capacity planning and anomaly baselines.
+
+    Day/hour are derived from epoch microseconds with pure integer
+    arithmetic (1970-01-01 was a Thursday, hence the +4 offset) — no
+    timezone, calendar, or libm surface to diverge across engines; the
+    whole query is one partial-aggregable pass with a 168-row output."""
+    e = events_table(spark, sf_dir)
+    return (e.select(
+                F.expr("CAST(((ts_us div 86400000000) + 4) % 7 AS INT)")
+                 .alias("dow"),
+                F.expr("CAST((ts_us div 3600000000) % 24 AS INT)")
+                 .alias("hour"),
+                "user_id")
+             .groupBy("dow", "hour")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
+EVENTS_SEASONALITY_SQL = """
+SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS INT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def orders_monthly_revenue_yoy(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Monthly revenue with year-over-year deltas — the canonical
+    finance dashboard query. Revenue stays exact integer cents; the YoY
+    comparison is a self-join on (year-1, month) rather than lag(12) so
+    missing months cannot silently misalign the comparison.
+
+    Scale: one partial-aggregable rollup compacts orders to ~84 month
+    rows; everything after (join + arithmetic) is constant-size."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (o.select(
+                  F.year(F.col("o_orderdate").cast("date")).alias("year"),
+                  F.month(F.col("o_orderdate").cast("date")).alias("month"),
+                  F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                   .alias("cents"))
+                .groupBy("year", "month")
+                .agg(F.sum("cents").alias("revenue_cents"),
+                     F.count(F.lit(1)).alias("n_orders")))
+    prev = monthly.select((F.col("year") + 1).alias("year"), "month",
+                          F.col("revenue_cents").alias("prev_year_cents"))
+    return (monthly.join(prev, ["year", "month"], "left")
+                   .select("year", "month", "n_orders", "revenue_cents",
+                           "prev_year_cents",
+                           (F.col("revenue_cents")
+                            - F.col("prev_year_cents"))
+                           .alias("yoy_delta_cents")))
+
+
+ORDERS_MONTHLY_YOY_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_part('year', CAST(o_orderdate AS DATE)) AS INT) AS year,
+         CAST(date_part('month', CAST(o_orderdate AS DATE)) AS INT) AS month,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT m.year, m.month, m.n_orders, m.revenue_cents,
+       p.revenue_cents AS prev_year_cents,
+       m.revenue_cents - p.revenue_cents AS yoy_delta_cents
+FROM monthly m
+LEFT JOIN monthly p ON p.year = m.year - 1 AND p.month = m.month
+"""

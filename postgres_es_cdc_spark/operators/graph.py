@@ -410,3 +410,43 @@ SELECT label AS component, COUNT(*) AS n_nodes,
        MIN(node) AS min_node, MAX(node) AS max_node
 FROM l{CC_ROUNDS} GROUP BY label
 """)
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the trade graph, split by node
+    side (customer/supplier) — the first plot of any graph pipeline
+    (power-law check, hub detection, partitioner sizing). Bucket =
+    integer bit-length of the degree (length(bin(deg)) — libm-free).
+
+    Reuses the memoized edge table; one partial-aggregable count by
+    node plus one by bucket — output is O(log max_degree)."""
+    deg = (_edges(spark, sf_dir)
+           .groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    side = F.when(F.col("src") % 2 == 0,
+                  F.lit("customer")).otherwise(F.lit("supplier"))
+    return (deg.select(side.alias("side"),
+                       F.expr("CAST(length(bin(deg)) AS INT)")
+                        .alias("bucket"),
+                       "deg")
+               .groupBy("side", "bucket")
+               .agg(F.count(F.lit(1)).alias("n_nodes"),
+                    F.min("deg").alias("min_deg"),
+                    F.max("deg").alias("max_deg")))
+
+
+GRAPH_DEGREE_DIST_SQL = """
+WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT cust AS src, supp AS dst FROM p
+          UNION ALL SELECT supp AS src, cust AS dst FROM p),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(length(bin(deg)) AS INT) AS bucket,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY 1, 2
+"""

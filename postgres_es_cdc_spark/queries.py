@@ -21,6 +21,7 @@ from postgres_es_cdc_spark.llm import (
     similarity, text, tfidf)
 from postgres_es_cdc_spark.operators import analytics, sql_frontend
 from postgres_es_cdc_spark.sources import pgoutput
+from postgres_es_cdc_spark.streaming import ivm
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
     tpch_more, windows)
@@ -269,6 +270,41 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- round 4: scale hardening & observability ---
     "dedup_bucket_overflow_report": QuerySpec(
         dedup.dedup_bucket_overflow_report, dedup.DEDUP_BUCKET_OVERFLOW_SQL),
+    "orders_segment_skew_join": QuerySpec(
+        analytics.orders_segment_skew_join, analytics.ORDERS_SEGMENT_SKEW_SQL),
+    "ivm_orders_priority_rollup": QuerySpec(
+        ivm.ivm_orders_priority_rollup, ivm.IVM_ORDERS_ROLLUP_SQL),
+    # --- round 4: breadth (semantic dedup, phrase mining, containment,
+    #     corpus stats, revenue concentration, seasonality, range ANN) ---
+    "emb_semdedup_prune": QuerySpec(
+        similarity.emb_semdedup_prune, similarity.EMB_SEMDEDUP_SQL),
+    "emb_range_search": QuerySpec(
+        similarity.emb_range_search, similarity.EMB_RANGE_SEARCH_SQL),
+    "docs_pmi_collocations": QuerySpec(
+        lm.docs_pmi_collocations, lm.DOCS_PMI_SQL),
+    "docs_zipf_slope": QuerySpec(lm.docs_zipf_slope, lm.DOCS_ZIPF_SQL),
+    "docs_minhash_containment": QuerySpec(
+        dedup.docs_minhash_containment, dedup.DOCS_CONTAINMENT_SQL),
+    "docs_length_histogram": QuerySpec(
+        text.docs_length_histogram, text.DOCS_LENGTH_HIST_SQL),
+    "orders_pareto_revenue_share": QuerySpec(
+        analytics.orders_pareto_revenue_share, analytics.ORDERS_PARETO_SQL),
+    "events_hourly_seasonality": QuerySpec(
+        analytics.events_hourly_seasonality,
+        analytics.EVENTS_SEASONALITY_SQL),
+    "graph_degree_distribution": QuerySpec(
+        graph.graph_degree_distribution, graph.GRAPH_DEGREE_DIST_SQL),
+    "emb_pair_cosine_histogram": QuerySpec(
+        similarity.emb_pair_cosine_histogram, similarity.EMB_PAIR_HIST_SQL),
+    "emb_norm_histogram": QuerySpec(
+        similarity.emb_norm_histogram, similarity.EMB_NORM_HIST_SQL),
+    "docs_dedup_survivorship_quality": QuerySpec(
+        dedup.docs_dedup_survivorship_quality, dedup.DOCS_SURVIVORSHIP_SQL),
+    "docs_char_trigram_profile": QuerySpec(
+        text.docs_char_trigram_profile, text.DOCS_CHAR_TRIGRAM_SQL),
+    "orders_monthly_revenue_yoy": QuerySpec(
+        analytics.orders_monthly_revenue_yoy,
+        analytics.ORDERS_MONTHLY_YOY_SQL),
 }
 
 

@@ -65,3 +65,48 @@ class AggSink:
 
     def writer(self):
         return self.apply_batch
+
+
+def ivm_orders_priority_rollup(spark, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance exposed as a driver-checkable query:
+    fold orders into a per-priority SUM/COUNT/MIN/MAX aggregate through
+    three incremental batches using AggSink's partial/merge algebra —
+    the exact per-micro-batch code path the streaming sink runs — and
+    return the maintained view. The algebra is associative+commutative
+    over exact integer cents, so batch boundaries provably cannot change
+    the result: the oracle is the one-shot GROUP BY (which is also what
+    a from-scratch rebuild would compute).
+
+    Scale shape: each batch contributes one partial-agg row per group
+    (map-side combine), the merge re-reduces |groups| rows — per-batch
+    cost O(batch + |groups|), independent of history length."""
+    from postgres_es_cdc_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    sink = AggSink(path="", group_col="o_orderpriority", value_col="cents")
+    view: DataFrame | None = None
+    for i in range(3):
+        parts = sink._partial(
+            orders.filter(F.col("o_orderkey") % 3 == i).drop("o_orderkey"))
+        view = parts if view is None else AggSink._merge(
+            view.unionByName(parts), "o_orderpriority")
+    return view.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("sum_v").alias("sum_cents"), F.col("n_v").alias("n_orders"),
+        F.col("min_v").alias("min_cents"), F.col("max_v").alias("max_cents"))
+
+
+IVM_ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+"""

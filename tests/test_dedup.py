@@ -180,3 +180,30 @@ def test_bucket_overflow_report_zero_at_test_scale(spark, sf_dir):
     for r in rows:
         assert r.n_over_cap == 0 and r.n_dropped_members == 0
         assert r.n_buckets > 0 and r.max_bucket >= 1
+
+
+def test_containment_mutant_fully_contained_in_source(spark, sf_dir):
+    """A mutant's shingles are a strict subset of its source's, so the
+    mutant->source containment is exactly 1.0; the reverse direction is
+    below 1 whenever the source has more shingles."""
+    from postgres_es_cdc_spark.llm.dedup import docs_minhash_containment
+
+    rows = docs_minhash_containment(spark, sf_dir).collect()
+    pairs = {(r.doc_sub, r.doc_sup): r.containment for r in rows}
+    own = [(s, p) for (s, p) in pairs if s >= 1_000_000 and p == s - 1_000_000]
+    assert own
+    for s, p in own:
+        assert pairs[(s, p)] == 1.0
+
+
+def test_survivorship_kept_quality_dominates(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_dedup_survivorship_quality)
+
+    rows = {r.status: r
+            for r in docs_dedup_survivorship_quality(spark, sf_dir).collect()}
+    assert set(rows) == {"kept", "pruned"}
+    # representatives are selected BY max quality, so the kept mean
+    # cannot be below the pruned mean
+    assert rows["kept"].avg_quality >= rows["pruned"].avg_quality
+    assert rows["kept"].n_docs > 0 and rows["pruned"].n_docs > 0

@@ -117,3 +117,39 @@ def test_prefix_rerank_recall_vs_brute_force(spark, sf_dir):
     for r in pr:
         if (r.qid, r.cid) in exact:
             assert r.l2sq_q == exact[(r.qid, r.cid)]
+
+
+def test_semdedup_prunes_planted_mutants(spark, sf_dir):
+    """Every planted mutant (id >= 100000, cosine ~0.999 to its source)
+    must land in its source's cluster and exactly one of the pair must
+    be pruned; organic corpus members (max pairwise cosine ~0.51) must
+    all survive."""
+    from postgres_es_cdc_spark.llm.similarity import emb_semdedup_prune
+
+    rows = {r.id: r for r in emb_semdedup_prune(spark, sf_dir).collect()}
+    mutants = [i for i in rows if i >= 100000]
+    assert mutants
+    co_clustered = [m for m in mutants
+                    if rows[m].cluster == rows[m - 100000].cluster]
+    # SemDeDup's documented recall limit: a source sitting near a
+    # cluster boundary can lose its mutant to the neighboring cluster.
+    # Most pairs must co-cluster, and every co-clustered pair must
+    # prune exactly the higher id (the mutant).
+    assert len(co_clustered) >= len(mutants) * 0.8
+    for m in co_clustered:
+        assert rows[m].pruned and not rows[m - 100000].pruned
+    organic = [r for i, r in rows.items() if i < 100000]
+    assert all(not r.pruned for r in organic)
+
+
+def test_range_search_matches_are_symmetric_and_thresholded(spark, sf_dir):
+    from postgres_es_cdc_spark.llm.similarity import (
+        RANGE_TAU, emb_range_search)
+
+    rows = emb_range_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cos_sim >= RANGE_TAU
+        assert r.match_id != r.qid
+    # mutant of query id 0 (planted at 100000) must be in range of qid 0
+    assert any(r.qid == 0 and r.match_id == 100000 for r in rows)

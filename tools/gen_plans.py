@@ -104,6 +104,34 @@ PICKS = {
         "Weighted sampling: the A-ES key is pure scan-side codegen "
         "(hash + detlog ln); selection is TakeOrderedAndProject — no "
         "global sort, no shuffle of the corpus.",
+    "dedup_bucket_overflow_report":
+        "Cap observability: three partial-aggregable count passes over "
+        "the MEMOIZED banding stages (Scan ExistingRDD, no recompute of "
+        "the signature pipelines); each path rolls up to one row.",
+    "orders_segment_skew_join":
+        "Skew shape: the 5-row dim materializes before the join so the "
+        "segment join is Sort-over-shuffle on both sides — exactly the "
+        "pattern AQE's OptimizeSkewedJoin can split when a partition "
+        "outgrows the threshold (asserted with forced SMJ in "
+        "test_plans.py); at this size Catalyst rightly broadcasts.",
+    "emb_semdedup_prune":
+        "SemDeDup: pair generation is an equi-join on cluster id (pair "
+        "space quadratic only in cluster size); per-vector norms are "
+        "computed once in the scan and carried through the join — one "
+        "integer dot per pair, not three.",
+    "ivm_orders_priority_rollup":
+        "IVM fold: three per-batch partial HashAggregates merged by one "
+        "final aggregate — the shuffle carries one counter row per "
+        "(batch, group), never base orders twice.",
+    "orders_pareto_revenue_share":
+        "Pareto: the only single-partition window runs on the "
+        "per-customer rollup (|customers| rows); orders are compacted "
+        "by a partial-aggregable groupBy first.",
+    "docs_pmi_collocations":
+        "PMI: word-count MapReduce (explode + two partial-agg "
+        "groupBys); the detlog ln chain is pure codegen on the "
+        "vocabulary²-bounded collocation table; top-k is one window on "
+        "that small frame.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
