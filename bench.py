@@ -81,6 +81,11 @@ HEADLINE = [
     "emb_pair_cosine_histogram",
     "orders_pareto_revenue_share",
     "events_hourly_seasonality",
+    "docs_source_quality_report",
+    "emb_label_cluster_purity",
+    "emb_label_knn_accuracy",
+    "lineitem_monthly_returnflag_share",
+    "events_value_deciles",
 ]
 
 

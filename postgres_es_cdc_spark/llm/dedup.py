@@ -287,6 +287,48 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def _shared_shingle_intersections(spark: SparkSession, sf_dir: str,
+                                  cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter) for every candidate pair sharing at
+    least one retained shingle — the shared blocking+intersection stage
+    of docs_ngram_jaccard_pairs and docs_minhash_containment, memoized
+    per (session, corpus, cap) so both verifiers read one run.
+
+    Group-then-pair (see _build_lsh_pairs): one computation of the
+    shingle pipeline, one shuffle by shingle hash, per-shingle doc lists
+    expanded to ordered pairs. The document-frequency cap runs as a
+    window count in the same partitioning (no extra exchange, spills)."""
+    return _memoized(
+        spark, sf_dir, f"shared_inter{cap}",
+        lambda: _build_shared_shingle_intersections(spark, sf_dir, cap))
+
+
+def _build_shared_shingle_intersections(spark: SparkSession, sf_dir: str,
+                                        cap: int) -> DataFrame:
+    sh = _mutated_shingle_hashes(spark, sf_dir)
+    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
+                      F.explode("sh").alias("h"))
+    df_w = Window.partitionBy("h")
+    docs_per_shingle = (
+        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
+             .filter(F.col("_df") <= cap)
+             .groupBy("h")
+             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+             .filter(F.size("ds") > 1)
+    )
+    return (
+        docs_per_shingle
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                              cap: int = PAIR_BUCKET_CAP) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at
@@ -301,32 +343,7 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     lower bound (the cap never fires at driver scale factors). At
     100 TB you'd run LSH first and verify only candidates — that
     composition is docs_minhash_lsh_pairs + this."""
-    sh = _mutated_shingle_hashes(spark, sf_dir)
-    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
-                      F.explode("sh").alias("h"))
-    # Same group-then-pair shape as the LSH stage (see there): one
-    # computation of the shingle pipeline, shuffle by shingle hash,
-    # per-shingle doc lists expanded to ordered pairs. The df-cap window
-    # count runs in the same partitioning (no extra exchange) and spills.
-    df_w = Window.partitionBy("h")
-    docs_per_shingle = (
-        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
-             .filter(F.col("_df") <= cap)
-             .groupBy("h")
-             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-             .filter(F.size("ds") > 1)
-    )
-    shared = (
-        docs_per_shingle
-        .select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("na"),
-                 F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("inter"))
-    )
+    shared = _shared_shingle_intersections(spark, sf_dir, cap)
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         shared.withColumn("jaccard", jac)
@@ -1086,33 +1103,12 @@ def docs_minhash_containment(spark: SparkSession, sf_dir: str,
     containment 1.0 while its Jaccard is below 1. Standard kit next to
     Jaccard since Broder's original resemblance/containment pair.
 
-    Same shared-shingle blocking + document-frequency cap as
-    docs_ngram_jaccard_pairs (one shuffle on the 8-byte shingle hash,
-    pair space sparse, over-cap boilerplate features dropped whole and
-    reported); each unordered candidate pair emits both directions and
-    keeps those with containment >= threshold."""
-    sh = _mutated_shingle_hashes(spark, sf_dir)
-    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
-                      F.explode("sh").alias("h"))
-    df_w = Window.partitionBy("h")
-    docs_per_shingle = (
-        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
-             .filter(F.col("_df") <= cap)
-             .groupBy("h")
-             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-             .filter(F.size("ds") > 1)
-    )
-    shared = (
-        docs_per_shingle
-        .select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("na"),
-                 F.col("b.n_sh").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    Reads the memoized shared-shingle intersection stage (one shuffle
+    on the 8-byte shingle hash, pair space sparse, over-cap boilerplate
+    features dropped whole and reported) that docs_ngram_jaccard_pairs
+    also verifies from; each unordered candidate pair emits both
+    directions and keeps those with containment >= threshold."""
+    shared = _shared_shingle_intersections(spark, sf_dir, cap)
     fwd = shared.select(F.col("doc_a").alias("doc_sub"),
                         F.col("doc_b").alias("doc_sup"),
                         (F.col("inter").cast("double") / F.col("na"))

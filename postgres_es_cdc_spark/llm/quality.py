@@ -349,3 +349,54 @@ SELECT s.n_docs, s.n_tokens, v.vocab_size, s.n_langs, s.n_sources,
        CAST(g.n_keep AS DOUBLE) / CAST(g.n_scored AS DOUBLE) AS gopher_keep_rate
 FROM stats s, vocab v, dup d, gopher g
 """
+
+
+def docs_source_quality_report(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-SOURCE slice of the governance card — the table a curation
+    team actually acts on (which crawl/feed to up-weight, re-filter, or
+    drop): docs, token mass, language breadth, exact mean quality, and
+    the share above the keep threshold, one row per provenance source.
+
+    Same exactness discipline as corpus_governance_report (1e-9
+    quantized quality sums, one double division per rate); one
+    partial-aggregable pass grouped by source."""
+    from postgres_es_cdc_spark.llm.text import quality_expr
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = d.select(
+        "source", "lang",
+        quality_expr(F.col("text")).alias("q"),
+        F.size(toks).cast("long").alias("nt"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("n_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum(F.round(F.col("q") * 1_000_000_000, 0).cast("long"))
+                  .alias("q_sum"),
+                 F.sum((F.col("q") > 0.5).cast("long")).alias("n_hi"))
+            .select("source", "n_docs", "n_tokens", "n_langs",
+                    (F.col("q_sum").cast("double") / F.lit(1.0e9)
+                     / F.col("n_docs").cast("double")).alias("mean_quality"),
+                    (F.col("n_hi").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("share_hi_quality")))
+
+
+DOCS_SOURCE_QUALITY_SQL = f"""
+WITH per_doc AS (
+  SELECT source, lang, {_QUALITY_CORE_SQL} AS q, len(toks) AS nt
+  FROM (SELECT source, lang, {TOKENS_SQL.format(col='text')} AS toks
+        FROM documents)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(CAST(round(q * 1000000000) AS BIGINT)) AS DOUBLE) / 1.0E9
+         / COUNT(*) AS mean_quality,
+       CAST(SUM(CASE WHEN q > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS share_hi_quality
+FROM per_doc
+GROUP BY source
+"""

@@ -1410,3 +1410,121 @@ SELECT CAST(length(bin(n2)) AS INT) AS bucket,
        CAST(MAX(n2) AS BIGINT) AS max_norm2
 FROM n GROUP BY 1
 """
+
+
+def emb_label_cluster_purity(spark: SparkSession, sf_dir: str,
+                             kclusters: int = 8, iters: int = 3
+                             ) -> DataFrame:
+    """Clustering-quality evaluation against the labeled embeddings:
+    per trained k-means cluster, its size, majority ground-truth label,
+    and purity (majority count / size) — the standard external cluster
+    validation an embedding pipeline reports before trusting cluster-
+    based operations (SemDeDup, stratified sampling, IVF cells).
+
+    Reuses the train-once quantizer assignments; the label join and the
+    per-cluster argmax run on |clusters|·|labels| counter rows, never on
+    vectors. Ties: label asc."""
+    assign, _ = trained_quantizer(spark, sf_dir, kclusters, iters)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"))
+    counts = (assign.select("vec_id", "cid").join(e, "vec_id")
+                    .groupBy("cid", "label")
+                    .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    tot = Window.partitionBy("cid")
+    return (counts.withColumn("size", F.sum("n").over(tot))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("cid").alias("cluster"),
+                          F.col("size").alias("n_members"),
+                          F.col("label").alias("majority_label"),
+                          F.col("n").alias("majority_n"),
+                          (F.col("n").cast("double")
+                           / F.col("size").cast("double")).alias("purity")))
+
+
+EMB_CLUSTER_PURITY_SQL = _kmeans_cte_body() + """
+, counts AS (
+  SELECT a.cid, CAST(e.label AS INT) AS label, COUNT(*) AS n
+  FROM a3 a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.label
+)
+SELECT cid AS cluster, size AS n_members, label AS majority_label,
+       n AS majority_n, CAST(n AS DOUBLE) / CAST(size AS DOUBLE) AS purity
+FROM (SELECT cid, label, n,
+             CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS size,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY n DESC, label ASC) AS rn
+      FROM counts)
+WHERE rn = 1
+"""
+
+
+KNN_SAMPLE_MOD = 5
+
+
+def emb_label_knn_accuracy(spark: SparkSession, sf_dir: str,
+                           mod: int = KNN_SAMPLE_MOD) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy over a deterministic id sample
+    — the classic embedding-quality probe (do nearest neighbors share
+    labels?) that decides whether an embedding column is good enough
+    for label propagation or dedup-by-meaning.
+
+    Sample (vec_id % mod == 0) self-joins for exact integer distances;
+    each member's nearest OTHER member (ties: id asc) votes its label.
+    Output: per true label, sample count, correct votes, accuracy.
+    Scale: the sampled block is (N/mod)² pairwise — pick mod ~ sqrt(N);
+    at full corpus scale the same probe rides the IVF index instead."""
+    e = table(spark, sf_dir, "embeddings")
+    s = (e.filter(F.col("vec_id") % mod == 0)
+          .select("vec_id", F.col("label").cast("int").alias("label"),
+                  quantize(F.col("embedding")).alias("q")))
+    a = s.select(F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+                 F.col("q").alias("qa"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+                 F.col("q").alias("qb"))
+    d2 = l2sq_q(F.col("qa"), F.col("qb"))
+    pairs = (a.join(b, F.col("ida") != F.col("idb"))
+              .select("ida", "la", "lb", d2.alias("d2"), "idb"))
+    w = Window.partitionBy("ida").orderBy(F.asc("d2"), F.asc("idb"))
+    nn = (pairs.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    return (nn.groupBy(F.col("la").alias("label"))
+              .agg(F.count(F.lit(1)).alias("n_sampled"),
+                   F.sum((F.col("la") == F.col("lb")).cast("long"))
+                    .alias("n_correct"))
+              .withColumn("accuracy",
+                          F.col("n_correct").cast("double")
+                          / F.col("n_sampled").cast("double")))
+
+
+EMB_KNN_ACCURACY_SQL = f"""
+WITH s AS (
+  SELECT vec_id, CAST(label AS INT) AS label,
+         list_transform(generate_series(1, 64),
+             i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % {KNN_SAMPLE_MOD} = 0
+),
+pairs AS (
+  SELECT a.vec_id AS ida, a.label AS la, b.label AS lb, b.vec_id AS idb,
+         CAST(SUM((a.q[i.i] - b.q[i.i]) * (a.q[i.i] - b.q[i.i])) AS BIGINT)
+           AS d2
+  FROM s a JOIN s b ON a.vec_id != b.vec_id,
+  generate_series(1, 64) i(i)
+  GROUP BY a.vec_id, a.label, b.label, b.vec_id
+),
+nn AS (
+  SELECT ida, la, lb
+  FROM (SELECT ida, la, lb,
+               ROW_NUMBER() OVER (PARTITION BY ida
+                                  ORDER BY d2 ASC, idb ASC) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT la AS label, COUNT(*) AS n_sampled,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM nn GROUP BY la
+"""

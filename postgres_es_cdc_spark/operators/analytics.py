@@ -609,3 +609,82 @@ SELECT m.year, m.month, m.n_orders, m.revenue_cents,
 FROM monthly m
 LEFT JOIN monthly p ON p.year = m.year - 1 AND p.month = m.month
 """
+
+
+def lineitem_monthly_returnflag_share(spark: SparkSession, sf_dir: str
+                                      ) -> DataFrame:
+    """Shipment-month mix report: revenue per (ship month, returnflag)
+    with each flag's share of its month — the ratio-to-report pattern
+    over a calendar rollup (the operational twin of
+    nation_share_of_segment). Revenue is exact cents; shares are one
+    double division against the month total window.
+
+    Scale: one partial-aggregable rollup compacts lineitem to
+    months×flags rows; the share window runs on that tiny frame."""
+    l = table(spark, sf_dir, "lineitem")
+    monthly = (l.select(
+                  F.year(F.col("l_shipdate").cast("date")).alias("year"),
+                  F.month(F.col("l_shipdate").cast("date")).alias("month"),
+                  "l_returnflag",
+                  F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                   .alias("cents"))
+                .groupBy("year", "month", "l_returnflag")
+                .agg(F.sum("cents").alias("revenue_cents"),
+                     F.count(F.lit(1)).alias("n_lines")))
+    wm = Window.partitionBy("year", "month")
+    return monthly.select(
+        "year", "month", F.col("l_returnflag").alias("returnflag"),
+        "n_lines", "revenue_cents",
+        (F.col("revenue_cents").cast("double")
+         / F.sum("revenue_cents").over(wm).cast("double"))
+        .alias("month_share"))
+
+
+LINEITEM_MONTHLY_FLAG_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_part('year', CAST(l_shipdate AS DATE)) AS INT) AS year,
+         CAST(date_part('month', CAST(l_shipdate AS DATE)) AS INT) AS month,
+         l_returnflag,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT year, month, l_returnflag AS returnflag, n_lines, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+         / CAST(SUM(revenue_cents) OVER (PARTITION BY year, month)
+                AS DOUBLE) AS month_share
+FROM monthly
+"""
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type decile bands of the value column (ntile(10) with
+    event_id tie-break): the exact band edges a monitoring system pins
+    alert thresholds to. Each band reports its row count and min/max
+    value — deterministic, no interpolation semantics to diverge
+    between engines (unlike percentile_cont edge cases).
+
+    Scale: ntile sorts within each event_type partition — a handful of
+    partitions each sort-bounded; at extreme volume swap for
+    approx-percentile edges (agg_approx_percentile is that query)."""
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id"))
+    return (e.select("event_type", "value", "event_id")
+             .withColumn("decile", F.ntile(10).over(w))
+             .groupBy("event_type", "decile")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("value").alias("min_value"),
+                  F.max("value").alias("max_value")))
+
+
+EVENTS_VALUE_DECILES_SQL = """
+SELECT event_type, decile, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM (SELECT event_type, value, event_id,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value ASC, event_id ASC) AS decile
+      FROM events)
+GROUP BY event_type, decile
+"""

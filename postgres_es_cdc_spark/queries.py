@@ -305,6 +305,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_monthly_revenue_yoy": QuerySpec(
         analytics.orders_monthly_revenue_yoy,
         analytics.ORDERS_MONTHLY_YOY_SQL),
+    "docs_source_quality_report": QuerySpec(
+        quality.docs_source_quality_report, quality.DOCS_SOURCE_QUALITY_SQL),
+    "emb_label_cluster_purity": QuerySpec(
+        similarity.emb_label_cluster_purity,
+        similarity.EMB_CLUSTER_PURITY_SQL),
+    "emb_label_knn_accuracy": QuerySpec(
+        similarity.emb_label_knn_accuracy, similarity.EMB_KNN_ACCURACY_SQL),
+    "lineitem_monthly_returnflag_share": QuerySpec(
+        analytics.lineitem_monthly_returnflag_share,
+        analytics.LINEITEM_MONTHLY_FLAG_SQL),
+    "events_value_deciles": QuerySpec(
+        analytics.events_value_deciles, analytics.EVENTS_VALUE_DECILES_SQL),
 }
 
 
