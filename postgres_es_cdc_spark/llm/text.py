@@ -193,6 +193,30 @@ LIMIT 25
 """
 
 
+_TEXT_STAGE_CACHE: dict = {}
+
+
+def _char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bg) — the character-bigram explosion of the
+    corpus, memoized per (session, corpus) as a lazily
+    localCheckpointed frame: docs_lang_id consumes it through TWO plan
+    branches (profile training + per-doc scoring) and Spark does no
+    cross-branch CSE, so without materialization the explode (the
+    dominant cost, O(chars) rows) runs twice per query — and again in
+    docs_langid_confusion, which composes docs_lang_id."""
+    key = (spark.sparkContext.applicationId, sf_dir, "char_bigrams")
+    hit = _TEXT_STAGE_CACHE.get(key)
+    if hit is None:
+        d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        pos = F.posexplode(F.sequence(F.lit(1), F.length("text") - 1))
+        hit = (d.select("doc_id", "lang", "text", pos.alias("_i", "i"))
+                .select("doc_id", "lang",
+                        F.expr("substr(text, i, 2)").alias("bg"))
+                .localCheckpoint(eager=False))
+        _TEXT_STAGE_CACHE[key] = hit
+    return hit
+
+
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language ID, trained and applied in one plan.
 
@@ -202,12 +226,10 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins (tie-break lang asc). Fully deterministic, no external model —
     the n-gram heuristic an LLM-data pipeline runs before a real
     classifier. Scale shape: profile table is tiny -> broadcast; docs
-    stream through one explode + join + argmax window.
+    stream through one explode + join + argmax window (the explode is
+    memoized — see _char_bigrams).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    pos = F.posexplode(F.sequence(F.lit(1), F.length("text") - 1))
-    bigrams = d.select("doc_id", "lang", "text", pos.alias("_i", "i")) \
-               .select("doc_id", "lang", F.expr("substr(text, i, 2)").alias("bg"))
+    bigrams = _char_bigrams(spark, sf_dir)
     w_rank = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
     profiles = (
         bigrams.groupBy("lang", "bg").agg(F.count("*").alias("cnt"))

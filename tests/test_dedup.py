@@ -207,3 +207,33 @@ def test_survivorship_kept_quality_dominates(spark, sf_dir):
     # cannot be below the pruned mean
     assert rows["kept"].avg_quality >= rows["pruned"].avg_quality
     assert rows["kept"].n_docs > 0 and rows["pruned"].n_docs > 0
+
+
+def test_cap_buckets_property(spark):
+    """Property: for ANY bucket contents, _cap_buckets keeps exactly
+    the min(cap, n) lowest-ordered members of each bucket — nothing
+    else changes, and repeated runs agree (deterministic under the
+    nondeterministic partitioning of the input)."""
+    import random
+
+    from postgres_es_cdc_spark.llm.dedup import _cap_buckets
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(12):
+        n = rng.randrange(0, 40)
+        ids = rng.sample(range(1000), n)
+        rows += [(key, i) for i in ids]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows or [(0, 0)], "k int, doc_id int") \
+              .repartition(7)
+    for cap in (1, 3, 1000):
+        got = {}
+        for r in _cap_buckets(df, ["k"], "doc_id", cap).collect():
+            got.setdefault(r.k, []).append(r.doc_id)
+        want = {}
+        for k, i in rows:
+            want.setdefault(k, []).append(i)
+        want = {k: sorted(v)[:cap] for k, v in want.items()}
+        assert {k: sorted(v) for k, v in got.items()} == \
+            {k: v for k, v in want.items() if v}
