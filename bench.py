@@ -86,6 +86,10 @@ HEADLINE = [
     "emb_label_knn_accuracy",
     "lineitem_monthly_returnflag_share",
     "events_value_deciles",
+    "docs_vocab_growth_curve",
+    "events_user_burstiness",
+    "lineitem_discount_band_revenue",
+    "part_type_price_summary",
 ]
 
 

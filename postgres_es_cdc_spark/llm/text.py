@@ -499,3 +499,71 @@ FROM (SELECT lang, tri, n,
       FROM counts)
 WHERE rank <= {CHAR_TRIGRAM_TOP}
 """
+
+
+VOCAB_BUCKETS = 10
+
+
+def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str,
+                            buckets: int = VOCAB_BUCKETS) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-term count after
+    ingesting each successive tenth of the corpus (doc_id order =
+    ingestion order) — the curve that says whether a crawl is still
+    finding new language or re-reading itself (flat tail = saturated;
+    compare docs_ngram_novelty, which is the per-doc view).
+
+    Exact and order-free: each term contributes at its FIRST doc
+    (min doc_id), terms are bucketed by that doc's ntile decile, and
+    the cumulative sum runs over the 10-row bucket frame. Scale: one
+    explode + min-aggregate keyed by term, one tiny join, windows only
+    on O(buckets) rows."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = (d.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("term"))
+              .groupBy("term").agg(F.min("doc_id").alias("first_doc")))
+    wb = Window.orderBy(F.asc("doc_id"))
+    doc_buckets = d.select("doc_id").withColumn(
+        "bucket", F.ntile(buckets).over(wb))
+    new_terms = (first.join(doc_buckets,
+                            first.first_doc == doc_buckets.doc_id)
+                      .groupBy("bucket")
+                      .agg(F.count(F.lit(1)).alias("n_new_terms")))
+    docs_per = doc_buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (docs_per.join(new_terms, "bucket", "left")
+            .select("bucket", "n_docs",
+                    F.coalesce("n_new_terms", F.lit(0))
+                     .alias("n_new_terms"))
+            .withColumn("vocab_size",
+                        F.sum("n_new_terms").over(wc).cast("long")))
+
+
+DOCS_VOCAB_GROWTH_SQL = f"""
+WITH first AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+        FROM documents)
+  GROUP BY term
+),
+doc_buckets AS (
+  SELECT doc_id, NTILE({VOCAB_BUCKETS}) OVER (ORDER BY doc_id ASC) AS bucket
+  FROM documents
+),
+new_terms AS (
+  SELECT b.bucket, COUNT(*) AS n_new_terms
+  FROM first f JOIN doc_buckets b ON f.first_doc = b.doc_id
+  GROUP BY b.bucket
+),
+docs_per AS (
+  SELECT bucket, COUNT(*) AS n_docs FROM doc_buckets GROUP BY bucket
+)
+SELECT d.bucket, d.n_docs,
+       COALESCE(n.n_new_terms, 0) AS n_new_terms,
+       CAST(SUM(COALESCE(n.n_new_terms, 0)) OVER (
+           ORDER BY d.bucket ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM docs_per d LEFT JOIN new_terms n ON n.bucket = d.bucket
+"""

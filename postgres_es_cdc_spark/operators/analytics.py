@@ -688,3 +688,141 @@ FROM (SELECT event_type, value, event_id,
       FROM events)
 GROUP BY event_type, decile
 """
+
+
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user temporal burstiness: inter-event gap count, mean, max,
+    and the Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) over
+    gap seconds — the traffic-shape statistic that separates bots
+    (B→−1, metronomic) from humans (B>0, bursty).
+
+    Exactness: gaps are integer microseconds; μ and σ come from exact
+    integer sufficient statistics (Σg, Σg² in DECIMAL(38,0) — gap² can
+    exceed int64) with the same fixed IEEE op sequence both engines
+    (the events_zscore_outliers discipline). Users with < 3 events are
+    skipped. One lag window per user partition + one partial agg."""
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (e.select("user_id", "ts_us", "event_id")
+             .withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+             .filter(F.col("gap").isNotNull()))
+    g = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+         .alias("s2"),
+        F.max("gap").alias("max_gap_us"))
+    g = g.filter(F.col("n_gaps") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+              / F.col("n_gaps").cast("double"))
+           / (F.col("n_gaps").cast("double") - F.lit(1.0)))
+    std = F.sqrt(var)
+    return g.select(
+        "user_id", "n_gaps",
+        (mean / F.lit(1.0e6)).alias("mean_gap_s"),
+        (F.col("max_gap_us").cast("double") / F.lit(1.0e6))
+         .alias("max_gap_s"),
+        ((std - mean) / (std + mean)).alias("burstiness"))
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+),
+g AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         SUM(CAST(gap AS HUGEINT) * gap) AS s2,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_us
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= 2
+)
+SELECT user_id, n_gaps,
+       (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1.0E6 AS mean_gap_s,
+       CAST(max_gap_us AS DOUBLE) / 1.0E6 AS max_gap_s,
+       (sqrt((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n_gaps AS DOUBLE))
+             / (CAST(n_gaps AS DOUBLE) - 1.0))
+        - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+       / (sqrt((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE) - 1.0))
+          + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+FROM g
+"""
+
+
+def lineitem_discount_band_revenue(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Revenue and volume by discount band (1-percentage-point buckets)
+    — the pricing-analytics rollup behind discount-effectiveness
+    dashboards. The band is an exact integer (round(discount·100));
+    revenue and the discount give-up are exact cents; one
+    partial-aggregable pass."""
+    l = table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100, 0).cast("int")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    give_c = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100,
+                     0).cast("long")
+    return (l.select(band.alias("discount_pct"), price_c.alias("pc"),
+                     give_c.alias("gc"), "l_quantity")
+             .groupBy("discount_pct")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.sum("l_quantity").cast("long").alias("total_qty"),
+                  F.sum("pc").alias("gross_cents"),
+                  F.sum("gc").alias("discount_given_cents")))
+
+
+LINEITEM_DISCOUNT_BAND_SQL = """
+SELECT CAST(round(l_discount*100) AS INT) AS discount_pct,
+       COUNT(*) AS n_lines,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+            AS BIGINT) AS discount_given_cents
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def part_type_price_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog pricing summary by part category (first word of p_type)
+    and size band (sizes 1-50 in bands of 10): item count, exact
+    min/max/total retail cents — the merchandising rollup over the part
+    dimension. Pure partial-aggregable pass; output is categories ×
+    bands (~30 rows)."""
+    p = table(spark, sf_dir, "part")
+    cat = F.split(F.col("p_type"), " ").getItem(0)
+    band = (F.floor((F.col("p_size") - 1) / 10) * 10 + 1).cast("int")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    return (p.select(cat.alias("category"), band.alias("size_band"),
+                     cents.alias("c"))
+             .groupBy("category", "size_band")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.min("c").alias("min_cents"),
+                  F.max("c").alias("max_cents"),
+                  F.sum("c").alias("total_cents")))
+
+
+PART_TYPE_PRICE_SQL = """
+SELECT string_split(p_type, ' ')[1] AS category,
+       CAST(floor((p_size - 1) / 10) * 10 + 1 AS INT) AS size_band,
+       COUNT(*) AS n_parts,
+       CAST(MIN(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM part
+GROUP BY 1, 2
+"""

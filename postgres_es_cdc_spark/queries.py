@@ -317,6 +317,15 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.LINEITEM_MONTHLY_FLAG_SQL),
     "events_value_deciles": QuerySpec(
         analytics.events_value_deciles, analytics.EVENTS_VALUE_DECILES_SQL),
+    "docs_vocab_growth_curve": QuerySpec(
+        text.docs_vocab_growth_curve, text.DOCS_VOCAB_GROWTH_SQL),
+    "events_user_burstiness": QuerySpec(
+        analytics.events_user_burstiness, analytics.EVENTS_BURSTINESS_SQL),
+    "lineitem_discount_band_revenue": QuerySpec(
+        analytics.lineitem_discount_band_revenue,
+        analytics.LINEITEM_DISCOUNT_BAND_SQL),
+    "part_type_price_summary": QuerySpec(
+        analytics.part_type_price_summary, analytics.PART_TYPE_PRICE_SQL),
 }
 
 
