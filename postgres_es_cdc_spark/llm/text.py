@@ -513,19 +513,29 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str,
     compare docs_ngram_novelty, which is the per-doc view).
 
     Exact and order-free: each term contributes at its FIRST doc
-    (min doc_id), terms are bucketed by that doc's ntile decile, and
-    the cumulative sum runs over the 10-row bucket frame. Scale: one
-    explode + min-aggregate keyed by term, one tiny join, windows only
-    on O(buckets) rows."""
+    (min doc_id); docs are bucketed ARITHMETICALLY by id position
+    against a broadcast (min_id, count) aggregate — no global sort/
+    ntile (a single-partition sort of every doc id would be the one
+    non-scalable step; id-range bucketing is what a metadata catalog
+    gives for free at 100 TB). The cumulative sum runs over the 10-row
+    bucket frame. Scale: one explode + min-aggregate keyed by term,
+    broadcast bucket arithmetic, windows only on O(buckets) rows."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     first = (d.select("doc_id", F.explode(tokens(F.col("text")))
                       .alias("term"))
               .groupBy("term").agg(F.min("doc_id").alias("first_doc")))
-    wb = Window.orderBy(F.asc("doc_id"))
-    doc_buckets = d.select("doc_id").withColumn(
-        "bucket", F.ntile(buckets).over(wb))
-    new_terms = (first.join(doc_buckets,
-                            first.first_doc == doc_buckets.doc_id)
+    bounds = d.agg(F.min("doc_id").alias("lo"),
+                   F.count(F.lit(1)).alias("n"))
+
+    def bucket_of(col):
+        return (F.floor((col - F.col("lo")) * buckets / F.col("n"))
+                + 1).cast("int")
+
+    doc_buckets = (d.select("doc_id").crossJoin(F.broadcast(bounds))
+                    .select("doc_id", bucket_of(F.col("doc_id"))
+                            .alias("bucket")))
+    new_terms = (first.crossJoin(F.broadcast(bounds))
+                      .select(bucket_of(F.col("first_doc")).alias("bucket"))
                       .groupBy("bucket")
                       .agg(F.count(F.lit(1)).alias("n_new_terms")))
     docs_per = doc_buckets.groupBy("bucket").agg(
@@ -547,14 +557,19 @@ WITH first AS (
         FROM documents)
   GROUP BY term
 ),
+bounds AS (SELECT MIN(doc_id) AS lo, COUNT(*) AS n FROM documents),
 doc_buckets AS (
-  SELECT doc_id, NTILE({VOCAB_BUCKETS}) OVER (ORDER BY doc_id ASC) AS bucket
-  FROM documents
+  SELECT doc_id,
+         CAST(floor((doc_id - lo) * {VOCAB_BUCKETS} / n) + 1 AS INT)
+           AS bucket
+  FROM documents CROSS JOIN bounds
 ),
 new_terms AS (
-  SELECT b.bucket, COUNT(*) AS n_new_terms
-  FROM first f JOIN doc_buckets b ON f.first_doc = b.doc_id
-  GROUP BY b.bucket
+  SELECT CAST(floor((first_doc - lo) * {VOCAB_BUCKETS} / n) + 1 AS INT)
+           AS bucket,
+         COUNT(*) AS n_new_terms
+  FROM first CROSS JOIN bounds
+  GROUP BY 1
 ),
 docs_per AS (
   SELECT bucket, COUNT(*) AS n_docs FROM doc_buckets GROUP BY bucket
