@@ -4,7 +4,7 @@ pushdown, conditional ratios, scalar subqueries, distinct-agg joins)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
@@ -309,25 +309,30 @@ GROUP BY c_count
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-analytics funnel: per user, earliest view -> first click
     after it -> first purchase after that; count users reaching each
-    stage. One shuffle by user; conditional mins, no joins."""
+    stage.
+
+    Three chained conditional-min WINDOW passes over one user-keyed
+    partitioning (each stage's threshold is the previous stage's
+    window result): a single shuffle of the events, and WindowExec
+    buffers each user run with spill — bounded executor memory even for
+    a bot user with millions of events, where the previous
+    collect_list-per-user formulation held one unbounded array."""
     from postgres_es_cdc_spark.operators.common import events_table
 
     e = events_table(spark, sf_dir)
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("v"),
-        *[F.collect_list(F.when(F.col("event_type") == t, F.col("ts_us")))
-           .alias(t + "s") for t in ("click", "purchase")],
+    w = Window.partitionBy("user_id")
+    ty, ts = F.col("event_type"), F.col("ts_us")
+    staged = (
+        e.select("user_id", "event_type", "ts_us")
+         .withColumn("v", F.min(F.when(ty == "view", ts)).over(w))
+         .withColumn("c", F.min(F.when((ty == "click")
+                                       & (ts > F.col("v")), ts)).over(w))
+         .withColumn("p", F.min(F.when((ty == "purchase")
+                                       & (ts > F.col("c")), ts)).over(w))
     )
-    first_after = lambda arr, lo: F.array_min(F.filter(arr, lambda x: x > lo))  # noqa: E731
-    staged = per_user.select(
-        "user_id", "v",
-        first_after(F.col("clicks"), F.col("v")).alias("c"),
-    ).select("user_id", "v", "c")
-    staged = staged.join(
-        per_user.select("user_id", "purchases"), "user_id"
-    ).select("user_id", "v", "c",
-             first_after(F.col("purchases"), F.col("c")).alias("p"))
-    return staged.agg(
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v").alias("v"), F.min("c").alias("c"), F.min("p").alias("p"))
+    return per_user.agg(
         F.count("*").alias("n_users"),
         F.count("v").alias("n_viewed"),
         F.count("c").alias("n_clicked_after_view"),
