@@ -93,8 +93,17 @@ PICKS = {
     "docs_chunk_dedup":
         "Chunk-level dedup: chunk hashing is array ops inside the scan "
         "stage; the two Exchanges carry only (hash, doc_id, len) "
-        "triples — full text never shuffles (group-then-emit, no "
-        "self-join re-evaluation).",
+        "triples — full text never shuffles, and the duplicate flag is "
+        "a min!=max window over the hash partition (spillable; no "
+        "per-hash array, no self-join re-evaluation).",
+    "events_funnel":
+        "Funnel: three chained conditional-min Window ops share ONE "
+        "user-keyed Exchange; per-user state is a window buffer "
+        "(spills), never a collected array.",
+    "docs_vocab_growth_curve":
+        "Heaps curve: doc buckets come from broadcast (min, count) "
+        "arithmetic — no global ntile sort; the only single-partition "
+        "windows run on the 10-row bucket frame.",
     "emb_prefix_rerank_topk":
         "Two-stage adaptive retrieval: stage 1 projects to the 16-dim "
         "prefix BEFORE the broadcast cross join (scan reads a quarter "
