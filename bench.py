@@ -90,6 +90,9 @@ HEADLINE = [
     "events_user_burstiness",
     "lineitem_discount_band_revenue",
     "part_type_price_summary",
+    # round-5 flagships
+    "docs_incremental_lsh_pairs",
+    "streaming_dedup_first_event",
 ]
 
 

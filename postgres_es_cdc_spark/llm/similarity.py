@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.memo import register
 
 Q_SCALE = 1_000_000  # fixed-point quantization for exact cross-engine math
 
@@ -266,7 +267,7 @@ def _kmeans_loop(ex: DataFrame, k: int,
     return assign, cent
 
 
-_QUANTIZER_CACHE: dict = {}
+_QUANTIZER_CACHE: dict = register({})
 
 
 def trained_quantizer(spark: SparkSession, sf_dir: str, k: int = 8,

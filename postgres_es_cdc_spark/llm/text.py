@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.memo import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -193,7 +194,7 @@ LIMIT 25
 """
 
 
-_TEXT_STAGE_CACHE: dict = {}
+_TEXT_STAGE_CACHE: dict = register({})
 
 
 def _char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,10 +515,13 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str,
 
     Exact and order-free: each term contributes at its FIRST doc
     (min doc_id); docs are bucketed ARITHMETICALLY by id position
-    against a broadcast (min_id, count) aggregate — no global sort/
+    against a broadcast (min_id, max_id) aggregate — no global sort/
     ntile (a single-partition sort of every doc id would be the one
     non-scalable step; id-range bucketing is what a metadata catalog
-    gives for free at 100 TB). The cumulative sum runs over the 10-row
+    gives for free at 100 TB). Bucketing divides the [lo, hi] id SPAN,
+    not the row count, so gapped/sparse ids still land in 1..buckets
+    (buckets then mean "tenth of the id range", uneven doc counts are
+    reported via n_docs). The cumulative sum runs over the 10-row
     bucket frame. Scale: one explode + min-aggregate keyed by term,
     broadcast bucket arithmetic, windows only on O(buckets) rows."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -525,10 +529,10 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str,
                       .alias("term"))
               .groupBy("term").agg(F.min("doc_id").alias("first_doc")))
     bounds = d.agg(F.min("doc_id").alias("lo"),
-                   F.count(F.lit(1)).alias("n"))
+                   (F.max("doc_id") - F.min("doc_id") + 1).alias("span"))
 
     def bucket_of(col):
-        return (F.floor((col - F.col("lo")) * buckets / F.col("n"))
+        return (F.floor((col - F.col("lo")) * buckets / F.col("span"))
                 + 1).cast("int")
 
     doc_buckets = (d.select("doc_id").crossJoin(F.broadcast(bounds))
@@ -557,15 +561,17 @@ WITH first AS (
         FROM documents)
   GROUP BY term
 ),
-bounds AS (SELECT MIN(doc_id) AS lo, COUNT(*) AS n FROM documents),
+bounds AS (SELECT MIN(doc_id) AS lo,
+                  MAX(doc_id) - MIN(doc_id) + 1 AS span
+           FROM documents),
 doc_buckets AS (
   SELECT doc_id,
-         CAST(floor((doc_id - lo) * {VOCAB_BUCKETS} / n) + 1 AS INT)
+         CAST(floor((doc_id - lo) * {VOCAB_BUCKETS} / span) + 1 AS INT)
            AS bucket
   FROM documents CROSS JOIN bounds
 ),
 new_terms AS (
-  SELECT CAST(floor((first_doc - lo) * {VOCAB_BUCKETS} / n) + 1 AS INT)
+  SELECT CAST(floor((first_doc - lo) * {VOCAB_BUCKETS} / span) + 1 AS INT)
            AS bucket,
          COUNT(*) AS n_new_terms
   FROM first CROSS JOIN bounds

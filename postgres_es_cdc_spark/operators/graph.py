@@ -27,12 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
+from postgres_es_cdc_spark.memo import register
 
 SCALE = 10**12
 ITERS = 3
 
 
-_EDGE_CACHE: dict = {}
+_EDGE_CACHE: dict = register({})
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ from postgres_es_cdc_spark.llm import (
 from postgres_es_cdc_spark.operators import analytics, sql_frontend
 from postgres_es_cdc_spark.sources import pgoutput
 from postgres_es_cdc_spark.streaming import ivm
+from postgres_es_cdc_spark.streaming import dedup as sdedup
 from postgres_es_cdc_spark.operators import (
     advanced, events_q, graph, relational, setops, stats, tpch_extra,
     tpch_more, windows)
@@ -51,6 +52,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
     "docs_minhash_signatures": QuerySpec(dedup.docs_minhash_signatures, dedup.DOCS_MINHASH_SIG_SQL),
     "docs_minhash_lsh_pairs": QuerySpec(dedup.docs_minhash_lsh_pairs, dedup.DOCS_MINHASH_LSH_SQL),
+    # new-batch vs persisted-signature-store dedup; oracle = full
+    # recompute restricted to batch-touching pairs (incremental == full)
+    "docs_incremental_lsh_pairs": QuerySpec(dedup.docs_incremental_lsh_pairs, dedup.DOCS_INCREMENTAL_LSH_SQL),
+    # KeyedDedupSink's per-batch fold algebra vs one-shot first-arrival
+    "streaming_dedup_first_event": QuerySpec(sdedup.streaming_dedup_first_event, sdedup.STREAMING_DEDUP_FIRST_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

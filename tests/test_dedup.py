@@ -237,3 +237,31 @@ def test_cap_buckets_property(spark):
         want = {k: sorted(v)[:cap] for k, v in want.items()}
         assert {k: sorted(v) for k, v in got.items()} == \
             {k: v for k, v in want.items() if v}
+
+
+def test_incremental_pairs_match_full_recompute_and_roundtrip(
+        spark, sf_dir, tmp_path):
+    """Incremental new-batch pairs == full LSH pairs restricted to the
+    batch, from the in-session store AND from a parquet round-tripped
+    store (the cross-session persisted-index path)."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_incremental_lsh_pairs, docs_minhash_lsh_pairs,
+        load_signature_store, save_signature_store, signature_store)
+
+    full = {(r.doc_a, r.doc_b)
+            for r in docs_minhash_lsh_pairs(spark, sf_dir).collect()}
+    expected = {(a, b) for a, b in full if b >= 1_000_000}
+    inc = {(r.doc_a, r.doc_b)
+           for r in docs_incremental_lsh_pairs(spark, sf_dir).collect()}
+    assert inc == expected
+    assert expected, "batch must produce candidates at test scale"
+    # old x old never emitted by construction
+    assert not [(a, b) for (a, b) in inc if b < 1_000_000]
+
+    path = str(tmp_path / "sigstore")
+    save_signature_store(signature_store(spark, sf_dir), path)
+    loaded = load_signature_store(spark, path)
+    inc2 = {(r.doc_a, r.doc_b)
+            for r in docs_incremental_lsh_pairs(
+                spark, sf_dir, store=loaded).collect()}
+    assert inc2 == expected

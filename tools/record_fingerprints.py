@@ -65,6 +65,17 @@ def main() -> None:
     print(f"recorded {len(newest_green)} from {os.path.basename(arts[-1])}, "
           f"dropped {sorted(drop)}; ledger now {len(ledger)} entries")
 
+    # Fail loudly if unverified queries overflow the driver's 50-row
+    # evaluation window (round 4 silently overflowed by one; a prose
+    # note is not a gate).
+    unverified = [n for n in Q.REGISTRY
+                  if n not in ledger
+                  or query_fingerprint(Q.REGISTRY[n]) != ledger[n]]
+    print(f"unverified (window candidates): {len(unverified)}")
+    assert len(unverified) <= 50, (
+        f"driver window OVERFLOW: {len(unverified)} > 50 unverified; "
+        f"overflowing tail: {unverified[50:]}")
+
 
 if __name__ == "__main__":
     main()
