@@ -338,3 +338,121 @@ WHERE rank <= {k}
 
 
 DOCS_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str,
+                      buckets: int = DSIR_BUCKETS,
+                      target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling): score every document by how much more likely its
+    hashed-unigram bag is under the TARGET distribution (here: the
+    lang='en' slice) than under the raw corpus — the published recipe
+    for tilting a web crawl toward a quality/domain target before
+    resampling. log_weight(doc) = Σ_tokens [ ln p_tgt(bucket) −
+    ln p_raw(bucket) ] with add-one smoothing over hashed buckets.
+
+    Exactness: each feature's log-ratio is sign · ln(max/min) of two
+    exact integer products, computed via functions/detlog.py (the
+    bit-identical IEEE primitive both engines share) and quantized to
+    1e-9 ints, so the per-doc sum is order-independent int64.
+
+    Scale shape: two word-count MapReduces over hashed buckets (raw +
+    target), folded to a ≤``buckets``-row feature table that BROADCASTS
+    to the per-token scoring join — one linear scan of token
+    occurrences, no vocabulary-sized shuffle. Token hashing reuses
+    text.h32 (md5-derived, portable)."""
+    from postgres_es_cdc_spark.functions.detlog import (
+        apply_stages_spark, ln_ratio_stages)
+    from postgres_es_cdc_spark.llm.text import h32, tokens
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select("doc_id", "lang",
+                   F.explode(tokens(F.col("text"))).alias("term"))
+    tok = tok.select("doc_id", "lang",
+                     (h32(F.col("term")) % buckets).alias("bucket"))
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (tok.filter(F.col("lang") == target_lang)
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("nt"))
+    feat = (raw.join(tgt, "bucket", "left")
+               .select("bucket", "cr",
+                       F.coalesce("ct", F.lit(0)).alias("ct"))
+               .crossJoin(F.broadcast(totals))
+               .select("bucket",
+                       ((F.col("ct") + 1) * (F.col("nr") + buckets))
+                       .alias("va"),
+                       ((F.col("cr") + 1) * (F.col("nt") + buckets))
+                       .alias("vb")))
+    feat = feat.select(
+        "bucket",
+        F.greatest("va", "vb").alias("dsir_a"),
+        F.least("va", "vb").alias("dsir_b"),
+        F.when(F.col("va") >= F.col("vb"), F.lit(1)).otherwise(F.lit(-1))
+         .alias("sgn"))
+    feat = apply_stages_spark(feat, ln_ratio_stages("dsir_a", "dsir_b"))
+    feat = feat.select(
+        "bucket",
+        (F.col("sgn")
+         * F.expr("CAST(floor(ln_ab * 1.0E9 + 5.0E-1) AS BIGINT)"))
+        .alias("w_q"))
+    return (tok.join(F.broadcast(feat), "bucket")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    (F.sum("w_q").cast("double") / F.lit(1.0e9))
+                    .alias("log_weight")))
+
+
+def _dsir_sql() -> str:
+    from postgres_es_cdc_spark.functions.detlog import (
+        ln_ratio_stages, stages_cte_sql)
+    ctes, last = stages_cte_sql("feat2", ln_ratio_stages("dsir_a", "dsir_b"),
+                                "lnc")
+    b = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT % {b} AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest({TOKENS_SQL.format(col='text')}) AS term
+        FROM documents)
+),
+raw AS (SELECT bucket, COUNT(*) AS cr FROM tok GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS ct FROM tok
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+totals AS (
+  SELECT COUNT(*) AS nr,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nt
+  FROM tok
+),
+feat AS (
+  SELECT raw.bucket,
+         (COALESCE(tgt.ct, 0) + 1) * (totals.nr + {b}) AS va,
+         (raw.cr + 1) * (totals.nt + {b}) AS vb
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
+),
+feat2 AS (
+  SELECT bucket, GREATEST(va, vb) AS dsir_a, LEAST(va, vb) AS dsir_b,
+         CASE WHEN va >= vb THEN 1 ELSE -1 END AS sgn
+  FROM feat
+),
+{ctes},
+w AS (
+  SELECT bucket,
+         sgn * CAST(floor(ln_ab * 1.0E9 + 5.0E-1) AS BIGINT) AS w_q
+  FROM {last}
+)
+SELECT tok.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(w.w_q) AS DOUBLE) / 1.0E9 AS log_weight
+FROM tok JOIN w ON tok.bucket = w.bucket
+GROUP BY tok.doc_id
+"""
+
+
+DOCS_DSIR_SQL = _dsir_sql()

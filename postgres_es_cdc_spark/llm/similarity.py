@@ -23,6 +23,8 @@ really-large case.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -239,14 +241,19 @@ def _cent_dist2(rows: DataFrame, cent: DataFrame,
                       / F.lit(float(Q_SCALE) ** 2)).alias("dist2")))
 
 
-def _kmeans_loop(ex: DataFrame, k: int,
-                 iters: int) -> tuple[DataFrame, DataFrame]:
+def _kmeans_loop(ex: DataFrame, k: int, iters: int,
+                 init_bound: int | None = None) -> tuple[DataFrame, DataFrame]:
     """The shared fixed-init fixed-iters loop. Returns (last assignment,
     the centroids REBUILT from it) — i.e. (a_iters, c_iters) in the
     oracle's CTE naming, so IVF consumers score against centroids
-    consistent with the cell membership they search."""
+    consistent with the cell membership they search.
+
+    ``init_bound`` generalizes the init for SAMPLED training: when ex
+    holds only vec_id % t == 0 rows, the first k sample vectors are the
+    multiples of t below k*t — pass init_bound=k*t (default k keeps the
+    dense-id behavior)."""
     # init: singleton clusters from the first k vectors (n=1, sq=xq)
-    cent = (ex.filter(F.col("vec_id") < k)
+    cent = (ex.filter(F.col("vec_id") < (init_bound or k))
               .select(F.col("vec_id").alias("cid"), "dim",
                       F.lit(1).cast("long").alias("n"),
                       F.col("xq").alias("sq")))
@@ -1182,83 +1189,193 @@ WHERE rank <= 3
 """
 
 
+SEMDEDUP_TRAIN_TARGET = 2000  # k-means training sample size ceiling
+
+
+def _semdedup_params(n: int) -> tuple[int, int]:
+    """(k clusters, training sample stride) as a function of corpus
+    size: k = max(8, isqrt(n)) is the published SemDeDup shape (cluster
+    count tracks sqrt(N), in-cluster pair work ~N^1.5 total); training
+    runs on every t-th vector so the iterative loop's cost is bounded
+    by SEMDEDUP_TRAIN_TARGET vectors regardless of N. Both are exact
+    integer arithmetic the oracle reproduces from COUNT(*)
+    (FLOOR(SQRT(n)) == isqrt(n) for n far below 2^52). Requires
+    isqrt(n) <= n/t, i.e. n <= TRAIN_TARGET² (4M vectors locally; past
+    that, raise the target or train hierarchically)."""
+    return max(8, math.isqrt(n)), max(1, n // SEMDEDUP_TRAIN_TARGET)
+
+
+def _semdedup_centroids(spark: SparkSession, sf_dir: str,
+                        iters: int = 3) -> DataFrame:
+    """Train-once memoized SemDeDup quantizer: k-means over the sampled
+    training set with corpus-size-derived (k, t)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "semdedup_cent")
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = table(spark, sf_dir, "embeddings").count()
+    k, t = _semdedup_params(n)
+    ex = _exploded(spark, sf_dir)
+    _, cent = _kmeans_loop(ex.filter(F.col("vec_id") % t == 0), k, iters,
+                           init_bound=k * t)
+    cent = cent.localCheckpoint(eager=False)
+    _QUANTIZER_CACHE[key] = cent
+    return cent
+
+
 def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
-                       threshold: float = 0.9, kclusters: int = 8,
+                       threshold: float = 0.9,
                        iters: int = 3) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus with
-    the train-once coarse quantizer, then search for near-duplicate
+    a train-once coarse quantizer, then search for near-duplicate
     pairs ONLY inside each cluster and prune the higher-id member of
     every pair with cosine >= threshold. This is the published SemDeDup
     recipe (k-means first, pairwise similarity second) whose whole point
     is scale: pairwise work is quadratic only in cluster size, never in
-    corpus size — with k ~ sqrt(N) clusters the total pair count stays
-    ~N^1.5 instead of N^2, and each cluster's pair generation is an
-    independent task.
+    corpus size.
 
-    Corpus: the planted-near-dup corpus (_q_corpus). Base members reuse
-    the memoized training assignments; mutants are assigned by the same
-    exact rational centroid-distance argmin (the probe step every ANN
-    consumer shares). The verify kernel is the exact integer-quantized
-    cosine, so the DuckDB twin reproduces the prune set bit-for-bit.
+    Scale shape (reworked after the sf1 sweep measured 114x at 10x data
+    with a FIXED k=8): k now tracks isqrt(N) — total in-cluster pair
+    count stays ~N^1.5 — and the k-means loop trains on a bounded
+    sample (every t-th vector, ~SEMDEDUP_TRAIN_TARGET rows), so
+    training cost is O(sample·k·iters), not O(N·k·iters). EVERY member
+    (base and mutant alike) is then assigned by one exact rational
+    centroid-distance argmin pass — the flat IVF assign, N·k·dims, the
+    one residual super-linear term; its hierarchical (two-level) form
+    is the documented escape at >10^7 vectors.
 
-    Returns one row per corpus member: (id, cluster, pruned)."""
-    assign, cent = trained_quantizer(spark, sf_dir, kclusters, iters)
-    ex = _exploded(spark, sf_dir)
-    mex = (ex.filter(F.col("vec_id") % 10 == 0)
-             .select((F.col("vec_id") + 100000).alias("vec_id"), "dim",
-                     (F.col("xq") + F.when(F.col("dim") == 0, F.lit(50000))
-                                     .otherwise(F.lit(0))).alias("xq")))
-    md = _cent_dist2(mex, cent, "vec_id")
-    wm = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
-    ma = (md.withColumn("rn", F.row_number().over(wm))
-            .filter(F.col("rn") == 1).select("vec_id", "cid"))
-    alla = assign.select("vec_id", "cid").unionByName(ma)
+    Corpus: the planted-near-dup corpus (_q_corpus). The verify kernel
+    is the exact integer-quantized cosine, so the DuckDB twin (which
+    derives the same k and t from COUNT(*)) reproduces the prune set
+    bit-for-bit. Returns one row per corpus member: (id, cluster,
+    pruned)."""
+    cent = _semdedup_centroids(spark, sf_dir, iters)
+    # Centroid table folded to ARRAY form for the broadcast assign:
+    # per cid its 64-slot sq vector (collect_list bounded by the
+    # dimension count, not by data), member count n, and Σsq².
+    carr = (cent.groupBy("cid")
+                .agg(F.max("n").alias("n"),
+                     F.array_sort(F.collect_list(F.struct("dim", "sq")))
+                      .alias("ds"),
+                     F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq"))
+                      .alias("b2"))
+                .select("cid", "n",
+                        F.transform("ds", lambda s: s["sq"]).alias("sqv"),
+                        "b2"))
 
-    # Per-vector norms are computed ONCE here and carried through the
-    # pair join — one integer dot per pair instead of three (the exact
-    # same integers reach the same double ops, so the result is
-    # bit-identical to the oracle's three-aggregate form).
+    # Assign EVERY member (base + mutants) by exact rational argmin,
+    # computed as broadcast array arithmetic instead of the exploded
+    # (vector, dim) x centroid join (which materializes N·k·dims rows
+    # through a hash aggregate — the sf1 sweep measured it at 59s vs
+    # <10s for this form). The algebra is the expanded square
+    #   Σ_d (xq·n − sq)² = n²·Σxq² − 2n·Σ(xq·sq) + Σsq²
+    # — every term an exact integer (cross products fit long while
+    # cluster_size·Q_SCALE²·dims < 2^63, i.e. clusters < ~2e6 members;
+    # past that, switch the dot to a decimal fold), combined in
+    # decimal(38,0) and divided exactly as the oracle's HUGEINT form,
+    # so the resulting double — and therefore the argmin — is
+    # bit-identical to the oracle's ROW_NUMBER over SUM((xq·n−sq)²).
     c = _q_corpus(spark, sf_dir).withColumn(
         "n2", dot_q(F.col("q"), F.col("q")))
-    l = alla.select(F.col("vec_id").alias("id1"), "cid")
-    r = alla.select(F.col("vec_id").alias("id2"), "cid")
-    pairs = (l.join(r, "cid").filter(F.col("id1") < F.col("id2")))
-    c1 = c.select(F.col("id").alias("id1"), F.col("q").alias("q1"),
+    num = (F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n2")
+           - (F.lit(2) * F.col("n")).cast("decimal(38,0)")
+             * dot_q(F.col("q"), F.col("sqv"))
+           + F.col("b2"))
+    dist2 = (num.cast("double")
+             / (F.col("n") * F.col("n")).cast("double")
+             / F.lit(float(Q_SCALE) ** 2))
+    alla = (c.crossJoin(F.broadcast(carr))
+             .select(F.col("id").alias("vec_id"), "cid",
+                     dist2.alias("dist2"))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct("dist2", "cid")).alias("b"))
+             .select("vec_id", F.col("b.cid").alias("cid")))
+
+    # In-cluster pair verification: join the (array, norm)-carrying
+    # corpus to its cluster id ONCE, then self-join on cid — pair rows
+    # are expanded inside the join with their arrays already present,
+    # so the shuffle moves N vectors, not N^1.5 pair-side arrays (the
+    # sf1 sweep measured the fetch-arrays-per-pair form at 38s). One
+    # integer dot per pair (norms precomputed); exact same integers
+    # reach the same double ops as the oracle's three-aggregate form.
+    qa = (c.join(alla, c["id"] == alla["vec_id"])
+           .select("cid", "id", "q", "n2"))
+    l = qa.select("cid", F.col("id").alias("id1"), F.col("q").alias("q1"),
                   F.col("n2").alias("n2a"))
-    c2 = c.select(F.col("id").alias("id2"), F.col("q").alias("q2"),
+    r = qa.select("cid", F.col("id").alias("id2"), F.col("q").alias("q2"),
                   F.col("n2").alias("n2b"))
     cos = (dot_q(F.col("q1"), F.col("q2")).cast("double")
            / (F.sqrt(F.col("n2a").cast("double"))
               * F.sqrt(F.col("n2b").cast("double"))))
-    pruned = (pairs.join(c1, "id1").join(c2, "id2")
-                   .filter(cos >= threshold)
-                   .select(F.col("id2").alias("vec_id")).distinct()
-                   .withColumn("_p", F.lit(True)))
+    pruned = (l.join(r, "cid").filter(F.col("id1") < F.col("id2"))
+               .filter(cos >= threshold)
+               .select(F.col("id2").alias("vec_id")).distinct()
+               .withColumn("_p", F.lit(True)))
     return (alla.join(pruned, "vec_id", "left")
                 .select(F.col("vec_id").alias("id"),
                         F.col("cid").alias("cluster"),
                         F.coalesce("_p", F.lit(False)).alias("pruned")))
 
 
-EMB_SEMDEDUP_SQL = _kmeans_cte_body() + f"""
+def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
+    """DuckDB twin of _semdedup_centroids: same unrolled loop as
+    _kmeans_cte_body, but k and the training stride t are DERIVED FROM
+    COUNT(*) in a `par` CTE (exact integer arithmetic matching
+    _semdedup_params) and every training CTE reads the sampled `ext`
+    instead of the full `ex`."""
+    parts = [f"""WITH ex AS (
+  SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+), par AS (
+  SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k,
+         GREATEST(1, COUNT(*) // {SEMDEDUP_TRAIN_TARGET}) AS t
+  FROM embeddings
+), ext AS (
+  SELECT ex.* FROM ex, par WHERE ex.vec_id % par.t = 0
+), c0 AS (
+  SELECT vec_id AS cid, dim, CAST(1 AS BIGINT) AS n, xq AS sq
+  FROM ext, par WHERE vec_id < par.k * par.t
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", s{i} AS (
+  SELECT ext.vec_id, c.cid,
+         CAST(SUM(CAST(ext.xq*c.n - c.sq AS HUGEINT) * CAST(ext.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
+  FROM ext JOIN c{i-1} c ON ext.dim = c.dim
+  GROUP BY ext.vec_id, c.cid
+), a{i} AS (
+  SELECT vec_id, cid, dist2
+  FROM (SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM s{i})
+  WHERE rn = 1
+), c{i} AS (
+  SELECT a.cid, ext.dim, COUNT(*) AS n, CAST(SUM(ext.xq) AS BIGINT) AS sq
+  FROM ext JOIN a{i} a USING (vec_id)
+  GROUP BY a.cid, ext.dim
+)""")
+    return "".join(parts)
+
+
+EMB_SEMDEDUP_SQL = _semdedup_kmeans_cte_dyn() + f"""
 , mex AS (
   SELECT vec_id + 100000 AS vec_id, dim,
          xq + CASE WHEN dim = 1 THEN 50000 ELSE 0 END AS xq
   FROM ex WHERE vec_id % 10 = 0
+), allex AS (
+  SELECT * FROM ex UNION ALL SELECT * FROM mex
 ), ms AS (
   SELECT m.vec_id, c.cid,
          CAST(SUM(CAST(m.xq*c.n - c.sq AS HUGEINT) * CAST(m.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
            / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
-  FROM mex m JOIN c3 c ON m.dim = c.dim
+  FROM allex m JOIN c3 c ON m.dim = c.dim
   GROUP BY m.vec_id, c.cid
-), ma AS (
+), alla AS (
   SELECT vec_id, cid
   FROM (SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
         FROM ms)
   WHERE rn = 1
-), alla AS (
-  SELECT vec_id, cid FROM a3 UNION ALL SELECT vec_id, cid FROM ma
 ), corpus AS ({_QC_SQL}),
 pairs AS (
   SELECT l.vec_id AS id1, r.vec_id AS id2
@@ -1332,8 +1449,17 @@ SELECT qid, match_id, cos_sim FROM scored WHERE cos_sim >= {RANGE_TAU}
 """
 
 
+HIST_SAMPLE_MOD = 10
+HIST_SAMPLE_TARGET = 200  # adaptive-mod sample size ceiling
+
+_HIST_MOD_SQL = (f"(SELECT GREATEST({HIST_SAMPLE_MOD}, "
+                 f"(COUNT(*) + {HIST_SAMPLE_TARGET} - 1) "
+                 f"// {HIST_SAMPLE_TARGET}) FROM embeddings)")
+
+
 def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str,
-                              mod: int = 10, residue: int = 3) -> DataFrame:
+                              mod: int | None = None,
+                              residue: int = 3) -> DataFrame:
     """Corpus similarity-structure report: histogram of pairwise cosines
     over a DETERMINISTIC id-sampled subset (vec_id % mod == residue) —
     the estimator a pipeline runs to pick dedup/ANN thresholds, because
@@ -1341,9 +1467,15 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str,
     floor(cos·10) on the exact integer-quantized cosine (bit-identical
     both engines, so bin edges cannot flake).
 
-    Scale: sampling is scan-side (no shuffle to sample); the sampled
-    block (N/mod rows) self-joins, so the pair cost is (N/mod)² —
-    choose mod ~ sqrt(corpus) to hold it constant as N grows."""
+    Scale: sampling is scan-side (no shuffle to sample); mod defaults
+    to ceil(N / HIST_SAMPLE_TARGET), so the sampled block — and the
+    (N/mod)² pair cost — stays CONSTANT as the corpus grows. The
+    oracle derives the same mod from COUNT(*) with identical integer
+    arithmetic."""
+    if mod is None:
+        n = table(spark, sf_dir, "embeddings").count()
+        mod = max(HIST_SAMPLE_MOD, (n + HIST_SAMPLE_TARGET - 1)
+                  // HIST_SAMPLE_TARGET)
     c = (_q_corpus(spark, sf_dir)
          .filter((F.col("id") < 100000) & (F.col("id") % mod == residue))
          .withColumn("n2", dot_q(F.col("q"), F.col("q"))))
@@ -1360,7 +1492,7 @@ def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str,
              .agg(F.count(F.lit(1)).alias("n_pairs")))
 
 
-def _pair_hist_sql(mod: int = 10, residue: int = 3) -> str:
+def _pair_hist_sql(mod: str = _HIST_MOD_SQL, residue: int = 3) -> str:
     return f"""
 WITH corpus AS ({_QC_SQL}),
 s AS (SELECT id, q FROM corpus WHERE id < 100000 AND id % {mod} = {residue}),
@@ -1462,10 +1594,17 @@ WHERE rn = 1
 
 
 KNN_SAMPLE_MOD = 5
+KNN_SAMPLE_TARGET = 400  # adaptive-mod sample size ceiling
+
+# DuckDB twin of the adaptive sample stride: GREATEST(floor, ceil(N/T))
+# in exact integer arithmetic (// is DuckDB integer division).
+_KNN_MOD_SQL = (f"(SELECT GREATEST({KNN_SAMPLE_MOD}, "
+                f"(COUNT(*) + {KNN_SAMPLE_TARGET} - 1) "
+                f"// {KNN_SAMPLE_TARGET}) FROM embeddings)")
 
 
 def emb_label_knn_accuracy(spark: SparkSession, sf_dir: str,
-                           mod: int = KNN_SAMPLE_MOD) -> DataFrame:
+                           mod: int | None = None) -> DataFrame:
     """Leave-one-out 1-NN label accuracy over a deterministic id sample
     — the classic embedding-quality probe (do nearest neighbors share
     labels?) that decides whether an embedding column is good enough
@@ -1474,9 +1613,17 @@ def emb_label_knn_accuracy(spark: SparkSession, sf_dir: str,
     Sample (vec_id % mod == 0) self-joins for exact integer distances;
     each member's nearest OTHER member (ties: id asc) votes its label.
     Output: per true label, sample count, correct votes, accuracy.
-    Scale: the sampled block is (N/mod)² pairwise — pick mod ~ sqrt(N);
-    at full corpus scale the same probe rides the IVF index instead."""
+    Scale: mod defaults to ceil(N / KNN_SAMPLE_TARGET) — the sampled
+    block stays ~KNN_SAMPLE_TARGET rows and the pair count CONSTANT as
+    the corpus grows (the sf1 sweep measured 84x at 10x data with a
+    fixed mod; adaptive mod holds it flat). The oracle derives the same
+    mod from COUNT(*) with identical integer arithmetic. At full corpus
+    scale the same probe rides the IVF index instead."""
     e = table(spark, sf_dir, "embeddings")
+    if mod is None:
+        n = e.count()
+        mod = max(KNN_SAMPLE_MOD, (n + KNN_SAMPLE_TARGET - 1)
+                  // KNN_SAMPLE_TARGET)
     s = (e.filter(F.col("vec_id") % mod == 0)
           .select("vec_id", F.col("label").cast("int").alias("label"),
                   quantize(F.col("embedding")).alias("q")))
@@ -1504,7 +1651,7 @@ WITH s AS (
   SELECT vec_id, CAST(label AS INT) AS label,
          list_transform(generate_series(1, 64),
              i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS q
-  FROM embeddings WHERE vec_id % {KNN_SAMPLE_MOD} = 0
+  FROM embeddings WHERE vec_id % {_KNN_MOD_SQL} = 0
 ),
 pairs AS (
   SELECT a.vec_id AS ida, a.label AS la, b.label AS lb, b.vec_id AS idb,
@@ -1528,4 +1675,100 @@ SELECT la AS label, COUNT(*) AS n_sampled,
        CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS accuracy
 FROM nn GROUP BY la
+"""
+
+
+MATRYOSHKA_K = 5
+MATRYOSHKA_QUERIES = 20
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
+                          prefix_dims: int = PREFIX_DIMS,
+                          k: int = MATRYOSHKA_K,
+                          n_queries: int = MATRYOSHKA_QUERIES) -> DataFrame:
+    """Prefix-dimension retrieval QUALITY evaluation: per query, the
+    recall@k of top-k by the first ``prefix_dims`` dims against the
+    exact full-dimension top-k — the number a pipeline checks before
+    trusting emb_prefix_rerank_topk's cheap first stage (MRL papers
+    report exactly this curve). Companion eval to emb_label_knn_accuracy.
+
+    Scale shape: both rankings are broadcast-query × corpus-scan passes
+    with per-query top-k (bounded windows over per-query rows, never a
+    global sort); the recall join compares two k-row sets per query.
+    Exact integer distances, id tie-breaks — bit-stable in both
+    engines."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 quantize(F.col("embedding")).alias("cq"))
+    full = (F.broadcast(q).crossJoin(c)
+             .filter(F.col("qid") != F.col("cid"))
+             .select("qid", "cid",
+                     l2sq_q(F.col("qq"), F.col("cq")).alias("d")))
+    wq = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cid"))
+    exact = (full.withColumn("rn", F.row_number().over(wq))
+                 .filter(F.col("rn") <= k).select("qid", "cid"))
+    qp = q.select("qid", F.slice("qq", 1, prefix_dims).alias("qp"))
+    cp = c.select("cid", F.slice("cq", 1, prefix_dims).alias("cp"))
+    pfx = (F.broadcast(qp).crossJoin(cp)
+            .filter(F.col("qid") != F.col("cid"))
+            .select("qid", "cid",
+                    l2sq_q(F.col("qp"), F.col("cp")).alias("d")))
+    approx = (pfx.withColumn("rn", F.row_number().over(wq))
+                 .filter(F.col("rn") <= k).select("qid", "cid"))
+    hits = (exact.join(approx, ["qid", "cid"])
+                 .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (exact.groupBy("qid").agg(F.count(F.lit(1)).alias("kk"))
+                 .join(hits, "qid", "left")
+                 .select("qid",
+                         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("kk").cast("double")).alias("recall_at_k")))
+
+
+EMB_MATRYOSHKA_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {MATRYOSHKA_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings),
+full_d AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS d
+  FROM q, c, generate_series(1, 64) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+),
+exact AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS rn
+        FROM full_d)
+  WHERE rn <= {MATRYOSHKA_K}
+),
+pfx_d AS (
+  SELECT q.qid, c.cid,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS d
+  FROM q, c, generate_series(1, {PREFIX_DIMS}) i(i)
+  WHERE q.qid != c.cid
+  GROUP BY q.qid, c.cid
+),
+approx AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS rn
+        FROM pfx_d)
+  WHERE rn <= {MATRYOSHKA_K}
+),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid
+)
+SELECT e.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_k
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid, h.n_hits
 """

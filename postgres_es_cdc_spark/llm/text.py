@@ -588,3 +588,57 @@ SELECT d.bucket, d.n_docs,
          AS vocab_size
 FROM docs_per d LEFT JOIN new_terms n ON n.bucket = d.bucket
 """
+
+
+def docs_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al.'s
+    "repetitious documents" rules, the ones MassiveText applies before
+    any cross-doc dedup): per document, the share of the single most
+    frequent word 2-gram (top_bigram_share) and the fraction of 2-gram
+    occurrences belonging to 2-grams repeated within the doc
+    (dup_bigram_fraction). High values flag degenerate/templated text
+    that per-corpus dedup cannot see.
+
+    Scale shape: one explode to (doc, bigram) rows, one partial-
+    aggregable groupBy on (doc_id, bg), one on doc_id — the word-count
+    MapReduce, linear in corpus tokens; ratios are exact long/long
+    double divisions, identical in the DuckDB twin."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    t2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    bg_full = F.zip_with(toks, t2,
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    bg_col = F.slice(bg_full, 1, F.greatest(n - 1, F.lit(0)))
+    bg = d.select("doc_id", F.explode(bg_col).alias("bg"))
+    per_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return (per_bg.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_bigrams"),
+                 F.max("c").alias("top_c"),
+                 F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                        .otherwise(F.lit(0))).alias("dup_c"))
+            .select("doc_id", "n_bigrams",
+                    (F.col("top_c").cast("double") / F.col("n_bigrams"))
+                    .alias("top_bigram_share"),
+                    (F.col("dup_c").cast("double") / F.col("n_bigrams"))
+                    .alias("dup_bigram_fraction")))
+
+
+DOCS_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks)
+),
+per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         AS top_bigram_share,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS dup_bigram_fraction
+FROM per_bg GROUP BY doc_id
+"""

@@ -826,3 +826,69 @@ SELECT string_split(p_type, ' ')[1] AS category,
 FROM part
 GROUP BY 1, 2
 """
+
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP = 25
+
+
+def orders_basket_affinity(spark: SparkSession, sf_dir: str,
+                           min_support: int = BASKET_MIN_SUPPORT,
+                           top: int = BASKET_TOP) -> DataFrame:
+    """Market-basket affinity: the part pairs most often bought in the
+    same order, with support (co-order count) and each side's order
+    frequency — the count layer under association-rule mining (lift =
+    support·N / (fa·fb) is a derived double left to consumers).
+
+    Scale shape: pairs are generated per order by a self-join on
+    l_orderkey — the group key naturally bounds the blow-up (a basket
+    of m items emits m(m-1)/2 pairs; TPC-H baskets are <=7 lines, and a
+    degenerate giant order would be capped by the same row_number
+    pattern as dedup's PAIR_BUCKET_CAP). Support filtering happens in
+    the partial-aggregable pair count; the final top-k is a bounded
+    TakeOrdered, never a vocabulary-sized window. Ties: (part_a,
+    part_b) asc."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .filter(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b")
+              .agg(F.count(F.lit(1)).alias("support"))
+              .filter(F.col("support") >= min_support))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("f").alias("freq_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("f").alias("freq_b"))
+    topk = (pairs.join(fa, "part_a").join(fb, "part_b")
+                 .orderBy(F.desc("support"), F.asc("part_a"),
+                          F.asc("part_b"))
+                 .limit(top))
+    w = Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+    return (topk.withColumn("rank", F.row_number().over(w))
+                .select("rank", "part_a", "part_b", "support",
+                        "freq_a", "freq_b"))
+
+
+ORDERS_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+freq AS (SELECT l_partkey, COUNT(*) AS f FROM li GROUP BY 1)
+SELECT ROW_NUMBER() OVER (ORDER BY support DESC, part_a ASC, part_b ASC)
+         AS rank,
+       part_a, part_b, support, fa.f AS freq_a, fb.f AS freq_b
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+ORDER BY support DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}
+"""

@@ -57,6 +57,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_incremental_lsh_pairs": QuerySpec(dedup.docs_incremental_lsh_pairs, dedup.DOCS_INCREMENTAL_LSH_SQL),
     # KeyedDedupSink's per-batch fold algebra vs one-shot first-arrival
     "streaming_dedup_first_event": QuerySpec(sdedup.streaming_dedup_first_event, sdedup.STREAMING_DEDUP_FIRST_SQL),
+    # round-5 breadth: corpus quality / curation / retrieval eval
+    "docs_repetition_report": QuerySpec(text.docs_repetition_report, text.DOCS_REPETITION_SQL),
+    "docs_dsir_weights": QuerySpec(sampling.docs_dsir_weights, sampling.DOCS_DSIR_SQL),
+    "orders_basket_affinity": QuerySpec(analytics.orders_basket_affinity, analytics.ORDERS_BASKET_SQL),
+    "emb_matryoshka_recall": QuerySpec(similarity.emb_matryoshka_recall, similarity.EMB_MATRYOSHKA_RECALL_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
