@@ -93,6 +93,11 @@ HEADLINE = [
     # round-5 flagships
     "docs_incremental_lsh_pairs",
     "streaming_dedup_first_event",
+    "docs_repetition_report",
+    "docs_dsir_weights",
+    "orders_basket_affinity",
+    "emb_matryoshka_recall",
+    "emb_hier_assign",
 ]
 
 

@@ -1223,6 +1223,21 @@ def _semdedup_centroids(spark: SparkSession, sf_dir: str,
     return cent
 
 
+def _cent_arrays(cent: DataFrame) -> DataFrame:
+    """Centroid table folded to ARRAY form for broadcast assigns: per
+    cid its 64-slot sq vector (collect_list bounded by the dimension
+    count, not by data), member count n, and Σsq² in decimal."""
+    return (cent.groupBy("cid")
+                .agg(F.max("n").alias("n"),
+                     F.array_sort(F.collect_list(F.struct("dim", "sq")))
+                      .alias("ds"),
+                     F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq"))
+                      .alias("b2"))
+                .select("cid", "n",
+                        F.transform("ds", lambda s: s["sq"]).alias("sqv"),
+                        "b2"))
+
+
 def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
                        iters: int = 3) -> DataFrame:
@@ -1250,18 +1265,7 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     bit-for-bit. Returns one row per corpus member: (id, cluster,
     pruned)."""
     cent = _semdedup_centroids(spark, sf_dir, iters)
-    # Centroid table folded to ARRAY form for the broadcast assign:
-    # per cid its 64-slot sq vector (collect_list bounded by the
-    # dimension count, not by data), member count n, and Σsq².
-    carr = (cent.groupBy("cid")
-                .agg(F.max("n").alias("n"),
-                     F.array_sort(F.collect_list(F.struct("dim", "sq")))
-                      .alias("ds"),
-                     F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq"))
-                      .alias("b2"))
-                .select("cid", "n",
-                        F.transform("ds", lambda s: s["sq"]).alias("sqv"),
-                        "b2"))
+    carr = _cent_arrays(cent)
 
     # Assign EVERY member (base + mutants) by exact rational argmin,
     # computed as broadcast array arithmetic instead of the exploded
@@ -1771,4 +1775,161 @@ SELECT e.qid, COALESCE(h.n_hits, 0) AS n_hits,
          AS recall_at_k
 FROM exact e LEFT JOIN hits h ON e.qid = h.qid
 GROUP BY e.qid, h.n_hits
+"""
+
+
+HIER_SUPER_FLOOR = 4
+
+
+def emb_hier_assign(spark: SparkSession, sf_dir: str,
+                    iters: int = 3) -> DataFrame:
+    """Two-level (hierarchical) coarse quantization — the documented
+    escape for the flat N·k assign that remains emb_semdedup_prune's
+    one super-linear term: route each vector through k1 = isqrt(k)
+    SUPER-centroids first, then argmin only over the children of its
+    super-cell. Assign cost drops from N·k to N·(k1 + k/k1) ≈ N·2√k —
+    the inverted-multi-index / two-level-IVF shape every billion-vector
+    ANN system uses (FAISS IVF with IMI coarse layer).
+
+    Construction, all exact rational arithmetic so the DuckDB twin is
+    bit-identical: children = the SemDeDup quantizer's k centroids
+    (train-once, sampled); supers = the k1 children with smallest cid
+    (singleton promotion, no second training loop — documented
+    simplification); each child maps to its nearest super by the
+    rational mean-to-mean distance Σ(sqc·ns − sqs·nc)²/(nc²ns²); each
+    vector maps to its nearest super (k1 comparisons), then to the
+    nearest child WITHIN that super-cell. The assignment is an
+    approximation of the flat argmin by design — the oracle verifies
+    the exact same two-stage rule.
+
+    Returns (vec_id, super_cid, cid, routed) where routed is the
+    number of children scanned in stage 2 (the cost the hierarchy
+    saves; Σrouted ≈ N·k/k1 vs N·k flat)."""
+    n = table(spark, sf_dir, "embeddings").count()
+    k, _t = _semdedup_params(n)
+    k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
+    carr = _cent_arrays(_semdedup_centroids(spark, sf_dir, iters))
+    sarr = (carr.orderBy("cid").limit(k1)
+                .select(F.col("cid").alias("scid"),
+                        F.col("n").alias("ns"),
+                        F.col("sqv").alias("sqs"),
+                        F.col("b2").alias("b2s")))
+
+    # child -> super: k x k1 rational mean-to-mean distances (tiny).
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cs_num = F.aggregate(
+        F.zip_with(F.col("sqv"), F.col("sqs"),
+                   lambda a, b: d38(a * F.col("ns") - b * F.col("n"))
+                   * (a * F.col("ns") - b * F.col("n"))),
+        F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)
+    cs_dist = (cs_num.cast("double")
+               / (F.col("n") * F.col("n")).cast("double")
+               / (F.col("ns") * F.col("ns")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    child_super = (carr.crossJoin(F.broadcast(sarr))
+                       .select("cid", "scid", cs_dist.alias("d2"))
+                       .groupBy("cid")
+                       .agg(F.min(F.struct("d2", "scid")).alias("b"))
+                       .select("cid", F.col("b.scid").alias("scid")))
+
+    # vector -> super: N x k1 broadcast array pass (expanded square,
+    # exact integers — see emb_semdedup_prune's assign note).
+    e = table(spark, sf_dir, "embeddings")
+    c = e.select(F.col("vec_id").alias("id"),
+                 quantize(F.col("embedding")).alias("q"))
+    c = c.withColumn("n2", dot_q(F.col("q"), F.col("q")))
+    vs_num = (d38(F.col("ns") * F.col("ns")) * F.col("n2")
+              - d38(F.lit(2) * F.col("ns"))
+                * dot_q(F.col("q"), F.col("sqs"))
+              + F.col("b2s"))
+    vs_dist = (vs_num.cast("double")
+               / (F.col("ns") * F.col("ns")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    vec_super = (c.crossJoin(F.broadcast(sarr))
+                  .select("id", "scid", vs_dist.alias("d2"))
+                  .groupBy("id")
+                  .agg(F.min(F.struct("d2", "scid")).alias("b"))
+                  .select("id", F.col("b.scid").alias("scid")))
+
+    # vector -> child WITHIN its super-cell: join on scid fans each
+    # vector out to only its cell's children (~k/k1 rows), not all k.
+    cell_children = (carr.join(child_super, "cid")
+                         .select("scid", "cid", "n", "sqv", "b2"))
+    vc_num = (d38(F.col("n") * F.col("n")) * F.col("n2")
+              - d38(F.lit(2) * F.col("n"))
+                * dot_q(F.col("q"), F.col("sqv"))
+              + F.col("b2"))
+    vc_dist = (vc_num.cast("double")
+               / (F.col("n") * F.col("n")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    routed = (c.join(vec_super, "id")
+               .join(F.broadcast(cell_children), "scid")
+               .select("id", "scid", "cid", vc_dist.alias("d2")))
+    return (routed.groupBy("id", "scid")
+                  .agg(F.min(F.struct("d2", "cid")).alias("b"),
+                       F.count(F.lit(1)).alias("routed"))
+                  .select(F.col("id").alias("vec_id"),
+                          F.col("scid").alias("super_cid"),
+                          F.col("b.cid").alias("cid"), "routed"))
+
+
+EMB_HIER_ASSIGN_SQL = _semdedup_kmeans_cte_dyn() + f"""
+, par2 AS (
+  SELECT k, t, GREATEST({HIER_SUPER_FLOOR},
+                        CAST(FLOOR(SQRT(k)) AS BIGINT)) AS k1
+  FROM par
+), chrank AS (
+  SELECT cid, DENSE_RANK() OVER (ORDER BY cid ASC) AS r
+  FROM (SELECT DISTINCT cid FROM c3)
+), sup AS (
+  SELECT c3.cid, c3.dim, c3.n, c3.sq
+  FROM c3 JOIN chrank ON c3.cid = chrank.cid, par2
+  WHERE chrank.r <= par2.k1
+), csd AS (
+  SELECT c.cid, s.cid AS scid,
+         CAST(SUM(CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)
+                * CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE)
+           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
+  FROM c3 c JOIN sup s ON c.dim = s.dim
+  GROUP BY c.cid, s.cid
+), child_super AS (
+  SELECT cid, scid
+  FROM (SELECT cid, scid,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY d2 ASC, scid ASC) AS rn
+        FROM csd)
+  WHERE rn = 1
+), vsd AS (
+  SELECT ex.vec_id, s.cid AS scid,
+         CAST(SUM(CAST(ex.xq*s.n - s.sq AS HUGEINT)
+                * CAST(ex.xq*s.n - s.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
+  FROM ex JOIN sup s ON ex.dim = s.dim
+  GROUP BY ex.vec_id, s.cid
+), vec_super AS (
+  SELECT vec_id, scid
+  FROM (SELECT vec_id, scid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, scid ASC) AS rn
+        FROM vsd)
+  WHERE rn = 1
+), vcd AS (
+  SELECT ex.vec_id, vs.scid, c.cid,
+         CAST(SUM(CAST(ex.xq*c.n - c.sq AS HUGEINT)
+                * CAST(ex.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS d2
+  FROM ex
+  JOIN vec_super vs ON vs.vec_id = ex.vec_id
+  JOIN child_super ch ON ch.scid = vs.scid
+  JOIN c3 c ON c.cid = ch.cid AND c.dim = ex.dim
+  GROUP BY ex.vec_id, vs.scid, c.cid
+)
+SELECT vec_id, scid AS super_cid, cid, routed
+FROM (SELECT vec_id, scid, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY vec_id, scid) AS routed
+      FROM vcd)
+WHERE rn = 1
 """

@@ -62,6 +62,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_dsir_weights": QuerySpec(sampling.docs_dsir_weights, sampling.DOCS_DSIR_SQL),
     "orders_basket_affinity": QuerySpec(analytics.orders_basket_affinity, analytics.ORDERS_BASKET_SQL),
     "emb_matryoshka_recall": QuerySpec(similarity.emb_matryoshka_recall, similarity.EMB_MATRYOSHKA_RECALL_SQL),
+    # two-level coarse quantizer (the flat-assign escape at 10^7+ vecs)
+    "emb_hier_assign": QuerySpec(similarity.emb_hier_assign, similarity.EMB_HIER_ASSIGN_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

@@ -153,3 +153,50 @@ def test_range_search_matches_are_symmetric_and_thresholded(spark, sf_dir):
         assert r.match_id != r.qid
     # mutant of query id 0 (planted at 100000) must be in range of qid 0
     assert any(r.qid == 0 and r.match_id == 100000 for r in rows)
+
+
+def test_hier_assign_routes_fraction_and_mostly_agrees_with_flat(spark, sf_dir):
+    """Two-level assign scans only its super-cell's children (routed < k)
+    and agrees with the flat argmin for most vectors (it is an
+    approximation by design; on this corpus the coarse router rarely
+    misroutes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.catalog import table
+    from postgres_es_cdc_spark.llm.similarity import (
+        _cent_arrays, _semdedup_centroids, _semdedup_params,
+        emb_hier_assign)
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k, _ = _semdedup_params(n)
+    hier = emb_hier_assign(spark, sf_dir)
+    rows = hier.collect()
+    assert len(rows) == n
+    assert all(r.routed <= k for r in rows)
+    # hierarchy must actually prune: average routed well below k
+    avg_routed = sum(r.routed for r in rows) / len(rows)
+    assert avg_routed < k
+    # agreement with flat argmin on a majority of vectors
+    cent = _cent_arrays(_semdedup_centroids(spark, sf_dir))
+    from postgres_es_cdc_spark.llm.similarity import (
+        Q_SCALE, dot_q, quantize)
+    e = table(spark, sf_dir, "embeddings")
+    c = (e.select(F.col("vec_id").alias("id"),
+                  quantize(F.col("embedding")).alias("q"))
+          .withColumn("n2", dot_q(F.col("q"), F.col("q"))))
+    num = (F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n2")
+           - (F.lit(2) * F.col("n")).cast("decimal(38,0)")
+             * dot_q(F.col("q"), F.col("sqv"))
+           + F.col("b2"))
+    dist2 = (num.cast("double")
+             / (F.col("n") * F.col("n")).cast("double")
+             / F.lit(float(Q_SCALE) ** 2))
+    flat = (c.crossJoin(F.broadcast(cent))
+             .select("id", "cid", dist2.alias("d2"))
+             .groupBy("id").agg(F.min(F.struct("d2", "cid")).alias("b"))
+             .select("id", F.col("b.cid").alias("flat_cid")))
+    agree = (hier.join(flat, hier["vec_id"] == flat["id"])
+                 .filter(F.col("cid") == F.col("flat_cid")).count())
+    assert agree / n > 0.5

@@ -49,6 +49,11 @@ SWEEP = [
     "docs_minhash_lsh_pairs",
     "docs_incremental_lsh_pairs",
     "dedup_bucket_overflow_report",
+    "docs_repetition_report",
+    "docs_dsir_weights",
+    "orders_basket_affinity",
+    "emb_matryoshka_recall",
+    "emb_hier_assign",
 ]
 
 
