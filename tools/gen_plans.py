@@ -139,8 +139,33 @@ PICKS = {
     "docs_pmi_collocations":
         "PMI: word-count MapReduce (explode + two partial-agg "
         "groupBys); the detlog ln chain is pure codegen on the "
-        "vocabulary²-bounded collocation table; top-k is one window on "
-        "that small frame.",
+        "vocabulary²-bounded collocation table; top-k plans as "
+        "TakeOrderedAndProject (round-5 fix: the rank window now sees "
+        "only `top` rows, never the full collocation table).",
+    "docs_zipf_slope":
+        "Zipf: the round-5 scale-safe rank — repartitionByRange on the "
+        "rank order, per-partition row_number, broadcast cumulative "
+        "offsets from a P-row window; NO single-partition window over "
+        "the vocabulary; the regression folds to one row of exact "
+        "decimal counters.",
+    "docs_incremental_lsh_pairs":
+        "Incremental dedup: the store side is the memoized banding "
+        "materialization (Scan ExistingRDD, no text re-read); one "
+        "bucket-grouped pass emits only newxold and newxnew pairs — "
+        "oldxold never materializes.",
+    "emb_hier_assign":
+        "Two-level assign: both routing stages are broadcast array "
+        "passes (k1-row and cell-children build sides); the per-vector "
+        "fan-out is k1 + k/k1 rows, never k — the flat-assign escape, "
+        "measured in SCALE.md.",
+    "docs_dsir_weights":
+        "DSIR: two hashed-bucket word-count MapReduces fold to a "
+        "<=1024-row feature table that BROADCASTS into the per-token "
+        "scoring join; detlog ln runs once per feature, not per token.",
+    "orders_basket_affinity":
+        "Basket pairs: the self-join key is the order (basket size "
+        "bounds the blow-up); support filtering happens inside the "
+        "partial-aggregable pair count; final ranking is TakeOrdered.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
