@@ -98,6 +98,12 @@ HEADLINE = [
     "orders_basket_affinity",
     "emb_matryoshka_recall",
     "emb_hier_assign",
+    "emb_ivf_recall",
+    "events_path_mining",
+    "events_anomaly_zscore",
+    "docs_cluster_size_histogram",
+    "docs_ngram_coverage",
+    "cdc_txn_size_histogram",
 ]
 
 

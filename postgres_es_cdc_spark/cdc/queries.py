@@ -317,3 +317,38 @@ SELECT 'orders' AS tableName, op AS operationType,
 FROM ev
 GROUP BY op
 """
+
+
+def cdc_txn_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC observability: distribution of events-per-transaction over
+    the synthesized stream (txn = offset div 10, i.e. one transaction
+    per order key) — the monitoring table a pipeline watches for
+    oversized transactions that would stall a transaction-atomic sink.
+
+    The oracle is NOT a re-fold: it derives each key's event count
+    directly from the closed-form event plan (generate.py module doc),
+    so any drift between the generator and its documented plan breaks
+    the hash. Scale: one partial-aggregable count per txn key, then a
+    histogram over the tiny size domain."""
+    ev = orders_cdc_events(spark, sf_dir)
+    per_txn = (ev.withColumn("txn", F.expr("offset div 10"))
+                 .groupBy("txn").agg(F.count(F.lit(1)).alias("n")))
+    return (per_txn.groupBy(F.col("n").alias("txn_size"))
+                   .agg(F.count(F.lit(1)).alias("n_txns"))
+                   .orderBy("txn_size"))
+
+
+CDC_TXN_SIZE_HIST_SQL = """
+WITH sz AS (
+  SELECT 1
+       + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 2 = 1
+              THEN 1 ELSE 0 END
+       + CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END AS n
+  FROM orders
+)
+SELECT n AS txn_size, COUNT(*) AS n_txns FROM sz GROUP BY 1
+"""

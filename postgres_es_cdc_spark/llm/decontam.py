@@ -90,3 +90,60 @@ SELECT c.doc_id, COUNT(*) AS n_shared_grams
 FROM corpus c JOIN bench b USING (g)
 GROUP BY c.doc_id
 """
+
+
+def docs_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark leakage report — the inverse view of
+    docs_decontaminate: per BENCHMARK document, how much of it already
+    appears in the training corpus (fraction of its distinct 5-grams
+    found anywhere in the mutant corpus). Eval teams read this before
+    trusting a benchmark score; 1.0 means the item is fully memorizable
+    from training data.
+
+    Scale shape: the corpus side never shuffles its grams — it joins
+    the BROADCAST distinct benchmark-gram set and only matched hashes
+    (bounded by the benchmark size) come back; per-benchmark-doc
+    coverage is then a small join of bench grams vs the found set."""
+    bench_grams = (table(spark, sf_dir, "documents")
+                   .filter(F.col("doc_id") % BENCH_MOD == 0)
+                   .select("doc_id",
+                           F.explode(gram5_hashes(F.col("text")))
+                            .alias("g")))
+    bench_set = bench_grams.select("g").distinct()
+    corpus = scan_parallel(spark, mutated_corpus(spark, sf_dir)
+                           .filter(F.col("doc_id") >= 1000000))
+    found = (corpus.select(F.explode(gram5_hashes(F.col("text")))
+                            .alias("g"))
+                   .join(F.broadcast(bench_set), "g")
+                   .distinct()
+                   .withColumn("_hit", F.lit(1)))
+    return (bench_grams.join(found, "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_covered"))
+            .select("doc_id", "n_grams", "n_covered",
+                    (F.col("n_covered").cast("double")
+                     / F.col("n_grams").cast("double")).alias("coverage")))
+
+
+DOCS_NGRAM_COVERAGE_SQL = f"""
+WITH bench_grams AS (
+  SELECT doc_id, g
+  FROM documents, UNNEST({_G5_DOC}) AS t(g)
+  WHERE doc_id % {BENCH_MOD} = 0
+),
+found AS (
+  SELECT DISTINCT c.g
+  FROM (SELECT doc_id, text FROM ({_MUTATED_SQL}) WHERE doc_id >= 1000000) m,
+       UNNEST({GRAM5_SQL.format(toks=TOKENS_SQL.format(col='m.text'))}) AS c(g)
+  WHERE c.g IN (SELECT g FROM bench_grams)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM bench_grams b LEFT JOIN found f ON b.g = f.g
+GROUP BY b.doc_id
+"""

@@ -1284,3 +1284,38 @@ SELECT CASE WHEN rn = 1 THEN 'kept' ELSE 'pruned' END AS status,
        CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1.0E6 AS avg_quality
 FROM m GROUP BY 1
 """)
+
+
+def docs_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: log2 histogram of near-dup cluster sizes
+    (clusters from the memoized label-propagation run) — the shape
+    report a curation pipeline checks before pruning: a heavy tail here
+    means boilerplate families, a spike at 2 means simple mirrors.
+    Composes docs_dedup_clusters; the histogram bucket is
+    length(bin(size)) (integer bit-length, portable).
+
+    Scale: runs on the cluster table (one row per cluster), output
+    O(log max_size) rows."""
+    cl = docs_dedup_clusters(spark, sf_dir)
+    return (cl.select(F.expr("CAST(length(bin(cluster_size)) AS INT)")
+                       .alias("bucket"),
+                      "cluster_size")
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n_clusters"),
+                   F.sum("cluster_size").alias("n_members"),
+                   F.min("cluster_size").alias("min_size"),
+                   F.max("cluster_size").alias("max_size")))
+
+
+DOCS_CLUSTER_SIZE_HIST_SQL = (
+    _CLUSTERS_CTE_SQL
+    + """, cl AS (
+  SELECT label, COUNT(*) AS cluster_size FROM l5 GROUP BY label
+)
+SELECT CAST(length(bin(cluster_size)) AS INT) AS bucket,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_members,
+       MIN(cluster_size) AS min_size, MAX(cluster_size) AS max_size
+FROM cl GROUP BY 1
+"""
+)

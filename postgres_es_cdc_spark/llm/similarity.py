@@ -1933,3 +1933,77 @@ FROM (SELECT vec_id, scid, cid,
       FROM vcd)
 WHERE rn = 1
 """
+
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str,
+                   k: int = IVF_K, n_queries: int = IVF_QUERIES,
+                   nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF retrieval QUALITY evaluation: per query, recall@k of the
+    trained probe-limited search (emb_ivf_trained_topk) against the
+    exact brute-force top-k — the accuracy/cost curve point every ANN
+    deployment records next to its nprobe setting. Completes the eval
+    suite: emb_label_knn_accuracy (embedding quality),
+    emb_matryoshka_recall (prefix quality), THIS (index quality).
+
+    Scale shape: the IVF side reuses the train-once quantizer and
+    probe-limited candidate scan; the exact side is one broadcast-query
+    corpus pass with per-query bounded top-k windows; recall compares
+    two k-row sets per query. Integer distances, id tie-breaks."""
+    ivf = (emb_ivf_trained_topk(spark, sf_dir, k, n_queries, nprobe)
+           .select("qid", "cand"))
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
+    c = e.select(F.col("vec_id").alias("cand"),
+                 quantize(F.col("embedding")).alias("cq"))
+    full = (F.broadcast(q).crossJoin(c)
+             .filter(F.col("qid") != F.col("cand"))
+             .select("qid", "cand",
+                     l2sq_q(F.col("qq"), F.col("cq")).alias("d")))
+    wq = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cand"))
+    exact = (full.withColumn("rn", F.row_number().over(wq))
+                 .filter(F.col("rn") <= k).select("qid", "cand"))
+    hits = (exact.join(ivf, ["qid", "cand"])
+                 .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (exact.groupBy("qid").agg(F.count(F.lit(1)).alias("kk"))
+                 .join(hits, "qid", "left")
+                 .select("qid",
+                         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("kk").cast("double")).alias("recall_at_k")))
+
+
+EMB_IVF_RECALL_SQL_TMPL = f"""
+WITH ivf AS ({{ivf_sql}}),
+q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {IVF_QUERIES}),
+c AS (SELECT vec_id AS cand, embedding AS c_emb FROM embeddings),
+full_d AS (
+  SELECT q.qid, c.cand,
+         CAST(SUM(({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})
+                * ({_XQ.format(v='q_emb')} - {_XQ.format(v='c_emb')})) AS BIGINT) AS d
+  FROM q, c, generate_series(1, 64) i(i)
+  WHERE q.qid != c.cand
+  GROUP BY q.qid, c.cand
+),
+exact AS (
+  SELECT qid, cand
+  FROM (SELECT qid, cand,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cand ASC) AS rn
+        FROM full_d)
+  WHERE rn <= {IVF_K}
+),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n_hits
+  FROM exact e JOIN ivf ON ivf.qid = e.qid AND ivf.cand = e.cand
+  GROUP BY e.qid
+)
+SELECT e.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_k
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid, h.n_hits
+"""
+
+EMB_IVF_RECALL_SQL = EMB_IVF_RECALL_SQL_TMPL.format(ivf_sql=EMB_IVF_TRAINED_SQL)
+

@@ -892,3 +892,121 @@ JOIN freq fb ON fb.l_partkey = part_b
 ORDER BY support DESC, part_a ASC, part_b ASC
 LIMIT {BASKET_TOP}
 """
+
+
+PATH_LEN_TOP = 15
+
+
+def events_path_mining(spark: SparkSession, sf_dir: str,
+                       top: int = PATH_LEN_TOP) -> DataFrame:
+    """Top 3-step behavioral paths: the most frequent consecutive
+    (e1 -> e2 -> e3) event-type sequences across all user timelines —
+    the k=3 extension of events_type_transitions and the table behind
+    "what do users do next" funnel exploration.
+
+    Exactness: ordering is the total order (ts_us, event_id); counting
+    and ranking are exact. Scale: one user-keyed shuffle for the two
+    lead windows (same Exchange — both windows share the partition/
+    order spec), then a map-side-combinable count on the |types|³ key
+    space and a TakeOrdered top-k."""
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (e.select("user_id", "event_type", "ts_us", "event_id")
+          .withColumn("e2", F.lead("event_type", 1).over(w))
+          .withColumn("e3", F.lead("event_type", 2).over(w))
+          .filter(F.col("e3").isNotNull()))
+    paths = (t.groupBy(F.col("event_type").alias("e1"), "e2", "e3")
+              .agg(F.count(F.lit(1)).alias("n")))
+    topk = paths.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"),
+                         F.asc("e3")).limit(top)
+    wr = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (topk.withColumn("rank", F.row_number().over(wr))
+                .select("rank", "e1", "e2", "e3", "n"))
+
+
+EVENTS_PATH_MINING_SQL = f"""
+WITH t AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT e1, e2, e3, COUNT(*) AS n FROM t
+  WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC) AS rank,
+       e1, e2, e3, n
+FROM paths
+ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+LIMIT {PATH_LEN_TOP}
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly traffic anomaly scores: each (date, hour) bucket's event
+    count z-scored against the per-(day-of-week, hour) seasonal
+    baseline — the standard ops-dashboard anomaly pass layered on the
+    events_hourly_seasonality profile.
+
+    Exactness: counts and their sums of squares are exact integers; the
+    baseline mean/variance and the z-score are a FIXED sequence of
+    IEEE double ops (two divisions, one sqrt) identical in both
+    engines. Scale: one partial-aggregable hourly rollup, a 168-row
+    baseline aggregate broadcast back, arithmetic in codegen."""
+    e = events_table(spark, sf_dir)
+    hourly = (e.select(
+                  F.expr("CAST(ts_us div 86400000000 AS INT)").alias("day"),
+                  F.expr("CAST((ts_us div 3600000000) % 24 AS INT)")
+                   .alias("hour"))
+               .groupBy("day", "hour")
+               .agg(F.count(F.lit(1)).alias("c")))
+    hourly = hourly.withColumn(
+        "dow", F.expr("CAST((day + 4) % 7 AS INT)"))
+    base = (hourly.groupBy("dow", "hour")
+                  .agg(F.count(F.lit(1)).alias("nb"),
+                       F.sum("c").alias("sc"),
+                       F.sum(F.col("c") * F.col("c")).alias("scc")))
+    mu = F.col("sc").cast("double") / F.col("nb").cast("double")
+    var = ((F.col("nb") * F.col("scc") - F.col("sc") * F.col("sc"))
+           .cast("double")
+           / (F.col("nb") * F.col("nb")).cast("double"))
+    sd = F.sqrt(var)
+    z = (F.col("c").cast("double") - mu) / sd
+    return (hourly.join(F.broadcast(base), ["dow", "hour"])
+                  .filter(F.col("nb") >= 2)
+                  .select("day", "dow", "hour", "c",
+                          mu.alias("baseline_mean"), sd.alias("baseline_sd"),
+                          F.when(sd > 0, z).alias("zscore")))
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+h2 AS (SELECT day, hour, c, CAST((day + 4) % 7 AS INT) AS dow FROM hourly),
+base AS (
+  SELECT dow, hour, COUNT(*) AS nb,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM h2 GROUP BY 1, 2
+)
+SELECT h2.day, h2.dow, h2.hour, h2.c,
+       CAST(sc AS DOUBLE) / CAST(nb AS DOUBLE) AS baseline_mean,
+       SQRT(CAST(nb * scc - sc * sc AS DOUBLE)
+            / CAST(nb * nb AS DOUBLE)) AS baseline_sd,
+       CASE WHEN SQRT(CAST(nb * scc - sc * sc AS DOUBLE)
+                      / CAST(nb * nb AS DOUBLE)) > 0
+            THEN (CAST(h2.c AS DOUBLE)
+                  - CAST(sc AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT(CAST(nb * scc - sc * sc AS DOUBLE)
+                        / CAST(nb * nb AS DOUBLE))
+            END AS zscore
+FROM h2 JOIN base ON h2.dow = base.dow AND h2.hour = base.hour
+WHERE nb >= 2
+"""

@@ -64,6 +64,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_matryoshka_recall": QuerySpec(similarity.emb_matryoshka_recall, similarity.EMB_MATRYOSHKA_RECALL_SQL),
     # two-level coarse quantizer (the flat-assign escape at 10^7+ vecs)
     "emb_hier_assign": QuerySpec(similarity.emb_hier_assign, similarity.EMB_HIER_ASSIGN_SQL),
+    # round-5 breadth b2: eval, observability, behavioral analytics
+    "emb_ivf_recall": QuerySpec(similarity.emb_ivf_recall, similarity.EMB_IVF_RECALL_SQL),
+    "events_path_mining": QuerySpec(analytics.events_path_mining, analytics.EVENTS_PATH_MINING_SQL),
+    "events_anomaly_zscore": QuerySpec(analytics.events_anomaly_zscore, analytics.EVENTS_ANOMALY_SQL),
+    "docs_cluster_size_histogram": QuerySpec(dedup.docs_cluster_size_histogram, dedup.DOCS_CLUSTER_SIZE_HIST_SQL),
+    "docs_ngram_coverage": QuerySpec(decontam.docs_ngram_coverage, decontam.DOCS_NGRAM_COVERAGE_SQL),
+    "cdc_txn_size_histogram": QuerySpec(cdcq.cdc_txn_size_histogram, cdcq.CDC_TXN_SIZE_HIST_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
