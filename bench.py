@@ -104,6 +104,8 @@ HEADLINE = [
     "docs_cluster_size_histogram",
     "docs_ngram_coverage",
     "cdc_txn_size_histogram",
+    "docs_quality_filter_funnel",
+    "part_supplier_hhi",
 ]
 
 

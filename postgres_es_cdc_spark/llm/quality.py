@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
-from postgres_es_cdc_spark.llm.text import TOKENS_SQL, tokens
+from postgres_es_cdc_spark.llm.text import (
+    _STOP_SQL, TOKENS_SQL, quality_expr, tokens)
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
 MIN_WORDS, MAX_WORDS = 10, 100000
@@ -399,4 +400,117 @@ SELECT source, COUNT(*) AS n_docs,
          / COUNT(*) AS share_hi_quality
 FROM per_doc
 GROUP BY source
+"""
+
+
+FUNNEL_MIN_QUALITY = 0.5
+FUNNEL_MAX_DUP_FRACTION = 0.2
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 1000
+
+
+def docs_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: how many documents (and tokens) survive
+    each successive filter stage — the attrition table every pretraining
+    data card publishes (raw -> quality -> repetition -> length). Each
+    stage's predicate CONJOINS with the previous, so the counts are
+    monotone non-increasing; a stage that suddenly drops 90% flags a
+    miscalibrated threshold before any expensive dedup runs.
+
+    Stages: 0 raw corpus; 1 quality score >= 0.5 (docs_quality_score's
+    expression); 2 AND duplicate-bigram fraction <= 0.2 (the Gopher
+    repetition rule of docs_repetition_report); 3 AND token count in
+    [20, 1000].
+
+    Scale shape: ONE scan computes all stage predicates per row (pure
+    codegen expressions — the bigram stats via a higher-order array
+    fold, no explode), then a single partial-aggregable conditional-sum
+    pass emits the 4-row funnel. No joins, no windows."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    t2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    bg = F.slice(F.zip_with(toks, t2,
+                            lambda x, y: F.concat(x, F.lit(" "), y)),
+                 1, F.greatest(n - 1, F.lit(0)))
+    # duplicate-bigram occurrence fraction without explode: occurrences
+    # whose bigram appears >= 2 times in the doc, via a per-element
+    # count filter (array_size of matches) — O(m²) per doc on the
+    # in-memory array, fine for document-sized m.
+    dup_occ = F.size(F.filter(
+        bg, lambda x: F.size(F.filter(bg, lambda y: y == x)) >= 2))
+    q = quality_expr(F.col("text"))
+    s1 = q >= F.lit(FUNNEL_MIN_QUALITY)
+    s2 = s1 & (dup_occ.cast("double") / F.size(bg)
+               <= F.lit(FUNNEL_MAX_DUP_FRACTION))
+    s3 = (s2 & (n >= FUNNEL_MIN_TOKENS) & (n <= FUNNEL_MAX_TOKENS))
+    flagged = d.select(n.alias("n_tokens"), s1.alias("s1"),
+                       s2.alias("s2"), s3.alias("s3"))
+    longsum = lambda c: F.sum(F.when(c, F.col("n_tokens"))  # noqa: E731
+                               .otherwise(F.lit(0))).cast("long")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"), longsum(F.col("s1")).alias("t1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"), longsum(F.col("s2")).alias("t2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"), longsum(F.col("s3")).alias("t3"))
+    stages = F.array(*[
+        F.struct(F.lit(i).alias("stage"), F.lit(lbl).alias("filter_name"),
+                 F.col(f"n{i}").alias("n_docs"),
+                 F.col(f"t{i}").alias("n_tokens"))
+        for i, lbl in enumerate(
+            ["raw", "quality>=0.5", "+dup_bigrams<=0.2",
+             "+len_20_1000"])
+    ])
+    return (agg.select(F.explode(stages).alias("s"))
+               .select("s.stage", "s.filter_name", "s.n_docs",
+                       "s.n_tokens"))
+
+
+DOCS_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+         0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+       + 0.3 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * LEAST(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                          AS DOUBLE) / len(toks) * 5.0, 1.0) AS q
+  FROM t
+),
+f AS (
+  SELECT n_tokens,
+         q >= {FUNNEL_MIN_QUALITY} AS s1,
+         q >= {FUNNEL_MIN_QUALITY}
+           AND CAST(len(list_filter(bg,
+                 x -> len(list_filter(bg, y -> y = x)) >= 2)) AS DOUBLE)
+               / len(bg) <= {FUNNEL_MAX_DUP_FRACTION} AS s2
+  FROM m
+),
+f2 AS (
+  SELECT n_tokens, s1, s2,
+         s2 AND n_tokens >= {FUNNEL_MIN_TOKENS}
+            AND n_tokens <= {FUNNEL_MAX_TOKENS} AS s3
+  FROM f
+),
+agg AS (
+  SELECT COUNT(*) AS n0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+  FROM f2
+)
+SELECT 0 AS stage, 'raw' AS filter_name, n0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL
+SELECT 1, 'quality>=0.5', n1, t1 FROM agg
+UNION ALL
+SELECT 2, '+dup_bigrams<=0.2', n2, t2 FROM agg
+UNION ALL
+SELECT 3, '+len_20_1000', n3, t3 FROM agg
 """

@@ -1010,3 +1010,50 @@ SELECT h2.day, h2.dow, h2.hour, h2.c,
 FROM h2 JOIN base ON h2.dow = base.dow AND h2.hour = base.hour
 WHERE nb >= 2
 """
+
+
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part: the Herfindahl-Hirschman index
+    of supplier revenue shares (HHI = Σ share² × 10000, the antitrust
+    statistic) plus supplier count and total revenue — the
+    supply-chain-risk rollup that flags single-sourced parts.
+
+    Exactness: revenue stays integer cents; HHI is computed as
+    (Σ rev_s²) / (Σ rev_s)² — ONE double division of two exact decimal
+    aggregates, so no order-dependent float summation anywhere.
+    Scale: two partial-aggregable rollups (lineitem -> (part, supplier)
+    -> part); no windows, no joins."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0).cast("long").alias("cents"))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("cents").alias("rev")))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (ps.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                   F.sum("rev").alias("total_cents"),
+                   F.sum(d38(F.col("rev")) * F.col("rev")).alias("ss"))
+              .select("l_partkey", "n_suppliers",
+                      F.col("total_cents").cast("long").alias("total_cents"),
+                      (F.col("ss").cast("double")
+                       / (d38(F.col("total_cents"))
+                          * F.col("total_cents")).cast("double")
+                       * F.lit(10000.0)).alias("hhi")))
+
+
+PART_SUPPLIER_HHI_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+         / CAST(CAST(SUM(rev) AS HUGEINT) * CAST(SUM(rev) AS BIGINT)
+                AS DOUBLE)
+         * 10000.0 AS hhi
+FROM ps GROUP BY l_partkey
+"""

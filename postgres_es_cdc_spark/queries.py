@@ -71,6 +71,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_cluster_size_histogram": QuerySpec(dedup.docs_cluster_size_histogram, dedup.DOCS_CLUSTER_SIZE_HIST_SQL),
     "docs_ngram_coverage": QuerySpec(decontam.docs_ngram_coverage, decontam.DOCS_NGRAM_COVERAGE_SQL),
     "cdc_txn_size_histogram": QuerySpec(cdcq.cdc_txn_size_histogram, cdcq.CDC_TXN_SIZE_HIST_SQL),
+    "docs_quality_filter_funnel": QuerySpec(quality.docs_quality_filter_funnel, quality.DOCS_FUNNEL_SQL),
+    "part_supplier_hhi": QuerySpec(analytics.part_supplier_hhi, analytics.PART_SUPPLIER_HHI_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

@@ -134,3 +134,44 @@ def test_supplier_lead_time_bounds(spark, sf_dir):
         assert r.n_lines >= 1
         assert r.avg_lead_days <= r.max_lead_days
         assert 0.0 <= r.share_within_30d <= 1.0
+
+
+def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
+    """DSIR sanity: documents in the target slice (lang='en') must
+    average a HIGHER importance log-weight than non-target docs — the
+    whole point of the tilt. (Values themselves are oracle-checked;
+    this pins the direction.)"""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.catalog import table
+    from postgres_es_cdc_spark.llm.sampling import docs_dsir_weights
+
+    w = docs_dsir_weights(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = w.join(d, "doc_id")
+    rows = (j.groupBy((F.col("lang") == "en").alias("is_target"))
+             .agg(F.avg("log_weight").alias("avg_w")).collect())
+    avg = {r.is_target: r.avg_w for r in rows}
+    assert set(avg) == {True, False}
+    assert avg[True] > avg[False]
+
+
+def test_anomaly_zscore_baseline_is_centered(spark, sf_dir):
+    """Within each (dow, hour) baseline group the z-scores must average
+    ~0 (the group's own mean is the baseline) and nothing may be NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.operators.analytics import (
+        events_anomaly_zscore)
+
+    z = events_anomaly_zscore(spark, sf_dir)
+    rows = (z.filter(F.col("zscore").isNotNull())
+             .groupBy("dow", "hour")
+             .agg(F.avg("zscore").alias("m"), F.count("*").alias("n"))
+             .collect())
+    assert rows
+    for r in rows:
+        assert not math.isnan(r.m)
+        assert abs(r.m) < 1e-9, (r.dow, r.hour, r.m)
