@@ -433,19 +433,27 @@ def docs_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = F.slice(F.zip_with(toks, t2,
                             lambda x, y: F.concat(x, F.lit(" "), y)),
                  1, F.greatest(n - 1, F.lit(0)))
+    # MATERIALIZE the bigram array in a child projection before the
+    # nested lambda reads it: an outer EXPRESSION inside a higher-order
+    # lambda is re-evaluated per element (shingles3's performance
+    # contract), which made the first cut O(m²) zip/slice CONSTRUCTIONS
+    # per doc (5.4s at sf0.1); an outer attribute reference is free.
+    base = d.select(n.alias("n_tokens"), bg.alias("bg"),
+                    quality_expr(F.col("text")).alias("q"))
     # duplicate-bigram occurrence fraction without explode: occurrences
     # whose bigram appears >= 2 times in the doc, via a per-element
-    # count filter (array_size of matches) — O(m²) per doc on the
-    # in-memory array, fine for document-sized m.
+    # count filter — O(m²) comparisons per doc on the in-memory array,
+    # fine for document-sized m.
     dup_occ = F.size(F.filter(
-        bg, lambda x: F.size(F.filter(bg, lambda y: y == x)) >= 2))
-    q = quality_expr(F.col("text"))
-    s1 = q >= F.lit(FUNNEL_MIN_QUALITY)
-    s2 = s1 & (dup_occ.cast("double") / F.size(bg)
+        F.col("bg"),
+        lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)) >= 2))
+    s1 = F.col("q") >= F.lit(FUNNEL_MIN_QUALITY)
+    s2 = s1 & (dup_occ.cast("double") / F.size(F.col("bg"))
                <= F.lit(FUNNEL_MAX_DUP_FRACTION))
-    s3 = (s2 & (n >= FUNNEL_MIN_TOKENS) & (n <= FUNNEL_MAX_TOKENS))
-    flagged = d.select(n.alias("n_tokens"), s1.alias("s1"),
-                       s2.alias("s2"), s3.alias("s3"))
+    s3 = (s2 & (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+          & (F.col("n_tokens") <= FUNNEL_MAX_TOKENS))
+    flagged = base.select("n_tokens", s1.alias("s1"),
+                          s2.alias("s2"), s3.alias("s3"))
     longsum = lambda c: F.sum(F.when(c, F.col("n_tokens"))  # noqa: E731
                                .otherwise(F.lit(0))).cast("long")
     agg = flagged.agg(

@@ -65,3 +65,24 @@ def test_sql_window_portable_same_text_both_engines(spark, sf_dir, duck):
                 sql_ansi_window_portable(spark, sf_dir), duck,
                 SQL_ANSI_WINDOW_PORTABLE)
     assert r.ok, r.message()
+
+
+def test_clear_stage_caches_releases_per_app_entries(spark, sf_dir):
+    """The shared memo registry drops per-applicationId entries (and
+    only those) so long-lived multi-corpus sessions can release pinned
+    checkpointed frames."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        _DEDUP_STAGE_CACHE, _memoized)
+    from postgres_es_cdc_spark.memo import clear_stage_caches
+
+    app = spark.sparkContext.applicationId
+    _memoized(spark, sf_dir, "_memo_test_stage",
+              lambda: spark.range(3).toDF("n"))
+    assert any(k[0] == app and k[-1] == "_memo_test_stage"
+               for k in _DEDUP_STAGE_CACHE)
+    _DEDUP_STAGE_CACHE[("other-app", sf_dir, "x")] = object()
+    n = clear_stage_caches(app)
+    assert n >= 1
+    assert not any(k[0] == app for k in _DEDUP_STAGE_CACHE)
+    assert ("other-app", sf_dir, "x") in _DEDUP_STAGE_CACHE
+    del _DEDUP_STAGE_CACHE[("other-app", sf_dir, "x")]

@@ -75,3 +75,45 @@ def test_aqe_splits_skewed_segment_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zipf_rank_has_no_single_partition_vocab_window(spark, sf_dir):
+    """Round-5 fix guard: docs_zipf_slope's rank must come from the
+    range-partitioned construction — the only SinglePartition window
+    allowed is the P-row offsets frame, never a sort of the full term
+    table. The plan must show a range exchange feeding a partitioned
+    window."""
+    from postgres_es_cdc_spark.llm.lm import docs_zipf_slope
+
+    plan = _plan(docs_zipf_slope(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    # The term-table row_number window must partition by pid — every
+    # row_number windowspec in the plan carries the pid partition
+    # column (an empty partition spec would be the global sort the fix
+    # removed). The remaining SinglePartition exchanges are the P-row
+    # offsets window and the 1-row regression fold, both data-size
+    # independent.
+    import re
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),",
+                          plan)
+    assert rn_specs, plan
+    assert all(s.strip().startswith("pid") for s in rn_specs), rn_specs
+
+
+def test_pmi_topk_is_take_ordered(spark, sf_dir):
+    """Round-5 fix guard: docs_pmi_collocations ranks only the
+    TakeOrdered top rows, never the full collocation table."""
+    from postgres_es_cdc_spark.llm.lm import docs_pmi_collocations
+
+    plan = _plan(docs_pmi_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_assign_is_broadcast_array_pass(spark, sf_dir):
+    """Round-5 fix guard: emb_semdedup_prune's assignment joins the
+    BROADCAST centroid-array table — no exploded (vector, dim) x
+    centroid shuffle join remains on the assign path."""
+    from postgres_es_cdc_spark.llm.similarity import emb_semdedup_prune
+
+    plan = _plan(emb_semdedup_prune(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

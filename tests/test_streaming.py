@@ -619,3 +619,22 @@ def test_keyed_dedup_sink_stream_matches_batch_first_arrival(spark, tmp_path):
     # seen store holds exactly the distinct keys
     assert (spark.read.parquet(str(tmp_path / "seen"))
                  .distinct().count() == 40)
+
+
+def test_keyed_dedup_sink_replay_after_commit_adds_nothing(spark, tmp_path):
+    """Crash-replay contract: re-applying an already-committed batch
+    (checkpoint lost after store merge) produces zero new survivors —
+    the seen-key store makes the fold idempotent."""
+    from postgres_es_cdc_spark.streaming.dedup import KeyedDedupSink
+
+    sink = KeyedDedupSink(out_path=str(tmp_path / "out"),
+                          seen_path=str(tmp_path / "seen"),
+                          keys=["key"], order_col="seq")
+    batch = spark.createDataFrame(
+        [(k, k, "p") for k in range(20)], "key long, seq long, payload string")
+    sink.apply_batch(batch, batch_id=0)
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    sink.apply_batch(batch, batch_id=0)  # replay
+    n2 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == 20 and n2 == 20
+    assert spark.read.parquet(str(tmp_path / "seen")).distinct().count() == 20
