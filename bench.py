@@ -106,6 +106,8 @@ HEADLINE = [
     "cdc_txn_size_histogram",
     "docs_quality_filter_funnel",
     "part_supplier_hhi",
+    "graph_kcore_peel",
+    "emb_quantizer_balance",
 ]
 
 

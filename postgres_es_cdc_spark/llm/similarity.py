@@ -2007,3 +2007,40 @@ GROUP BY e.qid, h.n_hits
 
 EMB_IVF_RECALL_SQL = EMB_IVF_RECALL_SQL_TMPL.format(ivf_sql=EMB_IVF_TRAINED_SQL)
 
+
+
+def emb_quantizer_balance(spark: SparkSession, sf_dir: str,
+                          kclusters: int = 8, iters: int = 3) -> DataFrame:
+    """ANN index balance report: member count and share per trained-IVF
+    cell, plus each cell's ratio to the ideal N/k — the observability
+    row an IVF deployment watches because probe latency follows the
+    LARGEST probed cell (a 10x-overfull cell makes nprobe=2 cost like
+    nprobe=20). Companion to dedup_bucket_overflow_report on the
+    similarity side.
+
+    Scale: one count over the memoized train-once assignment (k rows
+    out); shares are single exact-integer divisions."""
+    assign, _cent = trained_quantizer(spark, sf_dir, kclusters, iters)
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    tot = sizes.agg(F.sum("n_members").alias("nn"),
+                    F.count(F.lit(1)).alias("kk"))
+    return (sizes.crossJoin(F.broadcast(tot))
+                 .select("cid", "n_members",
+                         (F.col("n_members").cast("double")
+                          / F.col("nn").cast("double")).alias("share"),
+                         (F.col("n_members").cast("double")
+                          * F.col("kk").cast("double")
+                          / F.col("nn").cast("double"))
+                         .alias("balance_ratio")))
+
+
+EMB_QUANTIZER_BALANCE_SQL = _kmeans_cte_body() + """
+, sizes AS (SELECT cid, COUNT(*) AS n_members FROM a3 GROUP BY cid),
+tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS nn, COUNT(*) AS kk
+        FROM sizes)
+SELECT cid, n_members,
+       CAST(n_members AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+       CAST(n_members AS DOUBLE) * CAST(kk AS DOUBLE)
+         / CAST(nn AS DOUBLE) AS balance_ratio
+FROM sizes CROSS JOIN tot
+"""

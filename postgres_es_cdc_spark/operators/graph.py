@@ -451,3 +451,65 @@ SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
 FROM deg
 GROUP BY 1, 2
 """
+
+
+KCORE_K = 3
+KCORE_PEELS = 3
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str,
+                     k: int = KCORE_K, peels: int = KCORE_PEELS) -> DataFrame:
+    """Bounded k-core peeling: ``peels`` rounds of "drop every node
+    with degree < k, recompute degrees" over the trade graph — the
+    standard dense-subgraph extraction (community cores, spam rings).
+    A fixed peel count instead of peel-to-fixpoint keeps the oracle an
+    exact unrolled CTE chain (same discipline as BFS/pagerank); nodes
+    still shedding degree at round `peels` show in_core_after_peels
+    with core_degree < k never True.
+
+    Scale shape: each peel is one partial-aggregable degree count plus
+    two semi-join-shaped filters of the edge list — O(peels) passes
+    over a monotonically SHRINKING edge set, reading the memoized edge
+    materialization once."""
+    edges = _edges(spark, sf_dir)
+    surv = edges
+    for _ in range(peels):
+        keep = (surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= k).select("src"))
+        surv = (surv.join(keep, "src")
+                    .join(keep.withColumnRenamed("src", "dst"), "dst")
+                    .select("src", "dst"))
+    fd = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select("src").distinct()
+    cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")
+    return (nodes.join(fd, "src", "left")
+                 .select(F.col("src").alias("node"),
+                         cd.alias("core_degree"),
+                         (cd >= k).alias("in_core_after_peels")))
+
+
+def _kcore_iter_sql(i: int, k: int) -> str:
+    return f"""
+k{i} AS (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM e{i - 1}
+                          GROUP BY src) WHERE deg >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+         JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"""
+
+
+GRAPH_KCORE_SQL = (f"""
+WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (SELECT cust AS src, supp AS dst FROM p
+       UNION ALL SELECT supp AS src, cust AS dst FROM p),"""
+    + ",".join(_kcore_iter_sql(i, KCORE_K)
+               for i in range(1, KCORE_PEELS + 1))
+    + f""",
+fd AS (SELECT src, COUNT(*) AS deg FROM e{KCORE_PEELS} GROUP BY src),
+nodes AS (SELECT DISTINCT src FROM e0)
+SELECT n.src AS node,
+       CAST(COALESCE(fd.deg, 0) AS BIGINT) AS core_degree,
+       COALESCE(fd.deg, 0) >= {KCORE_K} AS in_core_after_peels
+FROM nodes n LEFT JOIN fd ON n.src = fd.src
+""")

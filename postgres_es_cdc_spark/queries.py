@@ -73,6 +73,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "cdc_txn_size_histogram": QuerySpec(cdcq.cdc_txn_size_histogram, cdcq.CDC_TXN_SIZE_HIST_SQL),
     "docs_quality_filter_funnel": QuerySpec(quality.docs_quality_filter_funnel, quality.DOCS_FUNNEL_SQL),
     "part_supplier_hhi": QuerySpec(analytics.part_supplier_hhi, analytics.PART_SUPPLIER_HHI_SQL),
+    # bounded k-core peel (unrolled oracle, BFS discipline)
+    "graph_kcore_peel": QuerySpec(graph.graph_kcore_peel, graph.GRAPH_KCORE_SQL),
+    # IVF cell balance observability
+    "emb_quantizer_balance": QuerySpec(similarity.emb_quantizer_balance, similarity.EMB_QUANTIZER_BALANCE_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
