@@ -108,6 +108,8 @@ HEADLINE = [
     "part_supplier_hhi",
     "graph_kcore_peel",
     "emb_quantizer_balance",
+    "docs_perplexity_filter_report",
+    "docs_near_dup_rate_by_source",
 ]
 
 

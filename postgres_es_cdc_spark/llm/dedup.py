@@ -1319,3 +1319,49 @@ SELECT CAST(length(bin(cluster_size)) AS INT) AS bucket,
 FROM cl GROUP BY 1
 """
 )
+
+
+def docs_near_dup_rate_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: LSH candidate pairs rolled up
+    by the (source, source) of their endpoints — the governance table
+    that shows WHICH feeds copy from which (mirror sites, syndication,
+    scraper overlap) and directs source-level dedup effort. Mutant ids
+    map back to their origin doc (id - 1e6) before the source lookup,
+    so a mutant pair counts its real provenance.
+
+    Scale: reads the memoized pair set (LSH-bounded), joins the small
+    (doc_id, source) projection twice, one partial-agg rollup on the
+    |sources|² key space. Pair order is normalized (source_a <=
+    source_b) so the matrix is upper-triangular and deterministic."""
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    src = (table(spark, sf_dir, "documents")
+           .select("doc_id", "source"))
+    orig = lambda c: F.when(c >= 1000000, c - 1000000).otherwise(c)  # noqa: E731
+    pa = pairs.select(orig(F.col("doc_a")).alias("da"),
+                      orig(F.col("doc_b")).alias("db"))
+    j = (pa.join(src.select(F.col("doc_id").alias("da"),
+                            F.col("source").alias("sa")), "da")
+           .join(src.select(F.col("doc_id").alias("db"),
+                            F.col("source").alias("sb")), "db"))
+    return (j.select(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+DOCS_NEAR_DUP_BY_SOURCE_SQL = f"""
+WITH pairs AS ({DOCS_MINHASH_LSH_SQL}),
+norm AS (
+  SELECT CASE WHEN doc_a >= 1000000 THEN doc_a - 1000000 ELSE doc_a END AS da,
+         CASE WHEN doc_b >= 1000000 THEN doc_b - 1000000 ELSE doc_b END AS db
+  FROM pairs
+)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM norm
+JOIN documents a ON a.doc_id = norm.da
+JOIN documents b ON b.doc_id = norm.db
+GROUP BY 1, 2
+"""

@@ -300,3 +300,50 @@ SELECT n AS n_terms,
          / CAST(n AS DOUBLE) / 1.0E9 AS ln_c_intercept
 FROM g
 """
+
+
+PPL_KEEP_NLL = 7.0
+
+
+def docs_perplexity_filter_report(spark: SparkSession, sf_dir: str,
+                                  max_nll: float = PPL_KEEP_NLL) -> DataFrame:
+    """CCNet-style LM filter report: per language, how many documents
+    (and tokens) the bigram-LM predictability filter keeps at
+    avg_nll <= max_nll — the head/middle/tail partition CCNet publishes
+    before training-set assembly, reduced to keep/drop so the whole
+    report is oracle-exact.
+
+    Composes docs_bigram_lm_score (deterministic quantized NLL); the
+    keep decision is one double comparison per doc. Scale: the LM pass
+    is the word-count MapReduce; this rollup adds one partial-agg
+    groupBy on (lang)."""
+    scores = docs_bigram_lm_score(spark, sf_dir)
+    d = scan_parallel(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "lang"))
+    j = scores.join(d, "doc_id")
+    keep = F.col("avg_nll") <= F.lit(max_nll)
+    return (j.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(keep.cast("long")).alias("n_kept"),
+                  F.sum("n_bigrams").alias("total_bigrams"),
+                  F.sum(F.when(keep, F.col("n_bigrams")).otherwise(F.lit(0)))
+                   .alias("kept_bigrams"),
+                  (F.sum(keep.cast("long")).cast("double")
+                   / F.count(F.lit(1))).alias("keep_rate")))
+
+
+DOCS_PPL_FILTER_SQL = f"""
+WITH lm AS ({DOCS_BIGRAM_LM_SQL})
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN lm.avg_nll <= {PPL_KEEP_NLL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(lm.n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(SUM(CASE WHEN lm.avg_nll <= {PPL_KEEP_NLL}
+                     THEN lm.n_bigrams ELSE 0 END) AS BIGINT)
+         AS kept_bigrams,
+       CAST(SUM(CASE WHEN lm.avg_nll <= {PPL_KEEP_NLL} THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS keep_rate
+FROM lm JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""

@@ -77,6 +77,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "graph_kcore_peel": QuerySpec(graph.graph_kcore_peel, graph.GRAPH_KCORE_SQL),
     # IVF cell balance observability
     "emb_quantizer_balance": QuerySpec(similarity.emb_quantizer_balance, similarity.EMB_QUANTIZER_BALANCE_SQL),
+    # CCNet-style LM keep/drop rollup; cross-source duplication matrix
+    "docs_perplexity_filter_report": QuerySpec(lm.docs_perplexity_filter_report, lm.DOCS_PPL_FILTER_SQL),
+    "docs_near_dup_rate_by_source": QuerySpec(dedup.docs_near_dup_rate_by_source, dedup.DOCS_NEAR_DUP_BY_SOURCE_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

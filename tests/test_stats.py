@@ -51,3 +51,30 @@ def test_moments_match_numpy(spark, sf_dir):
         np.testing.assert_allclose(row["corr_qty_line"],
                                    np.corrcoef(x, y)[0, 1], rtol=1e-9)
         assert row["all_positive"] and row["min_qty"] >= 1
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """Property: the range-partitioned _global_rank equals the global
+    row_number window for arbitrary (term, count) tables, including
+    heavy ties and single-row inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.lm import _global_rank
+
+    cases = [
+        [("a", 5)],
+        [("a", 1), ("b", 1), ("c", 1)],  # all tied -> term order
+        [(f"t{i:03d}", (i * 7) % 13 + 1) for i in range(200)],
+        [(f"x{i}", 1000 - i) for i in range(50)]
+        + [(f"y{i}", 1000 - i) for i in range(50)],  # cross-part ties
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "term string, c long")
+        got = {(r.term, r.r)
+               for r in _global_rank(spark, df).collect()}
+        w = Window.orderBy(F.desc("c"), F.asc("term"))
+        want = {(r.term, r.r)
+                for r in df.withColumn("r", F.row_number().over(w))
+                           .collect()}
+        assert got == want, rows[:3]
