@@ -54,6 +54,14 @@ SWEEP = [
     "orders_basket_affinity",
     "emb_matryoshka_recall",
     "emb_hier_assign",
+    "emb_ivf_recall",
+    "graph_kcore_peel",
+    "emb_quantizer_balance",
+    "docs_quality_filter_funnel",
+    "docs_dsir_weights",
+    "docs_perplexity_filter_report",
+    "docs_near_dup_rate_by_source",
+    "part_supplier_hhi",
 ]
 
 
