@@ -110,6 +110,7 @@ HEADLINE = [
     "emb_quantizer_balance",
     "docs_perplexity_filter_report",
     "docs_near_dup_rate_by_source",
+    "ivm_topk_orders_by_segment",
 ]
 
 

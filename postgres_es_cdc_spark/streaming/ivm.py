@@ -110,3 +110,101 @@ SELECT o_orderpriority AS priority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+class TopKSink:
+    """foreachBatch sink maintaining per-group TOP-K by a sort key —
+    the order-statistics member of the IVM family next to AggSink's
+    sum/count/min/max. Top-k under a total order is an associative,
+    commutative, idempotent merge (the k-bounded max-semilattice over
+    row SETS — the tie column must identify rows uniquely), so batch
+    boundaries and replays provably cannot change the maintained view:
+    merge(state, batch) = topk(state ∪ batch).
+
+    Scale shape: each micro-batch contributes at most k rows per group
+    (a WindowGroupLimit-bounded partial top-k, map-side prunable), the
+    merge re-ranks |groups|·2k rows — per-batch cost O(batch + groups·k),
+    independent of history length."""
+
+    def __init__(self, path: str, group_col: str, order_col: str,
+                 tie_col: str, k: int):
+        self.path = path
+        self.group_col = group_col
+        self.order_col = order_col
+        self.tie_col = tie_col
+        self.k = k
+
+    def _topk(self, df: DataFrame) -> DataFrame:
+        # The semilattice is over SETS keyed by (group, tie): a replayed
+        # duplicate row must collapse with its original BEFORE ranking,
+        # or it occupies a top-k slot and evicts a legitimate row (found
+        # by the replay test). dropDuplicates keeps one arbitrary row
+        # per key — rows sharing (group, tie) are identical by the tie
+        # column's row-identity contract.
+        w = WindowSpec_topk(self.group_col, self.order_col, self.tie_col)
+        return (df.dropDuplicates([self.group_col, self.tie_col])
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= self.k).drop("_rn"))
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        parts = self._topk(batch)
+        if os.path.exists(self.path):
+            parts = spark.read.parquet(self.path).unionByName(parts)
+        merged = self._topk(parts)
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def WindowSpec_topk(group_col: str, order_col: str, tie_col: str):
+    from pyspark.sql import Window
+    return (Window.partitionBy(group_col)
+                  .orderBy(F.desc(order_col), F.asc(tie_col)))
+
+
+def ivm_topk_orders_by_segment(spark, sf_dir: str, k: int = 3) -> DataFrame:
+    """TopKSink's merge algebra exposed as a driver-checkable query:
+    maintain the top-k orders by value per market segment through three
+    incremental batches (batch i = o_orderkey % 3 == i) and return the
+    final view with ranks. The oracle is the one-shot per-segment
+    top-k — equal by the semilattice argument above, which this row
+    proves on real data every round."""
+    from postgres_es_cdc_spark.catalog import table
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment"))
+    base = (table(spark, sf_dir, "orders")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("segment", "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                     .alias("cents")))
+    sink = TopKSink(path="", group_col="segment", order_col="cents",
+                    tie_col="o_orderkey", k=k)
+    view: DataFrame | None = None
+    for i in range(3):
+        part = sink._topk(base.filter(F.col("o_orderkey") % 3 == i))
+        view = part if view is None else sink._topk(view.unionByName(part))
+    w = WindowSpec_topk("segment", "cents", "o_orderkey")
+    return (view.withColumn("rank", F.row_number().over(w))
+                .select("segment", "rank",
+                        F.col("o_orderkey").alias("orderkey"), "cents"))
+
+
+IVM_TOPK_SEGMENT_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment, rank, o_orderkey AS orderkey, cents
+FROM (SELECT segment, o_orderkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, o_orderkey ASC)
+               AS rank
+      FROM base)
+WHERE rank <= 3
+"""

@@ -638,3 +638,58 @@ def test_keyed_dedup_sink_replay_after_commit_adds_nothing(spark, tmp_path):
     n2 = spark.read.parquet(str(tmp_path / "out")).count()
     assert n1 == 20 and n2 == 20
     assert spark.read.parquet(str(tmp_path / "seen")).distinct().count() == 20
+
+
+def test_topk_sink_stream_matches_batch_topk(spark, tmp_path):
+    """TopKSink through the real file-stream harness, one file per
+    trigger: the maintained per-group top-k equals the one-shot top-k
+    over all data, and a replayed batch changes nothing (idempotent
+    k-bounded semilattice merge)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from postgres_es_cdc_spark.streaming.ivm import TopKSink
+
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    rows_by_batch = {
+        b: [("g%d" % (i % 4), b * 100 + i, i * 7 % 97) for i in range(30)]
+        for b in range(3)
+    }
+    seen: set = set()
+    for b in range(3):
+        (spark.createDataFrame(rows_by_batch[b],
+                               "grp string, rid long, v long")
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                _os.utime(full, (base + b, base + b))
+                seen.add(full)
+
+    sink = TopKSink(path=str(tmp_path / "state"), group_col="grp",
+                    order_col="v", tie_col="rid", k=3)
+    stream = (spark.readStream.schema("grp string, rid long, v long")
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.grp, r.v, r.rid)
+           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    allrows = spark.createDataFrame(
+        sum(rows_by_batch.values(), []), "grp string, rid long, v long")
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("rid"))
+    want = {(r.grp, r.v, r.rid)
+            for r in allrows.withColumn("rn", F.row_number().over(w))
+                            .filter(F.col("rn") <= 3).collect()}
+    assert got == want
+    # replay idempotency
+    sink.apply_batch(spark.createDataFrame(rows_by_batch[1],
+                     "grp string, rid long, v long"), 1)
+    again = {(r.grp, r.v, r.rid)
+             for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert again == want
