@@ -117,3 +117,38 @@ def test_semdedup_assign_is_broadcast_array_pass(spark, sf_dir):
 
     plan = _plan(emb_semdedup_prune(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Catalyst's runtime Bloom-filter join pruning — the 100 TB
+    fact-scan reducer when the dim side is filtered but too big to
+    broadcast: the fact side must gain a might_contain() filter fed by
+    a Bloom aggregate subquery on the build side. Thresholds are scaled
+    down so the tiny fixtures qualify; on a cluster the defaults fire
+    for real dimension filters."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = (table(spark, sf_dir, "orders")
+             .filter(F.col("o_totalprice") > 400000)
+             .select("o_orderkey"))
+        plan = _plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
