@@ -693,3 +693,45 @@ def test_topk_sink_stream_matches_batch_topk(spark, tmp_path):
     again = {(r.grp, r.v, r.rid)
              for r in spark.read.parquet(str(tmp_path / "state")).collect()}
     assert again == want
+
+
+def test_topk_merge_is_order_independent_and_idempotent(spark):
+    """Property (seeded randomized): folding random row batches through
+    TopKSink's merge in any batch order, with any batch replayed, gives
+    the one-shot top-k — the set-semilattice claim, exercised beyond
+    the single harness example."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from postgres_es_cdc_spark.streaming.ivm import TopKSink
+
+    rng = random.Random(20260814)
+    schema = "grp string, rid long, v long"
+    sink = TopKSink(path="", group_col="grp", order_col="v",
+                    tie_col="rid", k=2)
+    for trial in range(3):
+        n = rng.randint(6, 18)
+        rows = [("g%d" % rng.randint(0, 2), i,
+                 rng.randint(0, 5))  # heavy value ties
+                for i in range(n)]
+        cut1, cut2 = sorted(rng.sample(range(1, n), 2)) if n > 3 else (1, 2)
+        batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("rid"))
+        want = {(r.grp, r.rid, r.v) for r in
+                spark.createDataFrame(rows, schema)
+                     .withColumn("rn", F.row_number().over(w))
+                     .filter(F.col("rn") <= 2).collect()}
+        for perm in itertools.permutations(range(3)):
+            view = None
+            seq = [batches[i] for i in perm] + [batches[perm[0]]]  # replay
+            for b in seq:
+                if not b:
+                    continue
+                part = sink._topk(spark.createDataFrame(b, schema))
+                view = part if view is None else sink._topk(
+                    view.unionByName(part))
+            got = {(r.grp, r.rid, r.v) for r in view.collect()}
+            assert got == want, (trial, perm)
