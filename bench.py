@@ -145,14 +145,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    # Full per-query map -> file (the driver keeps only the tail of
+    # stdout, and 80+ query entries overflow it — BENCH_r04/r05 were
+    # recorded as unparseable fragments). The FINAL stdout line is a
+    # compact summary in the same schema, bounded at the 10 slowest
+    # queries, so the driver's record always parses.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = dict(full, queries=slowest,
+                   n_queries=len(timings),
+                   full_map="BENCH_LOCAL.json")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1238,6 +1238,142 @@ def _cent_arrays(cent: DataFrame) -> DataFrame:
                         "b2"))
 
 
+HIER_SUPER_FLOOR = 4
+
+
+def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
+    """Two-level (hierarchical) coarse-quantizer routing, shared by
+    emb_hier_assign and emb_semdedup_prune's assign stage: route each
+    vector through the k1 super-centroids first (k1 comparisons), then
+    argmin only over the children of its super-cell (~k/k1 comparisons)
+    — N·(k1 + k/k1) ≈ N·2√k work instead of the flat N·k, the
+    inverted-multi-index shape billion-vector ANN systems use.
+
+    Inputs: c = quantized vectors (id, q, n2=Σq²); carr = centroid
+    ARRAY table (cid, n, sqv, b2) from _cent_arrays. Supers are the k1
+    children with smallest cid (singleton promotion — no second
+    training loop). All distances are the exact expanded-square
+    rational form (integer numerators combined in decimal(38,0), one
+    double division), so a DuckDB twin built by _hier_route_cte
+    reproduces every argmin bit-for-bit. Returns
+    (id, scid, cid, routed)."""
+    sarr = (carr.orderBy("cid").limit(k1)
+                .select(F.col("cid").alias("scid"),
+                        F.col("n").alias("ns"),
+                        F.col("sqv").alias("sqs"),
+                        F.col("b2").alias("b2s")))
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+
+    # child -> super: k x k1 rational mean-to-mean distances (tiny).
+    cs_num = F.aggregate(
+        F.zip_with(F.col("sqv"), F.col("sqs"),
+                   lambda a, b: d38(a * F.col("ns") - b * F.col("n"))
+                   * (a * F.col("ns") - b * F.col("n"))),
+        F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)
+    cs_dist = (cs_num.cast("double")
+               / (F.col("n") * F.col("n")).cast("double")
+               / (F.col("ns") * F.col("ns")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    child_super = (carr.crossJoin(F.broadcast(sarr))
+                       .select("cid", "scid", cs_dist.alias("d2"))
+                       .groupBy("cid")
+                       .agg(F.min(F.struct("d2", "scid")).alias("b"))
+                       .select("cid", F.col("b.scid").alias("scid")))
+
+    # vector -> super: N x k1 broadcast array pass (expanded square).
+    vs_num = (d38(F.col("ns") * F.col("ns")) * F.col("n2")
+              - d38(F.lit(2) * F.col("ns"))
+                * dot_q(F.col("q"), F.col("sqs"))
+              + F.col("b2s"))
+    vs_dist = (vs_num.cast("double")
+               / (F.col("ns") * F.col("ns")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    vec_super = (c.crossJoin(F.broadcast(sarr))
+                  .select("id", "scid", vs_dist.alias("d2"))
+                  .groupBy("id")
+                  .agg(F.min(F.struct("d2", "scid")).alias("b"))
+                  .select("id", F.col("b.scid").alias("scid")))
+
+    # vector -> child WITHIN its super-cell: join on scid fans each
+    # vector out to only its cell's children (~k/k1 rows), not all k.
+    cell_children = (carr.join(child_super, "cid")
+                         .select("scid", "cid", "n", "sqv", "b2"))
+    vc_num = (d38(F.col("n") * F.col("n")) * F.col("n2")
+              - d38(F.lit(2) * F.col("n"))
+                * dot_q(F.col("q"), F.col("sqv"))
+              + F.col("b2"))
+    vc_dist = (vc_num.cast("double")
+               / (F.col("n") * F.col("n")).cast("double")
+               / F.lit(float(Q_SCALE) ** 2))
+    routed = (c.join(vec_super, "id")
+               .join(F.broadcast(cell_children), "scid")
+               .select("id", "scid", "cid", vc_dist.alias("d2")))
+    return (routed.groupBy("id", "scid")
+                  .agg(F.min(F.struct("d2", "cid")).alias("b"),
+                       F.count(F.lit(1)).alias("routed"))
+                  .select("id", F.col("scid").alias("scid"),
+                          F.col("b.cid").alias("cid"), "routed"))
+
+
+def _hier_route_cte(src: str) -> str:
+    """DuckDB twin of _route_two_level over the exploded source `src`
+    (columns vec_id, dim, xq). Emits the par2/chrank/sup/csd/
+    child_super/vsd/vec_super/vcd CTE chain; expects `par` (k, t) and
+    `c3` (trained centroids) already in scope. Callers finish with an
+    argmin over vcd (ROW_NUMBER d2 ASC, cid ASC)."""
+    return f""", par2 AS (
+  SELECT k, t, GREATEST({HIER_SUPER_FLOOR},
+                        CAST(FLOOR(SQRT(k)) AS BIGINT)) AS k1
+  FROM par
+), chrank AS (
+  SELECT cid, DENSE_RANK() OVER (ORDER BY cid ASC) AS r
+  FROM (SELECT DISTINCT cid FROM c3)
+), sup AS (
+  SELECT c3.cid, c3.dim, c3.n, c3.sq
+  FROM c3 JOIN chrank ON c3.cid = chrank.cid, par2
+  WHERE chrank.r <= par2.k1
+), csd AS (
+  SELECT c.cid, s.cid AS scid,
+         CAST(SUM(CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)
+                * CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE)
+           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
+  FROM c3 c JOIN sup s ON c.dim = s.dim
+  GROUP BY c.cid, s.cid
+), child_super AS (
+  SELECT cid, scid
+  FROM (SELECT cid, scid,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY d2 ASC, scid ASC) AS rn
+        FROM csd)
+  WHERE rn = 1
+), vsd AS (
+  SELECT {src}.vec_id, s.cid AS scid,
+         CAST(SUM(CAST({src}.xq*s.n - s.sq AS HUGEINT)
+                * CAST({src}.xq*s.n - s.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
+  FROM {src} JOIN sup s ON {src}.dim = s.dim
+  GROUP BY {src}.vec_id, s.cid
+), vec_super AS (
+  SELECT vec_id, scid
+  FROM (SELECT vec_id, scid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, scid ASC) AS rn
+        FROM vsd)
+  WHERE rn = 1
+), vcd AS (
+  SELECT {src}.vec_id, vs.scid, c.cid,
+         CAST(SUM(CAST({src}.xq*c.n - c.sq AS HUGEINT)
+                * CAST({src}.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
+           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS d2
+  FROM {src}
+  JOIN vec_super vs ON vs.vec_id = {src}.vec_id
+  JOIN child_super ch ON ch.scid = vs.scid
+  JOIN c3 c ON c.cid = ch.cid AND c.dim = {src}.dim
+  GROUP BY {src}.vec_id, vs.scid, c.cid
+)"""
+
+
 def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
                        iters: int = 3) -> DataFrame:
@@ -1254,46 +1390,30 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     count stays ~N^1.5 — and the k-means loop trains on a bounded
     sample (every t-th vector, ~SEMDEDUP_TRAIN_TARGET rows), so
     training cost is O(sample·k·iters), not O(N·k·iters). EVERY member
-    (base and mutant alike) is then assigned by one exact rational
-    centroid-distance argmin pass — the flat IVF assign, N·k·dims, the
-    one residual super-linear term; its hierarchical (two-level) form
-    is the documented escape at >10^7 vectors.
+    (base and mutant alike) is then assigned through the TWO-LEVEL
+    router (_route_two_level): k1 = isqrt(k) super-centroids first,
+    then only that super-cell's children — N·2√k comparisons, not the
+    flat N·k that the sf1 sweep measured as this query's one residual
+    super-linear term (13.7x at 10x data). The routing is the standard
+    IVF approximation of the flat argmin; the oracle verifies the
+    IDENTICAL two-stage rule (_hier_route_cte), so the cluster
+    assignment — and hence the prune set — stays bit-exact.
 
     Corpus: the planted-near-dup corpus (_q_corpus). The verify kernel
     is the exact integer-quantized cosine, so the DuckDB twin (which
-    derives the same k and t from COUNT(*)) reproduces the prune set
-    bit-for-bit. Returns one row per corpus member: (id, cluster,
+    derives the same k, t and k1 from COUNT(*)) reproduces the prune
+    set bit-for-bit. Returns one row per corpus member: (id, cluster,
     pruned)."""
     cent = _semdedup_centroids(spark, sf_dir, iters)
     carr = _cent_arrays(cent)
+    n = table(spark, sf_dir, "embeddings").count()
+    k, _t = _semdedup_params(n)
+    k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
 
-    # Assign EVERY member (base + mutants) by exact rational argmin,
-    # computed as broadcast array arithmetic instead of the exploded
-    # (vector, dim) x centroid join (which materializes N·k·dims rows
-    # through a hash aggregate — the sf1 sweep measured it at 59s vs
-    # <10s for this form). The algebra is the expanded square
-    #   Σ_d (xq·n − sq)² = n²·Σxq² − 2n·Σ(xq·sq) + Σsq²
-    # — every term an exact integer (cross products fit long while
-    # cluster_size·Q_SCALE²·dims < 2^63, i.e. clusters < ~2e6 members;
-    # past that, switch the dot to a decimal fold), combined in
-    # decimal(38,0) and divided exactly as the oracle's HUGEINT form,
-    # so the resulting double — and therefore the argmin — is
-    # bit-identical to the oracle's ROW_NUMBER over SUM((xq·n−sq)²).
     c = _q_corpus(spark, sf_dir).withColumn(
         "n2", dot_q(F.col("q"), F.col("q")))
-    num = (F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n2")
-           - (F.lit(2) * F.col("n")).cast("decimal(38,0)")
-             * dot_q(F.col("q"), F.col("sqv"))
-           + F.col("b2"))
-    dist2 = (num.cast("double")
-             / (F.col("n") * F.col("n")).cast("double")
-             / F.lit(float(Q_SCALE) ** 2))
-    alla = (c.crossJoin(F.broadcast(carr))
-             .select(F.col("id").alias("vec_id"), "cid",
-                     dist2.alias("dist2"))
-             .groupBy("vec_id")
-             .agg(F.min(F.struct("dist2", "cid")).alias("b"))
-             .select("vec_id", F.col("b.cid").alias("cid")))
+    alla = (_route_two_level(c, carr, k1)
+            .select(F.col("id").alias("vec_id"), "cid"))
 
     # In-cluster pair verification: join the (array, norm)-carrying
     # corpus to its cluster id ONCE, then self-join on cid — pair rows
@@ -1361,24 +1481,20 @@ def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
     return "".join(parts)
 
 
-EMB_SEMDEDUP_SQL = _semdedup_kmeans_cte_dyn() + f"""
+EMB_SEMDEDUP_SQL = _semdedup_kmeans_cte_dyn() + """
 , mex AS (
   SELECT vec_id + 100000 AS vec_id, dim,
          xq + CASE WHEN dim = 1 THEN 50000 ELSE 0 END AS xq
   FROM ex WHERE vec_id % 10 = 0
 ), allex AS (
   SELECT * FROM ex UNION ALL SELECT * FROM mex
-), ms AS (
-  SELECT m.vec_id, c.cid,
-         CAST(SUM(CAST(m.xq*c.n - c.sq AS HUGEINT) * CAST(m.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
-           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS dist2
-  FROM allex m JOIN c3 c ON m.dim = c.dim
-  GROUP BY m.vec_id, c.cid
-), alla AS (
+)""" + _hier_route_cte("allex") + f"""
+, alla AS (
   SELECT vec_id, cid
   FROM (SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
-        FROM ms)
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM vcd)
   WHERE rn = 1
 ), corpus AS ({_QC_SQL}),
 pairs AS (
@@ -1778,9 +1894,6 @@ GROUP BY e.qid, h.n_hits
 """
 
 
-HIER_SUPER_FLOOR = 4
-
-
 def emb_hier_assign(spark: SparkSession, sf_dir: str,
                     iters: int = 3) -> DataFrame:
     """Two-level (hierarchical) coarse quantization — the documented
@@ -1804,127 +1917,23 @@ def emb_hier_assign(spark: SparkSession, sf_dir: str,
 
     Returns (vec_id, super_cid, cid, routed) where routed is the
     number of children scanned in stage 2 (the cost the hierarchy
-    saves; Σrouted ≈ N·k/k1 vs N·k flat)."""
+    saves; Σrouted ≈ N·k/k1 vs N·k flat). Routing core shared with
+    emb_semdedup_prune's assign stage (_route_two_level)."""
     n = table(spark, sf_dir, "embeddings").count()
     k, _t = _semdedup_params(n)
     k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
     carr = _cent_arrays(_semdedup_centroids(spark, sf_dir, iters))
-    sarr = (carr.orderBy("cid").limit(k1)
-                .select(F.col("cid").alias("scid"),
-                        F.col("n").alias("ns"),
-                        F.col("sqv").alias("sqs"),
-                        F.col("b2").alias("b2s")))
-
-    # child -> super: k x k1 rational mean-to-mean distances (tiny).
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cs_num = F.aggregate(
-        F.zip_with(F.col("sqv"), F.col("sqs"),
-                   lambda a, b: d38(a * F.col("ns") - b * F.col("n"))
-                   * (a * F.col("ns") - b * F.col("n"))),
-        F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)
-    cs_dist = (cs_num.cast("double")
-               / (F.col("n") * F.col("n")).cast("double")
-               / (F.col("ns") * F.col("ns")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    child_super = (carr.crossJoin(F.broadcast(sarr))
-                       .select("cid", "scid", cs_dist.alias("d2"))
-                       .groupBy("cid")
-                       .agg(F.min(F.struct("d2", "scid")).alias("b"))
-                       .select("cid", F.col("b.scid").alias("scid")))
-
-    # vector -> super: N x k1 broadcast array pass (expanded square,
-    # exact integers — see emb_semdedup_prune's assign note).
     e = table(spark, sf_dir, "embeddings")
-    c = e.select(F.col("vec_id").alias("id"),
-                 quantize(F.col("embedding")).alias("q"))
-    c = c.withColumn("n2", dot_q(F.col("q"), F.col("q")))
-    vs_num = (d38(F.col("ns") * F.col("ns")) * F.col("n2")
-              - d38(F.lit(2) * F.col("ns"))
-                * dot_q(F.col("q"), F.col("sqs"))
-              + F.col("b2s"))
-    vs_dist = (vs_num.cast("double")
-               / (F.col("ns") * F.col("ns")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    vec_super = (c.crossJoin(F.broadcast(sarr))
-                  .select("id", "scid", vs_dist.alias("d2"))
-                  .groupBy("id")
-                  .agg(F.min(F.struct("d2", "scid")).alias("b"))
-                  .select("id", F.col("b.scid").alias("scid")))
-
-    # vector -> child WITHIN its super-cell: join on scid fans each
-    # vector out to only its cell's children (~k/k1 rows), not all k.
-    cell_children = (carr.join(child_super, "cid")
-                         .select("scid", "cid", "n", "sqv", "b2"))
-    vc_num = (d38(F.col("n") * F.col("n")) * F.col("n2")
-              - d38(F.lit(2) * F.col("n"))
-                * dot_q(F.col("q"), F.col("sqv"))
-              + F.col("b2"))
-    vc_dist = (vc_num.cast("double")
-               / (F.col("n") * F.col("n")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    routed = (c.join(vec_super, "id")
-               .join(F.broadcast(cell_children), "scid")
-               .select("id", "scid", "cid", vc_dist.alias("d2")))
-    return (routed.groupBy("id", "scid")
-                  .agg(F.min(F.struct("d2", "cid")).alias("b"),
-                       F.count(F.lit(1)).alias("routed"))
-                  .select(F.col("id").alias("vec_id"),
-                          F.col("scid").alias("super_cid"),
-                          F.col("b.cid").alias("cid"), "routed"))
+    c = (e.select(F.col("vec_id").alias("id"),
+                  quantize(F.col("embedding")).alias("q"))
+          .withColumn("n2", dot_q(F.col("q"), F.col("q"))))
+    return (_route_two_level(c, carr, k1)
+            .select(F.col("id").alias("vec_id"),
+                    F.col("scid").alias("super_cid"), "cid", "routed"))
 
 
-EMB_HIER_ASSIGN_SQL = _semdedup_kmeans_cte_dyn() + f"""
-, par2 AS (
-  SELECT k, t, GREATEST({HIER_SUPER_FLOOR},
-                        CAST(FLOOR(SQRT(k)) AS BIGINT)) AS k1
-  FROM par
-), chrank AS (
-  SELECT cid, DENSE_RANK() OVER (ORDER BY cid ASC) AS r
-  FROM (SELECT DISTINCT cid FROM c3)
-), sup AS (
-  SELECT c3.cid, c3.dim, c3.n, c3.sq
-  FROM c3 JOIN chrank ON c3.cid = chrank.cid, par2
-  WHERE chrank.r <= par2.k1
-), csd AS (
-  SELECT c.cid, s.cid AS scid,
-         CAST(SUM(CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)
-                * CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)) AS DOUBLE)
-           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE)
-           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
-  FROM c3 c JOIN sup s ON c.dim = s.dim
-  GROUP BY c.cid, s.cid
-), child_super AS (
-  SELECT cid, scid
-  FROM (SELECT cid, scid,
-               ROW_NUMBER() OVER (PARTITION BY cid
-                                  ORDER BY d2 ASC, scid ASC) AS rn
-        FROM csd)
-  WHERE rn = 1
-), vsd AS (
-  SELECT ex.vec_id, s.cid AS scid,
-         CAST(SUM(CAST(ex.xq*s.n - s.sq AS HUGEINT)
-                * CAST(ex.xq*s.n - s.sq AS HUGEINT)) AS DOUBLE)
-           / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
-  FROM ex JOIN sup s ON ex.dim = s.dim
-  GROUP BY ex.vec_id, s.cid
-), vec_super AS (
-  SELECT vec_id, scid
-  FROM (SELECT vec_id, scid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d2 ASC, scid ASC) AS rn
-        FROM vsd)
-  WHERE rn = 1
-), vcd AS (
-  SELECT ex.vec_id, vs.scid, c.cid,
-         CAST(SUM(CAST(ex.xq*c.n - c.sq AS HUGEINT)
-                * CAST(ex.xq*c.n - c.sq AS HUGEINT)) AS DOUBLE)
-           / CAST(MAX(c.n)*MAX(c.n) AS DOUBLE) / 1e12 AS d2
-  FROM ex
-  JOIN vec_super vs ON vs.vec_id = ex.vec_id
-  JOIN child_super ch ON ch.scid = vs.scid
-  JOIN c3 c ON c.cid = ch.cid AND c.dim = ex.dim
-  GROUP BY ex.vec_id, vs.scid, c.cid
-)
+EMB_HIER_ASSIGN_SQL = (_semdedup_kmeans_cte_dyn() + _hier_route_cte("ex")
+                       + """
 SELECT vec_id, scid AS super_cid, cid, routed
 FROM (SELECT vec_id, scid, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1932,7 +1941,7 @@ FROM (SELECT vec_id, scid, cid,
              COUNT(*) OVER (PARTITION BY vec_id, scid) AS routed
       FROM vcd)
 WHERE rn = 1
-"""
+""")
 
 
 def emb_ivf_recall(spark: SparkSession, sf_dir: str,

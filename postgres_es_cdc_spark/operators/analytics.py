@@ -830,28 +830,55 @@ GROUP BY 1, 2
 
 BASKET_MIN_SUPPORT = 3
 BASKET_TOP = 25
+# Giant-basket guard: one degenerate hub order with 10^6 distinct parts
+# would emit 5·10^11 pairs into a single l_orderkey group. Baskets keep
+# only their first BASKET_CAP distinct parts (deterministic: lowest
+# l_partkey, row_number in the same per-order shuffle — dedup.py's
+# _cap_buckets pattern) BEFORE the pair self-join, so the worst-case
+# per-order fan-out is bounded at cap·(cap-1)/2. TPC-H baskets are <=7
+# lines, so at driver scale the cap never binds and capped == uncapped;
+# orders_basket_overflow_report proves it with zeros (no silent caps).
+BASKET_CAP = 500
+
+
+def _capped_baskets(spark: SparkSession, sf_dir: str,
+                    cap: int = BASKET_CAP) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) basket lines, row_number-capped
+    at ``cap`` parts per order (lowest l_partkey first). The window runs
+    in the same hash partitioning the pair join needs next, and
+    WindowExec spills — bounded memory even on a degenerate order."""
+    from postgres_es_cdc_spark.llm.dedup import _cap_buckets
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    return _cap_buckets(li, ["l_orderkey"], "l_partkey", cap)
 
 
 def orders_basket_affinity(spark: SparkSession, sf_dir: str,
                            min_support: int = BASKET_MIN_SUPPORT,
-                           top: int = BASKET_TOP) -> DataFrame:
+                           top: int = BASKET_TOP,
+                           cap: int = BASKET_CAP) -> DataFrame:
     """Market-basket affinity: the part pairs most often bought in the
     same order, with support (co-order count) and each side's order
     frequency — the count layer under association-rule mining (lift =
     support·N / (fa·fb) is a derived double left to consumers).
 
     Scale shape: pairs are generated per order by a self-join on
-    l_orderkey — the group key naturally bounds the blow-up (a basket
-    of m items emits m(m-1)/2 pairs; TPC-H baskets are <=7 lines, and a
-    degenerate giant order would be capped by the same row_number
-    pattern as dedup's PAIR_BUCKET_CAP). Support filtering happens in
-    the partial-aggregable pair count; the final top-k is a bounded
-    TakeOrdered, never a vocabulary-sized window. Ties: (part_a,
-    part_b) asc."""
+    l_orderkey. The group key bounds the blow-up only for well-behaved
+    baskets (m lines emit m(m-1)/2 pairs; TPC-H baskets are <=7 lines),
+    so a degenerate giant order IS capped: _capped_baskets keeps the
+    first ``cap`` parts per order (dedup's PAIR_BUCKET_CAP row_number
+    pattern) before the self-join, and orders_basket_overflow_report is
+    the no-silent-caps side channel. Part frequencies stay uncapped
+    (linear, no blow-up); the oracle applies the identical row_number
+    rule, so capped results stay bit-exact even when the cap binds.
+    Support filtering happens in the partial-aggregable pair count; the
+    final top-k is a bounded TakeOrdered, never a vocabulary-sized
+    window. Ties: (part_a, part_b) asc."""
     li = (table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    lic = _capped_baskets(spark, sf_dir, cap)
+    a = lic.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lic.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (a.join(b, "l_orderkey")
               .filter(F.col("part_a") < F.col("part_b"))
               .groupBy("part_a", "part_b")
@@ -874,10 +901,18 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str,
 
 ORDERS_BASKET_SQL = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+lic AS (
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM li)
+  WHERE rn <= {BASKET_CAP}
+),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          COUNT(*) AS support
-  FROM li a JOIN li b
+  FROM lic a JOIN lic b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
@@ -891,6 +926,46 @@ JOIN freq fa ON fa.l_partkey = part_a
 JOIN freq fb ON fb.l_partkey = part_b
 ORDER BY support DESC, part_a ASC, part_b ASC
 LIMIT {BASKET_TOP}
+"""
+
+
+def orders_basket_overflow_report(spark: SparkSession, sf_dir: str,
+                                  cap: int = BASKET_CAP) -> DataFrame:
+    """No-silent-caps side channel for orders_basket_affinity's
+    BASKET_CAP guard (the basket twin of dedup_bucket_overflow_report):
+    one row with the order count, the largest basket, how many baskets
+    exceed the cap, and how many basket lines the cap drops. At TPC-H
+    shapes every over/dropped count is 0 — the proof that the capped
+    affinity query equals its uncapped form — while n_buckets/max_bucket
+    are real basket statistics a pipeline operator watches for hub-order
+    explosions.
+
+    Scale shape: one partial-aggregable count per order, then a one-row
+    rollup."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    over = F.col("c") > cap
+    return (sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.sum(over.cast("long")).alias("n_over_cap"),
+        F.sum(F.when(over, F.col("c") - cap).otherwise(F.lit(0)))
+         .alias("n_dropped_members"))
+        .select(F.lit("basket_orders").alias("path"), "n_buckets",
+                "max_bucket", "n_over_cap", "n_dropped_members"))
+
+
+ORDERS_BASKET_OVERFLOW_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sizes AS (SELECT l_orderkey, COUNT(*) AS c FROM li GROUP BY 1)
+SELECT 'basket_orders' AS path, COUNT(*) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN c > {BASKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap,
+       CAST(SUM(CASE WHEN c > {BASKET_CAP} THEN c - {BASKET_CAP} ELSE 0 END)
+            AS BIGINT) AS n_dropped_members
+FROM sizes
 """
 
 

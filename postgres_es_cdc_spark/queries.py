@@ -61,6 +61,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_repetition_report": QuerySpec(text.docs_repetition_report, text.DOCS_REPETITION_SQL),
     "docs_dsir_weights": QuerySpec(sampling.docs_dsir_weights, sampling.DOCS_DSIR_SQL),
     "orders_basket_affinity": QuerySpec(analytics.orders_basket_affinity, analytics.ORDERS_BASKET_SQL),
+    "orders_basket_overflow_report": QuerySpec(analytics.orders_basket_overflow_report, analytics.ORDERS_BASKET_OVERFLOW_SQL),
     "emb_matryoshka_recall": QuerySpec(similarity.emb_matryoshka_recall, similarity.EMB_MATRYOSHKA_RECALL_SQL),
     # two-level coarse quantizer (the flat-assign escape at 10^7+ vecs)
     "emb_hier_assign": QuerySpec(similarity.emb_hier_assign, similarity.EMB_HIER_ASSIGN_SQL),

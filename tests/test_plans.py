@@ -119,6 +119,30 @@ def test_semdedup_assign_is_broadcast_array_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_semdedup_assign_is_two_level(spark, sf_dir):
+    """Round-6 fix guard: emb_semdedup_prune's assign stage must be the
+    two-level router (_route_two_level), not the flat N·k pass — the
+    sf1 sweep measured the flat form at 13.7x per 10x data. Shape
+    evidence: (a) the two-level route produces the same cluster ids as
+    emb_hier_assign's routing for base-corpus vectors (they share the
+    routing core and centroids); (b) the assign path carries a
+    broadcast super-centroid cross join AND a broadcast cell-children
+    hash join — two distinct broadcast stages, vs one for flat."""
+    from postgres_es_cdc_spark.llm.similarity import (emb_hier_assign,
+                                                      emb_semdedup_prune)
+
+    sd = emb_semdedup_prune(spark, sf_dir)
+    plan = _plan(sd)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+    hier = {r["vec_id"]: r["cid"]
+            for r in emb_hier_assign(spark, sf_dir).collect()}
+    sd_rows = {r["id"]: r["cluster"] for r in sd.collect()
+               if r["id"] < 100000}          # base corpus (mutants excluded)
+    assert sd_rows and all(hier[i] == c for i, c in sd_rows.items())
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Catalyst's runtime Bloom-filter join pruning — the 100 TB
     fact-scan reducer when the dim side is filtered but too big to

@@ -78,3 +78,58 @@ def test_global_rank_matches_single_partition_window(spark):
                 for r in df.withColumn("r", F.row_number().over(w))
                            .collect()}
         assert got == want, rows[:3]
+
+
+def test_basket_cap_bounds_giant_order(spark, tmp_path):
+    """Adversarial fixture for orders_basket_affinity's BASKET_CAP
+    guard: one hub order with 50 distinct parts next to normal 3-line
+    baskets. With cap=10 the hub contributes at most C(10,2) pairs over
+    its 10 LOWEST partkeys (deterministic), the normal baskets are
+    untouched, the overflow report accounts for every dropped line, and
+    the capped result stays bit-exact vs a DuckDB oracle applying the
+    identical row_number rule."""
+    import duckdb
+    import pandas as pd
+
+    from postgres_es_cdc_spark.operators.analytics import (
+        ORDERS_BASKET_SQL, orders_basket_affinity,
+        orders_basket_overflow_report)
+    from tests.oracle_harness import compare
+
+    sf = str(tmp_path)
+    rows = [(1, p) for p in range(100, 150)]          # hub order: 50 parts
+    for okey in (2, 3, 4):                            # normal baskets
+        rows += [(okey, p) for p in (100, 101, 999)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    spark.createDataFrame(li).write.parquet(f"{sf}/lineitem.parquet")
+
+    df = orders_basket_affinity(spark, sf, min_support=1, top=1000, cap=10)
+    got = df.collect()
+    hub_pairs = {(r.part_a, r.part_b) for r in got if r.support == 1}
+    # hub emits exactly C(10,2) - the 2 pairs it shares with the normal
+    # baskets (those have support 4); every hub-only pair uses the 10
+    # lowest partkeys 100..109
+    assert all(100 <= a < 110 and 100 <= b < 110 for a, b in hub_pairs)
+    # C(10,2) hub pairs (incl. (100,101), support 4) + (100,999) and
+    # (101,999) from the normal baskets
+    assert len(got) == 45 + 2
+    again = orders_basket_affinity(spark, sf, min_support=1, top=1000,
+                                   cap=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+    rep = orders_basket_overflow_report(spark, sf, cap=10).collect()[0]
+    assert rep.n_buckets == 4
+    assert rep.max_bucket == 50
+    assert rep.n_over_cap == 1
+    assert rep.n_dropped_members == 40
+
+    # bit-exactness when the cap BINDS: oracle applies the same rule
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet/*.parquet')")
+    sql = (ORDERS_BASKET_SQL
+           .replace("rn <= 500", "rn <= 10")
+           .replace("COUNT(*) >= 3", "COUNT(*) >= 1")
+           .replace("LIMIT 25", "LIMIT 1000"))
+    r = compare("basket_capped", df, con, sql)
+    assert r.ok, r.message()
