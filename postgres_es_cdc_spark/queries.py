@@ -83,6 +83,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_near_dup_rate_by_source": QuerySpec(dedup.docs_near_dup_rate_by_source, dedup.DOCS_NEAR_DUP_BY_SOURCE_SQL),
     # TopKSink's k-bounded semilattice merge vs one-shot per-group top-k
     "ivm_topk_orders_by_segment": QuerySpec(ivm.ivm_topk_orders_by_segment, ivm.IVM_TOPK_SEGMENT_SQL),
+    "ivm_watermark_rollup": QuerySpec(ivm.ivm_watermark_rollup, ivm.IVM_WATERMARK_ROLLUP_SQL),
+    "ivm_watermark_late_report": QuerySpec(ivm.ivm_watermark_late_report, ivm.IVM_WATERMARK_LATE_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

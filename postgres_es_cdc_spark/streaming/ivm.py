@@ -112,6 +112,240 @@ GROUP BY o_orderpriority
 """
 
 
+# Registry defaults for the watermark-windowed rollup: 1-day tumbling
+# event-time windows, 7-day lateness allowance (the driver events span
+# ~30 days, so deterministic %3 batch interleaving produces BOTH real
+# late-but-allowed merges and genuinely-dropped stragglers).
+WM_WINDOW_US = 86_400_000_000
+WM_DELAY_US = 7 * 86_400_000_000
+
+
+class WatermarkAggSink:
+    """foreachBatch sink maintaining a WINDOWED aggregate under
+    event-time WATERMARK semantics — the late/out-of-order member of
+    the IVM family (AggSink: keyed totals; TopKSink: order statistics;
+    THIS: tumbling event-time windows with bounded lateness).
+
+    Structured Streaming's contract, reproduced exactly: the watermark
+    entering batch i is max(event time over batches < i) − delay; a row
+    with ts < watermark is LATE — dropped from the view but never
+    silently (the manifest accumulates n_late_total; late_report gives
+    the per-batch statement). Retained rows partial-aggregate into
+    their tumbling window (ts − ts % window) and merge by the same
+    associative+commutative integer algebra as AggSink, so batch
+    boundaries cannot change retained-row results.
+
+    Durability: state commits through the versioned-manifest protocol
+    (streaming/pipeline.py UpsertSink) — agg dir, watermark, applied
+    batch id, and late total repoint in ONE os.replace, so a crash
+    before commit leaves the prior state current and a checkpoint
+    replay of the same batch id is a no-op (exactly-once on top of
+    foreachBatch's at-least-once).
+
+    Scale shape: per batch one map-side partial row per (window, group)
+    + a |windows·groups|-row merge; the watermark gate is a scan-side
+    filter against one broadcast scalar. State never grows with history
+    length, only with the number of open windows·groups (eviction of
+    closed windows is a consumer policy — the view keeps them, as a
+    materialized rollup table would)."""
+
+    def __init__(self, base_dir: str, group_col: str, ts_col: str,
+                 value_col: str, window_us: int = WM_WINDOW_US,
+                 delay_us: int = WM_DELAY_US):
+        self.base_dir = base_dir
+        self.group_col = group_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.window_us = window_us
+        self.delay_us = delay_us
+
+    # -- manifest (watermark + batch id + agg dir commit in one replace)
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "_wm_manifest.json")
+
+    def meta(self) -> dict:
+        import json
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"current": None, "watermark_us": None,
+                "last_batch_id": -1, "n_late_total": 0}
+
+    def _commit(self, meta: dict) -> None:
+        import json
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    def state(self, spark) -> DataFrame | None:
+        cur = self.meta()["current"]
+        return spark.read.parquet(cur) if cur else None
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        wm = meta["watermark_us"]
+        ts = F.col(self.ts_col)
+
+        # One 1-row pass gives the batch max event time and the late
+        # count (driver-side single row: accepted collect class).
+        late_cond = F.lit(False) if wm is None else ts < F.lit(wm)
+        stats = batch.agg(
+            F.max(ts).alias("mx"),
+            F.sum(late_cond.cast("long")).alias("n_late")).collect()[0]
+
+        kept = batch if wm is None else batch.filter(~late_cond)
+        win = (ts - ts % F.lit(self.window_us)).alias("window_start_us")
+        parts = kept.groupBy(win, self.group_col).agg(
+            F.sum(self.value_col).alias("sum_v"),
+            F.count(self.value_col).alias("n_v"),
+            F.min(self.value_col).alias("min_v"),
+            F.max(self.value_col).alias("max_v"))
+        prior = self.state(spark)
+        if prior is not None:
+            parts = prior.unionByName(parts)
+        merged = parts.groupBy("window_start_us", self.group_col).agg(
+            F.sum("sum_v").alias("sum_v"), F.sum("n_v").alias("n_v"),
+            F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v"))
+
+        new_dir = os.path.join(self.base_dir, f"agg.v{batch_id}")
+        if new_dir == meta["current"]:
+            new_dir += "r"
+        merged.write.mode("overwrite").parquet(new_dir)
+        new_wm = wm
+        if stats["mx"] is not None:
+            cand = int(stats["mx"]) - self.delay_us
+            new_wm = cand if wm is None else max(wm, cand)
+        old_dir = meta["current"]
+        self._commit({"current": new_dir, "watermark_us": new_wm,
+                      "last_batch_id": batch_id,
+                      "n_late_total": meta["n_late_total"]
+                      + int(stats["n_late"] or 0)})
+        if old_dir and old_dir != new_dir and os.path.isdir(old_dir):
+            import shutil
+            shutil.rmtree(old_dir, ignore_errors=True)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def _wm_batches(spark, sf_dir: str, n_batches: int = 3):
+    """The deterministic late-arrival drive both registry rows share:
+    events split into n_batches by event_id % n (so every batch mixes
+    early and recent timestamps — later batches carry genuinely-late
+    rows), values quantized to exact cents."""
+    from postgres_es_cdc_spark.operators.common import events_table
+
+    e = events_table(spark, sf_dir).select(
+        "event_id", "ts_us", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    return [e.filter(F.col("event_id") % n_batches == i).drop("event_id")
+            for i in range(n_batches)]
+
+
+def ivm_watermark_rollup(spark, sf_dir: str) -> DataFrame:
+    """WatermarkAggSink driven end-to-end as a driver-checkable query:
+    fold the events stream into a per-(day-window, event_type) rollup
+    through three %3-interleaved batches under a 7-day watermark, then
+    return the maintained view. The oracle restates the EXACT watermark
+    rule in SQL: per-batch max event time, running max over prior
+    batches − delay, rows below it excluded — so what the sink drops,
+    the oracle drops, bit-for-bit."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="wm_rollup_")
+    try:
+        sink = WatermarkAggSink(base, group_col="event_type",
+                                ts_col="ts_us", value_col="cents")
+        for i, b in enumerate(_wm_batches(spark, sf_dir)):
+            sink.apply_batch(b, i)
+        view = sink.state(spark).localCheckpoint()  # outlive the tmpdir
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return view.select(
+        "window_start_us", "event_type",
+        F.col("n_v").alias("n_events"), F.col("sum_v").alias("sum_cents"),
+        F.col("min_v").alias("min_cents"), F.col("max_v").alias("max_cents"))
+
+
+_WM_KEPT_SQL = f"""
+e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         event_id % 3 AS b
+  FROM events
+), bmax AS (
+  SELECT b, MAX(ts_us) AS mx FROM e GROUP BY b
+), wm AS (
+  SELECT b, MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) - {WM_DELAY_US} AS wm_us
+  FROM bmax
+), flagged AS (
+  SELECT e.*, (wm.wm_us IS NOT NULL AND e.ts_us < wm.wm_us) AS late
+  FROM e JOIN wm USING (b)
+)"""
+
+IVM_WATERMARK_ROLLUP_SQL = f"""
+WITH {_WM_KEPT_SQL}
+SELECT ts_us - ts_us % {WM_WINDOW_US} AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM flagged WHERE NOT late
+GROUP BY 1, 2
+"""
+
+
+def ivm_watermark_late_report(spark, sf_dir: str) -> DataFrame:
+    """No-silent-drops side channel for the watermark gate: per batch,
+    how many rows the watermark admitted vs dropped, and the watermark
+    value the batch saw — the numRowsDroppedByWatermark statement of
+    Structured Streaming as an auditable table. The per-batch late
+    counts sum to the sink's committed n_late_total (pinned by the
+    stream==batch test).
+
+    Scale shape: the batch-max table is |batches| rows; the flag is a
+    scan-side comparison against a 3-row broadcast."""
+    from pyspark.sql import Window
+
+    batches = _wm_batches(spark, sf_dir)
+    flagged = None
+    for i, b in enumerate(batches):
+        flagged = b.withColumn("b", F.lit(i)) if flagged is None \
+            else flagged.unionByName(b.withColumn("b", F.lit(i)))
+    bmax = flagged.groupBy("b").agg(F.max("ts_us").alias("mx"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wm = bmax.withColumn("wm_us", F.max("mx").over(w) - F.lit(WM_DELAY_US))
+    j = flagged.join(F.broadcast(wm.select("b", "wm_us")), "b")
+    late = (F.col("wm_us").isNotNull()
+            & (F.col("ts_us") < F.col("wm_us")))
+    return (j.groupBy("b")
+             .agg(F.sum(late.cast("long")).alias("n_late"),
+                  F.sum((~late).cast("long")).alias("n_kept"),
+                  F.max("wm_us").alias("watermark_us"))
+             .select(F.col("b").alias("batch"), "n_late", "n_kept",
+                     "watermark_us"))
+
+
+IVM_WATERMARK_LATE_SQL = f"""
+WITH {_WM_KEPT_SQL}
+SELECT f.b AS batch,
+       CAST(SUM(CASE WHEN f.late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN f.late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       MAX(wm.wm_us) AS watermark_us
+FROM flagged f JOIN wm ON f.b = wm.b
+GROUP BY 1
+"""
+
+
 class TopKSink:
     """foreachBatch sink maintaining per-group TOP-K by a sort key —
     the order-statistics member of the IVM family next to AggSink's

@@ -735,3 +735,100 @@ def test_topk_merge_is_order_independent_and_idempotent(spark):
                     view.unionByName(part))
             got = {(r.grp, r.rid, r.v) for r in view.collect()}
             assert got == want, (trial, perm)
+
+
+def test_watermark_agg_sink_stream_matches_batch_under_late_data(
+        spark, tmp_path):
+    """WatermarkAggSink through the real file-stream harness with
+    deliberate late arrivals: rows older than (max prior event time -
+    delay) are dropped from the maintained windowed rollup, late counts
+    are committed to the manifest (no silent drops), and a replayed
+    batch id is a committed no-op."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.ivm import WatermarkAggSink
+
+    S = 1_000_000                       # seconds -> micros
+    schema = "ts_us long, grp string, v long"
+    batches = [
+        [(0 * S, "a", 1), (30 * S, "a", 2), (100 * S, "b", 3)],
+        # wm entering batch 1 = 100s - 120s = -20s: the 10s row is
+        # late-but-allowed and must MERGE into the [0,60) window.
+        [(10 * S, "a", 10), (200 * S, "b", 4)],
+        # wm entering batch 2 = 200s - 120s = 80s: 50s and 70s are
+        # genuinely late (dropped); 90s and 300s are kept.
+        [(50 * S, "a", 100), (70 * S, "b", 100), (90 * S, "a", 5),
+         (300 * S, "b", 6)],
+    ]
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    seen: set = set()
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema)
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                _os.utime(full, (base + b, base + b))
+                seen.add(full)
+
+    sink = WatermarkAggSink(str(tmp_path / "state"), group_col="grp",
+                            ts_col="ts_us", value_col="v",
+                            window_us=60 * S, delay_us=120 * S)
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.window_start_us, r.grp, r.sum_v, r.n_v, r.min_v, r.max_v)
+           for r in sink.state(spark).collect()}
+    want = {
+        (0, "a", 1 + 2 + 10, 3, 1, 10),        # late-but-allowed merged
+        (60 * S, "b", 3, 1, 3, 3),
+        (60 * S, "a", 5, 1, 5, 5),
+        (180 * S, "b", 4, 1, 4, 4),
+        (300 * S, "b", 6, 1, 6, 6),
+    }
+    assert got == want
+    meta = sink.meta()
+    assert meta["n_late_total"] == 2          # exactly the 50s/70s rows
+    assert meta["watermark_us"] == (300 - 120) * S
+    assert meta["last_batch_id"] == 2
+
+    # committed replay (same batch id): state and meta unchanged
+    sink.apply_batch(spark.createDataFrame(batches[2], schema), 2)
+    again = {(r.window_start_us, r.grp, r.sum_v, r.n_v, r.min_v, r.max_v)
+             for r in sink.state(spark).collect()}
+    assert again == want and sink.meta() == meta
+
+
+def test_watermark_agg_sink_torn_write_leaves_prior_state(spark, tmp_path):
+    """Crash-safety: garbage written into a version dir without the
+    manifest repoint (the crash window) leaves the committed state and
+    watermark untouched; the recovering batch merges on top of it."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.ivm import WatermarkAggSink
+
+    S = 1_000_000
+    schema = "ts_us long, grp string, v long"
+    sink = WatermarkAggSink(str(tmp_path / "state"), group_col="grp",
+                            ts_col="ts_us", value_col="v",
+                            window_us=60 * S, delay_us=120 * S)
+    sink.apply_batch(spark.createDataFrame([(0, "a", 1)], schema), 0)
+    committed = sink.meta()
+
+    torn = str(tmp_path / "state" / "agg.v1")
+    _os.makedirs(torn, exist_ok=True)
+    with open(_os.path.join(torn, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    assert sink.meta() == committed
+    assert [(r.grp, r.sum_v) for r in sink.state(spark).collect()] \
+        == [("a", 1)]
+
+    sink.apply_batch(
+        spark.createDataFrame([(30 * S, "a", 2)], schema), 1)
+    assert sorted((r.grp, r.sum_v, r.n_v)
+                  for r in sink.state(spark).collect()) == [("a", 3, 2)]
