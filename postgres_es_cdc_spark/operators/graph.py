@@ -513,3 +513,85 @@ SELECT n.src AS node,
        COALESCE(fd.deg, 0) >= {KCORE_K} AS in_core_after_peels
 FROM nodes n LEFT JOIN fd ON n.src = fd.src
 """)
+
+
+def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
+                         k: int = KCORE_K) -> DataFrame:
+    """k-core to FIXPOINT: peel "drop every node with degree < k,
+    recompute" until the edge set stops changing — the answer a real
+    user wants from k-core (graph_kcore_peel keeps the bounded-round
+    variant for the unrolled-oracle discipline; this row carries the
+    convergence-detected one, oracle'd by a recursive CTE).
+
+    Convergence detection: the peel step only ever REMOVES edges, so an
+    unchanged edge COUNT implies an unchanged edge SET implies every
+    remaining node has degree >= k (the fixpoint). Each round is one
+    partial-aggregable degree count + two semi-join filters over a
+    monotonically shrinking, per-round localCheckpointed frame (the CC
+    pattern: truncate lineage so the loop stays O(rounds), not
+    O(rounds^2) replans). Rounds are O(peel depth) <= O(|V|); on
+    power-law trade graphs the depth is small (~4 here).
+
+    Scale shape: identical per-round plan to graph_kcore_peel; the only
+    additions are one count() action per round (job barrier, no extra
+    shuffle) and lineage truncation."""
+    edges = _edges(spark, sf_dir)
+    surv = edges.localCheckpoint(eager=False)
+    n = surv.count()
+    while True:
+        keep = (surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= k).select("src"))
+        nxt = (surv.join(keep, "src")
+                   .join(keep.withColumnRenamed("src", "dst"), "dst")
+                   .select("src", "dst").localCheckpoint(eager=False))
+        m = nxt.count()
+        if m == n:
+            break
+        surv, n = nxt, m
+    fd = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select("src").distinct()
+    cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")
+    return (nodes.join(fd, "src", "left")
+                 .select(F.col("src").alias("node"),
+                         cd.alias("core_degree"),
+                         (cd >= k).alias("in_core")))
+
+
+# Recursive-CTE oracle: the working table of each iteration is the live
+# edge set; the step keeps only edges whose BOTH endpoints have degree
+# >= k and fires only while some node is still below k (so iterations
+# strictly shrink and the recursion terminates). The max-it rows are
+# the last materialized set; one more peel applied OUTSIDE the
+# recursion (kfin/fin) covers the everything-peeled ending, where the
+# recursion stops by producing zero rows rather than by the guard.
+GRAPH_KCORE_FIXPOINT_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (SELECT cust AS src, supp AS dst FROM p
+       UNION ALL SELECT supp AS src, cust AS dst FROM p),
+peel(src, dst, it) AS (
+  SELECT src, dst, 0 FROM e0
+  UNION ALL
+  SELECT e.src, e.dst, e.it + 1
+  FROM peel e
+  JOIN (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM peel GROUP BY src)
+        WHERE deg >= {KCORE_K}) a ON e.src = a.src
+  JOIN (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM peel GROUP BY src)
+        WHERE deg >= {KCORE_K}) b ON e.dst = b.src
+  WHERE EXISTS (SELECT 1 FROM (SELECT src, COUNT(*) AS deg FROM peel
+                               GROUP BY src) WHERE deg < {KCORE_K})
+),
+last AS (SELECT src, dst FROM peel WHERE it = (SELECT MAX(it) FROM peel)),
+kfin AS (SELECT src FROM (SELECT src, COUNT(*) AS deg FROM last GROUP BY src)
+         WHERE deg >= {KCORE_K}),
+fin AS (SELECT e.src, e.dst FROM last e
+        JOIN kfin a ON e.src = a.src JOIN kfin b ON e.dst = b.src),
+fd AS (SELECT src, COUNT(*) AS deg FROM fin GROUP BY src),
+nodes AS (SELECT DISTINCT src FROM e0)
+SELECT n.src AS node,
+       CAST(COALESCE(fd.deg, 0) AS BIGINT) AS core_degree,
+       COALESCE(fd.deg, 0) >= {KCORE_K} AS in_core
+FROM nodes n LEFT JOIN fd ON n.src = fd.src
+"""

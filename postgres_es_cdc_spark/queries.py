@@ -76,6 +76,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_supplier_hhi": QuerySpec(analytics.part_supplier_hhi, analytics.PART_SUPPLIER_HHI_SQL),
     # bounded k-core peel (unrolled oracle, BFS discipline)
     "graph_kcore_peel": QuerySpec(graph.graph_kcore_peel, graph.GRAPH_KCORE_SQL),
+    "graph_kcore_fixpoint": QuerySpec(graph.graph_kcore_fixpoint, graph.GRAPH_KCORE_FIXPOINT_SQL),
     # IVF cell balance observability
     "emb_quantizer_balance": QuerySpec(similarity.emb_quantizer_balance, similarity.EMB_QUANTIZER_BALANCE_SQL),
     # CCNet-style LM keep/drop rollup; cross-source duplication matrix

