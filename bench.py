@@ -111,6 +111,15 @@ HEADLINE = [
     "docs_perplexity_filter_report",
     "docs_near_dup_rate_by_source",
     "ivm_topk_orders_by_segment",
+    # round-6 flagships
+    "orders_basket_overflow_report",
+    "ivm_watermark_rollup",
+    "ivm_watermark_late_report",
+    "graph_kcore_fixpoint",
+    "part_name_fuzzy_pairs",
+    "docs_bpe_pair_stats",
+    "graph_common_neighbors_topk",
+    "cdc_schema_evolution_fold",
 ]
 
 

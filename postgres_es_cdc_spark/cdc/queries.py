@@ -352,3 +352,17 @@ WITH sz AS (
 )
 SELECT n AS txn_size, COUNT(*) AS n_txns FROM sz GROUP BY 1
 """
+
+
+# Closed-form expected state of cdc_schema_evolution_fold: every order
+# INSERTed under relation v1 (3 columns), priority added by relation v2
+# and set only for id % 3 == 0 — never-updated rows surface NULL (the
+# putAll key-absent contract under DDL drift).
+CDC_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey AS id,
+       o_custkey AS custkey,
+       o_orderstatus AS status,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'P-' || o_orderpriority END
+         AS priority
+FROM orders
+"""

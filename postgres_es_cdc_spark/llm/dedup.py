@@ -1365,3 +1365,77 @@ JOIN documents a ON a.doc_id = norm.da
 JOIN documents b ON b.doc_id = norm.db
 GROUP BY 1, 2
 """
+
+
+FUZZY_MAX_DIST = 5
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str,
+                          max_dist: int = FUZZY_MAX_DIST,
+                          cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """Edit-distance fuzzy duplicate pairs over the part-name VOCABULARY
+    — the string-similarity member of the dedup arsenal (exact / MinHash
+    / SimHash / n-gram Jaccard / embedding-cosine / chunk / THIS), the
+    shape behind catalog-entity resolution and typo-tolerant keying.
+
+    Blocking is the standard token fuzzy-join: candidate pairs must
+    share at least one word (join on the exploded word table), then the
+    exact Levenshtein distance verifies candidates at <= max_dist.
+    Both engines implement textbook unit-cost edit distance, so the
+    pair set is bit-exact.
+
+    Scale shape: everything runs on the NAME VOCABULARY (one groupBy of
+    the part scan), never on part rows — fuzzy joins over raw rows
+    would square corpus size. Word blocks are row_number-capped at
+    PAIR_BUCKET_CAP before pairing (same guard as every pair path, same
+    no-silent-caps discipline: at driver scale the largest block is the
+    vocabulary itself, far under the cap). Per-pair verification is one
+    O(len²) distance on ≤25-char strings."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    words = (names.select("p_name",
+                          F.explode(F.split("p_name", " ")).alias("w"))
+                  .distinct())
+    words = _cap_buckets(words, ["w"], "p_name", cap)
+    a = words.select(F.col("p_name").alias("name_a"), "w")
+    b = words.select(F.col("p_name").alias("name_b"), "w")
+    cand = (a.join(b, "w").filter(F.col("name_a") < F.col("name_b"))
+             .select("name_a", "name_b").distinct())
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    na = names.select(F.col("p_name").alias("name_a"),
+                      F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("p_name").alias("name_b"),
+                      F.col("n_parts").alias("n_parts_b"))
+    return (cand.withColumn("dist", dist)
+                .filter(F.col("dist") <= max_dist)
+                .join(F.broadcast(na), "name_a")
+                .join(F.broadcast(nb), "name_b")
+                .select("name_a", "name_b", "dist",
+                        "n_parts_a", "n_parts_b"))
+
+
+PART_NAME_FUZZY_SQL = f"""
+WITH names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+words AS (
+  SELECT DISTINCT p_name, unnest(string_split(p_name, ' ')) AS w
+  FROM names
+),
+wcap AS (
+  SELECT p_name, w
+  FROM (SELECT p_name, w,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY p_name) AS rn
+        FROM words)
+  WHERE rn <= {PAIR_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM wcap a JOIN wcap b ON a.w = b.w AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+FROM cand
+JOIN names na ON na.p_name = name_a
+JOIN names nb ON nb.p_name = name_b
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+"""

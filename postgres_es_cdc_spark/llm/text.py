@@ -642,3 +642,65 @@ SELECT doc_id,
          / CAST(SUM(c) AS DOUBLE) AS dup_bigram_fraction
 FROM per_bg GROUP BY doc_id
 """
+
+
+BPE_PAIR_TOP = 30
+
+
+def docs_bpe_pair_stats(spark: SparkSession, sf_dir: str,
+                        top: int = BPE_PAIR_TOP) -> DataFrame:
+    """BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    TOKENIZER TRAINING (the step docs_bpe_token_count's regex only
+    approximates): count adjacent character pairs across the corpus,
+    weighted by word frequency; the argmax pair is the next BPE merge.
+    One training iteration exposed as a table: the top ``top`` candidate
+    merges with exact corpus-weighted counts.
+
+    Scale shape: pair generation runs over the word VOCABULARY (one
+    map-side-combinable word count compacts the corpus first), so the
+    explode is vocab-sized, not corpus-sized — exactly how production
+    BPE trainers batch it. Final ranking is a bounded TakeOrdered,
+    never a vocabulary-wide window. Ties: (c1, c2) asc.
+
+    Guard (DEVNOTES rule 4): Spark sequence(1, 0) counts DOWN, so
+    1-char words are filtered before pair generation (they contribute
+    no pairs); DuckDB's generate_series(1, 0) is empty, same result."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(tokens(F.col("text"))).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+    pv = vocab.filter(F.length("word") >= 2)
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word) - 1),"
+        " i -> named_struct('c1', substring(word, i, 1),"
+        "                   'c2', substring(word, i + 1, 1)))")
+    pairs = pv.select("wn", F.explode(pair_arr).alias("p"))
+    counts = (pairs.groupBy(F.col("p.c1").alias("c1"),
+                            F.col("p.c2").alias("c2"))
+                   .agg(F.sum("wn").alias("n")))
+    topk = counts.orderBy(F.desc("n"), F.asc("c1"), F.asc("c2")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("c1"), F.asc("c2"))
+    return (topk.withColumn("rank", F.row_number().over(w))
+                .select("rank", "c1", "c2", "n"))
+
+
+DOCS_BPE_PAIR_SQL = f"""
+WITH vocab AS (
+  SELECT w AS word, COUNT(*) AS wn
+  FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS w FROM documents)
+  GROUP BY 1
+),
+pos AS (
+  SELECT word, wn, unnest(generate_series(1, length(word) - 1)) AS i
+  FROM vocab WHERE length(word) >= 2
+),
+pc AS (
+  SELECT substring(word, i, 1) AS c1, substring(word, i + 1, 1) AS c2,
+         CAST(SUM(wn) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, c1 ASC, c2 ASC) AS rank,
+       c1, c2, n
+FROM pc
+ORDER BY n DESC, c1 ASC, c2 ASC
+LIMIT {BPE_PAIR_TOP}
+"""

@@ -23,7 +23,7 @@ reuse the partitioning every iteration (bucketed by src).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
@@ -594,4 +594,68 @@ SELECT n.src AS node,
        CAST(COALESCE(fd.deg, 0) AS BIGINT) AS core_degree,
        COALESCE(fd.deg, 0) >= {KCORE_K} AS in_core
 FROM nodes n LEFT JOIN fd ON n.src = fd.src
+"""
+
+
+CN_TOP = 20
+CN_BUCKET_CAP = 1000
+
+
+def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str,
+                                top: int = CN_TOP,
+                                cap: int = CN_BUCKET_CAP) -> DataFrame:
+    """Common-neighbor link prediction on the bipartite trade graph:
+    the customer pairs sharing the most suppliers — the triadic-closure
+    score behind "customers like you also buy from" recommendations and
+    collusion screening, and the simplest of the neighborhood-overlap
+    link predictors (common neighbors ⊂ Jaccard ⊂ Adamic-Adar).
+
+    Scale shape: the pair join is keyed by supplier, so fan-out is
+    Σ_s deg(s)² — bounded by row_number-capping each supplier's
+    customer list at ``cap`` before pairing (dedup's PAIR_BUCKET_CAP
+    pattern; a retail-giant hub supplier would otherwise emit deg²
+    pairs). The count is partial-aggregable; the final ranking is a
+    bounded TakeOrdered. At billions of edges the same query drops the
+    exact count for a minhash sketch of neighbor sets; the capped exact
+    form is the verification oracle. Ties: (cust_a, cust_b) asc."""
+    from postgres_es_cdc_spark.llm.dedup import _cap_buckets
+
+    ce = _edges(spark, sf_dir).filter(F.col("src") % 2 == 0)  # cust->supp
+    capped = _cap_buckets(ce, ["dst"], "src", cap)
+    a = capped.select(F.col("src").alias("cust_a"), "dst")
+    b = capped.select(F.col("src").alias("cust_b"), "dst")
+    pairs = (a.join(b, "dst").filter(F.col("cust_a") < F.col("cust_b"))
+              .groupBy("cust_a", "cust_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    topk = pairs.orderBy(F.desc("n_common"), F.asc("cust_a"),
+                         F.asc("cust_b")).limit(top)
+    w = Window.orderBy(F.desc("n_common"), F.asc("cust_a"),
+                       F.asc("cust_b"))
+    return (topk.withColumn("rank", F.row_number().over(w))
+                .select("rank", "cust_a", "cust_b", "n_common"))
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+pc AS (
+  SELECT cust, supp
+  FROM (SELECT cust, supp,
+               ROW_NUMBER() OVER (PARTITION BY supp ORDER BY cust) AS rn
+        FROM p)
+  WHERE rn <= {CN_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
+  FROM pc a JOIN pc b ON a.supp = b.supp AND a.cust < b.cust
+  GROUP BY 1, 2
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n_common DESC, cust_a ASC, cust_b ASC)
+         AS rank,
+       cust_a, cust_b, n_common
+FROM pairs
+ORDER BY n_common DESC, cust_a ASC, cust_b ASC
+LIMIT {CN_TOP}
 """

@@ -47,6 +47,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_lang_id": QuerySpec(text.docs_lang_id, text.DOCS_LANG_ID_SQL),
     "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
     "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
+    "docs_bpe_pair_stats": QuerySpec(text.docs_bpe_pair_stats, text.DOCS_BPE_PAIR_SQL),
     "docs_top_terms": QuerySpec(text.docs_top_terms, text.DOCS_TOP_TERMS_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),
@@ -77,11 +78,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # bounded k-core peel (unrolled oracle, BFS discipline)
     "graph_kcore_peel": QuerySpec(graph.graph_kcore_peel, graph.GRAPH_KCORE_SQL),
     "graph_kcore_fixpoint": QuerySpec(graph.graph_kcore_fixpoint, graph.GRAPH_KCORE_FIXPOINT_SQL),
+    "graph_common_neighbors_topk": QuerySpec(graph.graph_common_neighbors_topk, graph.GRAPH_COMMON_NEIGHBORS_SQL),
     # IVF cell balance observability
     "emb_quantizer_balance": QuerySpec(similarity.emb_quantizer_balance, similarity.EMB_QUANTIZER_BALANCE_SQL),
     # CCNet-style LM keep/drop rollup; cross-source duplication matrix
     "docs_perplexity_filter_report": QuerySpec(lm.docs_perplexity_filter_report, lm.DOCS_PPL_FILTER_SQL),
     "docs_near_dup_rate_by_source": QuerySpec(dedup.docs_near_dup_rate_by_source, dedup.DOCS_NEAR_DUP_BY_SOURCE_SQL),
+    "part_name_fuzzy_pairs": QuerySpec(dedup.part_name_fuzzy_pairs, dedup.PART_NAME_FUZZY_SQL),
     # TopKSink's k-bounded semilattice merge vs one-shot per-group top-k
     "ivm_topk_orders_by_segment": QuerySpec(ivm.ivm_topk_orders_by_segment, ivm.IVM_TOPK_SEGMENT_SQL),
     "ivm_watermark_rollup": QuerySpec(ivm.ivm_watermark_rollup, ivm.IVM_WATERMARK_ROLLUP_SQL),
@@ -147,6 +150,8 @@ REGISTRY: dict[str, QuerySpec] = {
         cdcq.cdc_txn_committed_only, cdcq.CDC_TXN_COMMITTED_SQL),
     # typed events -> byte-exact pgoutput wire -> decode -> fold; oracle
     # is the independent expected-state projection.
+    "cdc_schema_evolution_fold": QuerySpec(
+        pgoutput.cdc_schema_evolution_fold, cdcq.CDC_SCHEMA_EVOLUTION_SQL),
     "cdc_pgoutput_roundtrip": QuerySpec(
         pgoutput.cdc_pgoutput_roundtrip, cdcq.CDC_APPLY_SQL),
     # --- sketch with deterministic accuracy assertion (hash-checked) ---

@@ -381,9 +381,109 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(decoded, schema)
 
 
+def cdc_schema_evolution_fold(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Mid-stream SCHEMA EVOLUTION through the wire codec — the DDL
+    case the reference mishandles by construction (producer.go:110-124
+    caches each Relation as it arrives but replays from a fixed
+    position, so a column added mid-stream desynchronizes older rows):
+    a v1 Relation declares (id, custkey, status) and every order
+    INSERTs under it; a v2 Relation re-send for the SAME oid ADDS
+    'priority'; post-evolution UPDATEs set priority for id % 3 == 0.
+
+    decode_with_relation_resends splits the batch at each Relation
+    offset, so pre-evolution rows decode with 3-column tuples and
+    post-evolution rows with 4 — WAL-reader semantics. Folding with the
+    EVOLVED schema surfaces the added column as NULL for never-updated
+    rows: exactly the putAll key-absent contract (es.go:47-86) applied
+    to DDL drift, with no backfill rewrite of old events.
+
+    Scale shape: the relation pass collects only the 2 'R' rows; decode
+    is the same Arrow-batched span scan as the streaming path; the fold
+    is one partial-aggregable per-key reduction."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.cdc.apply import apply_changes
+    from postgres_es_cdc_spark.catalog import table
+
+    oid = 16400
+    v1_schema = _parse_datatype_string(
+        "id long, custkey long, status string")
+    v2_schema = _parse_datatype_string(
+        "id long, custkey long, status string, priority string")
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1_ev = o.select(
+        (k * 10).cast("long").alias("offset"),
+        F.lit("INSERT").alias("operationType"),
+        F.struct(k.cast("long").alias("id"),
+                 F.col("o_custkey").cast("long").alias("custkey"),
+                 F.col("o_orderstatus").alias("status")).alias("payload"),
+        F.array(F.lit("id"), F.lit("custkey"),
+                F.lit("status")).alias("payload_fields"))
+    evo_off = 10 ** 10
+    v2_ev = o.filter(k % 3 == 0).select(
+        (F.lit(evo_off) + k * 10).cast("long").alias("offset"),
+        F.lit("UPDATE").alias("operationType"),
+        F.struct(k.cast("long").alias("id"),
+                 F.lit(None).cast("long").alias("custkey"),
+                 F.lit(None).cast("string").alias("status"),
+                 F.concat(F.lit("P-"), F.col("o_orderpriority"))
+                  .alias("priority")).alias("payload"),
+        F.array(F.lit("id"), F.lit("priority")).alias("payload_fields"))
+
+    def rel(off: int, cols: list) -> DataFrame:
+        return spark.createDataFrame(
+            [(off, bytearray(encode_relation(oid, "orders_evo", cols)))],
+            "offset long, data binary")
+
+    wire = (rel(-2, ["id", "custkey", "status"])
+            .unionByName(encode_typed_events(v1_ev, oid, v1_schema))
+            .unionByName(rel(evo_off - 5,
+                             ["id", "custkey", "status", "priority"]))
+            .unionByName(encode_typed_events(v2_ev, oid, v2_schema)))
+    decoded, _ = decode_with_relation_resends(wire, {})
+    return apply_changes(decoded, v2_schema)
+
+
 # ---------------------------------------------------------------------------
 # Streaming frontend: WAL segments -> decode -> transaction-atomic sink
 # ---------------------------------------------------------------------------
+
+
+def decode_with_relation_resends(batch: DataFrame,
+                                 relcache: dict) -> tuple:
+    """Decode honoring WAL order across Relation (re-)sends: data rows
+    preceding a mid-batch Relation message decode against the PRIOR
+    schema version, exactly as a sequential reader (producer.go caches
+    as it reads) would. The batch is split at each Relation offset and
+    each span decodes with the cache as of that point; Relation
+    messages are vocabulary-count rare, so this is 1 span in the steady
+    state. Returns (events, updated_cache). Shared by WalStreamApply's
+    per-micro-batch path and cdc_schema_evolution_fold."""
+    rel_rows = sorted(
+        ((r[0], bytes(r[1])) for r in
+         batch.filter(F.expr("substring(data, 1, 1) = X'52'"))
+              .select("offset", "data").collect()),
+        key=lambda t: t[0])
+    if not rel_rows:
+        return decode_messages(batch, dict(relcache)), dict(relcache)
+    cache = dict(relcache)
+    spans: list[DataFrame] = []
+    lo: int | None = None
+    for off, data in rel_rows:
+        cond = (F.col("offset") < off) if lo is None else (
+            (F.col("offset") > lo) & (F.col("offset") < off))
+        spans.append(decode_messages(batch.filter(cond), dict(cache)))
+        oid, name, cols = decode_relation(data)
+        cache[oid] = (name, cols)
+        lo = off
+    spans.append(
+        decode_messages(batch.filter(F.col("offset") > lo), dict(cache)))
+    ev = spans[0]
+    for s in spans[1:]:
+        ev = ev.unionByName(s)
+    return ev, cache
 
 
 class WalStreamApply:
@@ -457,36 +557,9 @@ class WalStreamApply:
         self._save_context()
 
     def _decode_in_offset_order(self, batch: DataFrame) -> DataFrame:
-        """Decode honoring WAL order across Relation re-sends: data rows
-        preceding a mid-batch Relation message decode against the PRIOR
-        schema version, exactly as a sequential reader (producer.go
-        caches as it reads) would. The batch is split at each Relation
-        offset and each span decodes with the cache as of that point;
-        Relation messages are vocabulary-count rare, so this is 1 span
-        in the steady state."""
-        rel_rows = sorted(
-            ((r[0], bytes(r[1])) for r in
-             batch.filter(F.expr("substring(data, 1, 1) = X'52'"))
-                  .select("offset", "data").collect()),
-            key=lambda t: t[0])
-        if not rel_rows:
-            return decode_messages(batch, dict(self.relcache))
-        cache = dict(self.relcache)
-        spans: list[DataFrame] = []
-        lo: int | None = None
-        for off, data in rel_rows:
-            cond = (F.col("offset") < off) if lo is None else (
-                (F.col("offset") > lo) & (F.col("offset") < off))
-            spans.append(decode_messages(batch.filter(cond), dict(cache)))
-            oid, name, cols = decode_relation(data)
-            cache[oid] = (name, cols)
-            lo = off
-        spans.append(
-            decode_messages(batch.filter(F.col("offset") > lo), dict(cache)))
+        ev, cache = decode_with_relation_resends(batch,
+                                                 dict(self.relcache))
         self.relcache = cache
-        ev = spans[0]
-        for s in spans[1:]:
-            ev = ev.unionByName(s)
         return ev
 
     def writer(self):

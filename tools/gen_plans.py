@@ -163,9 +163,37 @@ PICKS = {
         "<=1024-row feature table that BROADCASTS into the per-token "
         "scoring join; detlog ln runs once per feature, not per token.",
     "orders_basket_affinity":
-        "Basket pairs: the self-join key is the order (basket size "
-        "bounds the blow-up); support filtering happens inside the "
+        "Basket pairs: the self-join key is the order; BASKET_CAP "
+        "row_numbers each basket before the self-join so one hub order "
+        "cannot emit deg^2 pairs; support filtering happens inside the "
         "partial-aggregable pair count; final ranking is TakeOrdered.",
+    "graph_kcore_fixpoint":
+        "Convergence-detected peel: per round one partial-aggregable "
+        "degree count + two semi-join filters over a shrinking, "
+        "localCheckpointed edge set; stable edge count terminates "
+        "(monotone removal => fixpoint).",
+    "ivm_watermark_rollup":
+        "Watermark gate is a scan-side filter against one broadcast "
+        "scalar; retained rows partial-aggregate into tumbling windows "
+        "and merge with the |windows x groups|-row state — per-batch "
+        "cost independent of history.",
+    "part_name_fuzzy_pairs":
+        "Fuzzy join runs on the name VOCABULARY (one groupBy compacts "
+        "the scan), word-blocked and PAIR_BUCKET_CAP-capped before "
+        "pairing; Levenshtein verifies only candidates.",
+    "graph_common_neighbors_topk":
+        "Common-neighbor pairs keyed by supplier with a per-supplier "
+        "cap (sum deg^2 bounded); partial-aggregable count; bounded "
+        "TakeOrdered top-k.",
+    "cdc_schema_evolution_fold":
+        "Relation pass collects only the 2 'R' rows; span decode is "
+        "the same Arrow-batched mapInPandas as the streaming path; the "
+        "fold is one partial-aggregable per-key reduction over the "
+        "evolved schema.",
+    "docs_bpe_pair_stats":
+        "Word-count MapReduce compacts the corpus to its vocabulary "
+        "first; the char-pair explode is vocab-sized; final ranking is "
+        "a bounded TakeOrdered.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries

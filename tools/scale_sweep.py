@@ -58,10 +58,23 @@ SWEEP = [
     "graph_kcore_peel",
     "emb_quantizer_balance",
     "docs_quality_filter_funnel",
-    "docs_dsir_weights",
     "docs_perplexity_filter_report",
     "docs_near_dup_rate_by_source",
     "part_supplier_hhi",
+    # round-5 additions not yet swept (VERDICT r5 item 5)
+    "events_path_mining",
+    "events_anomaly_zscore",
+    "ivm_topk_orders_by_segment",
+    "docs_ngram_coverage",
+    # round-6 additions
+    "graph_kcore_fixpoint",
+    "orders_basket_overflow_report",
+    "ivm_watermark_rollup",
+    "ivm_watermark_late_report",
+    "part_name_fuzzy_pairs",
+    "docs_bpe_pair_stats",
+    "graph_common_neighbors_topk",
+    "cdc_schema_evolution_fold",
 ]
 
 
@@ -70,7 +83,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/repo/.scale/sf1")
     ap.add_argument("--baseline", default=None,
                     help="bench.py JSON at sf0.1 for ratio reporting")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset (isolated reruns: "
+                         "in-sweep neighbors cause 3x GC spikes, so judge "
+                         "per-query numbers from isolated processes)")
     args = ap.parse_args()
+    sweep = ([q for q in args.only.split(",") if q] if args.only
+             else SWEEP)
 
     base = {}
     if args.baseline:
@@ -87,7 +106,7 @@ def main() -> None:
         return time.time() - t0
 
     results = {}
-    for name in SWEEP:
+    for name in sweep:
         try:
             run(name)  # warm-up: JIT + codegen + parquet footers
             sec = run(name)
