@@ -601,41 +601,101 @@ CN_TOP = 20
 CN_BUCKET_CAP = 1000
 
 
+def _mh(a: int, b: int):
+    """Minhash permutation as a 1-arg transform lambda (factory closure:
+    default-arg capture would change the lambda's arity and flip
+    F.transform into its (element, index) form — DEVNOTES rule 8)."""
+    from postgres_es_cdc_spark.llm.dedup import MINHASH_P
+    return lambda s: (s * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+
 def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str,
                                 top: int = CN_TOP,
                                 cap: int = CN_BUCKET_CAP) -> DataFrame:
     """Common-neighbor link prediction on the bipartite trade graph:
     the customer pairs sharing the most suppliers — the triadic-closure
     score behind "customers like you also buy from" recommendations and
-    collusion screening, and the simplest of the neighborhood-overlap
-    link predictors (common neighbors ⊂ Jaccard ⊂ Adamic-Adar).
+    collusion screening.
 
-    Scale shape: the pair join is keyed by supplier, so fan-out is
-    Σ_s deg(s)² — bounded by row_number-capping each supplier's
-    customer list at ``cap`` before pairing (dedup's PAIR_BUCKET_CAP
-    pattern; a retail-giant hub supplier would otherwise emit deg²
-    pairs). The count is partial-aggregable; the final ranking is a
-    bounded TakeOrdered. At billions of edges the same query drops the
-    exact count for a minhash sketch of neighbor sets; the capped exact
-    form is the verification oracle. Ties: (cust_a, cust_b) asc."""
-    from postgres_es_cdc_spark.llm.dedup import _cap_buckets
+    Two-stage design, because the graph is DENSE on the supplier side
+    (every supplier serves ~590 customers at every sf — the sf1 sweep
+    measured the naive supplier-keyed pair join at 3.4e9 pair rows /
+    518 s, Σ deg² with no rare keys for a cap to exploit):
+
+      1. CANDIDATES by MinHash-LSH over each customer's supplier SET —
+         the dedup arsenal's banding (same permutation constants,
+         LSH_BANDS r=2 layout, PAIR_BUCKET_CAP-capped buckets) applied
+         to adjacency lists. Work is O(customers · perms · deg) + capped
+         bucket pairing — linear in edges, never Σ deg².
+      2. EXACT verify on candidates only: n_common = |N(a) ∩ N(b)| via
+         array_intersect of the two (sorted, per-customer-capped)
+         adjacency arrays — customer degree is the SPARSE side (~40),
+         so each verify touches ~80 ints.
+
+    The contract is therefore "top-k by exact common-neighbor count
+    AMONG LSH candidates" (recall 1-(1-J²)⁴ per pair at Jaccard J —
+    high-overlap pairs are found with high probability, and the top
+    pairs are exactly the high-overlap ones). The oracle reproduces the
+    identical signatures, banding, caps, and intersection counts, so
+    the result is bit-exact. Ties: (cust_a, cust_b) asc."""
+    from postgres_es_cdc_spark.llm.dedup import (LSH_BANDS, MINHASH_PERMS,
+                                                 _cap_buckets)
 
     ce = _edges(spark, sf_dir).filter(F.col("src") % 2 == 0)  # cust->supp
-    capped = _cap_buckets(ce, ["dst"], "src", cap)
-    a = capped.select(F.col("src").alias("cust_a"), "dst")
-    b = capped.select(F.col("src").alias("cust_b"), "dst")
-    pairs = (a.join(b, "dst").filter(F.col("cust_a") < F.col("cust_b"))
-              .groupBy("cust_a", "cust_b")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    topk = pairs.orderBy(F.desc("n_common"), F.asc("cust_a"),
-                         F.asc("cust_b")).limit(top)
+    # bound the per-customer adjacency list BEFORE collecting it
+    ce = _cap_buckets(ce, ["src"], "dst", cap)
+    # Checkpointed: adj feeds THREE plan branches (signatures + both
+    # verify sides); without it each branch recomputes the edge window
+    # + collect — the compacted adjacency is the persistence point
+    # (same reasoning as triangle counting's cached orientation).
+    adj = (ce.groupBy("src")
+             .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+             .localCheckpoint(eager=False))
+    sig_cols = [
+        F.array_min(F.transform(F.col("nbrs"), _mh(a, b))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)]
+    sigs = adj.select("src", *sig_cols)
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.col(f"sig{i}").alias("k1"),
+                 F.col(f"sig{j}").alias("k2"))
+        for bi, (i, j) in enumerate(LSH_BANDS)])
+    bands = (sigs.select("src", F.explode(band_structs).alias("b"))
+                 .select("src", "b.band_idx", "b.k1", "b.k2"))
+    bands = _cap_buckets(bands, ["band_idx", "k1", "k2"], "src", cap)
+    l = bands.select(F.col("src").alias("cust_a"), "band_idx", "k1", "k2")
+    r = bands.select(F.col("src").alias("cust_b"), "band_idx", "k1", "k2")
+    cand = (l.join(r, ["band_idx", "k1", "k2"])
+             .filter(F.col("cust_a") < F.col("cust_b"))
+             .select("cust_a", "cust_b").distinct())
+    xa = adj.select(F.col("src").alias("cust_a"),
+                    F.col("nbrs").alias("na"))
+    xb = adj.select(F.col("src").alias("cust_b"),
+                    F.col("nbrs").alias("nb"))
+    scored = (cand.join(xa, "cust_a").join(xb, "cust_b")
+                  .select("cust_a", "cust_b",
+                          F.size(F.array_intersect("na", "nb"))
+                           .cast("long").alias("n_common")))
+    topk = scored.orderBy(F.desc("n_common"), F.asc("cust_a"),
+                          F.asc("cust_b")).limit(top)
     w = Window.orderBy(F.desc("n_common"), F.asc("cust_a"),
                        F.asc("cust_b"))
     return (topk.withColumn("rank", F.row_number().over(w))
                 .select("rank", "cust_a", "cust_b", "n_common"))
 
 
-GRAPH_COMMON_NEIGHBORS_SQL = f"""
+def _cn_sql() -> str:
+    from postgres_es_cdc_spark.llm.dedup import (LSH_BANDS, MINHASH_P,
+                                                 MINHASH_PERMS)
+    sig_sel = ",\n".join(
+        f"       list_min(list_transform(nbrs, s -> (s*{a} + {b}) % "
+        f"{MINHASH_P})) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS))
+    band_sel = "\n  UNION ALL\n".join(
+        f"  SELECT cust, {bi} AS band_idx, sig{i} AS k1, sig{j} AS k2 "
+        f"FROM sigs"
+        for bi, (i, j) in enumerate(LSH_BANDS))
+    return f"""
 WITH p AS (
   SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -643,19 +703,48 @@ WITH p AS (
 pc AS (
   SELECT cust, supp
   FROM (SELECT cust, supp,
-               ROW_NUMBER() OVER (PARTITION BY supp ORDER BY cust) AS rn
+               ROW_NUMBER() OVER (PARTITION BY cust ORDER BY supp) AS rn
         FROM p)
-  WHERE rn <= {CN_BUCKET_CAP}
+  WHERE rn <= {{cap}}
 ),
-pairs AS (
-  SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
-  FROM pc a JOIN pc b ON a.supp = b.supp AND a.cust < b.cust
-  GROUP BY 1, 2
+adj AS (SELECT cust, list_sort(list(supp)) AS nbrs FROM pc GROUP BY cust),
+sigs AS (
+  SELECT cust, nbrs,
+{sig_sel}
+  FROM adj
+),
+bands AS (
+{band_sel}
+),
+bcap AS (
+  SELECT cust, band_idx, k1, k2
+  FROM (SELECT cust, band_idx, k1, k2,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, k1, k2
+                                  ORDER BY cust) AS rn
+        FROM bands)
+  WHERE rn <= {{cap}}
+),
+cand AS (
+  SELECT DISTINCT a.cust AS cust_a, b.cust AS cust_b
+  FROM bcap a JOIN bcap b
+    ON a.band_idx = b.band_idx AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.cust < b.cust
+),
+scored AS (
+  SELECT cust_a, cust_b,
+         CAST(len(list_intersect(x.nbrs, y.nbrs)) AS BIGINT) AS n_common
+  FROM cand
+  JOIN adj x ON x.cust = cand.cust_a
+  JOIN adj y ON y.cust = cand.cust_b
 )
 SELECT ROW_NUMBER() OVER (ORDER BY n_common DESC, cust_a ASC, cust_b ASC)
          AS rank,
        cust_a, cust_b, n_common
-FROM pairs
+FROM scored
 ORDER BY n_common DESC, cust_a ASC, cust_b ASC
-LIMIT {CN_TOP}
+LIMIT {{top}}
 """
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = _cn_sql().format(cap=CN_BUCKET_CAP,
+                                              top=CN_TOP)

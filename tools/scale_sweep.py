@@ -100,8 +100,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> float:
-        df = REGISTRY[name].fn(spark, args.sf_dir)
+        # time fn() + write, same clock as bench.py: some queries do
+        # eager driver-side work inside fn (sink-driven IVM rows), which
+        # a write-only timer would miss entirely
         t0 = time.time()
+        df = REGISTRY[name].fn(spark, args.sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
