@@ -120,6 +120,7 @@ HEADLINE = [
     "docs_bpe_pair_stats",
     "graph_common_neighbors_topk",
     "cdc_schema_evolution_fold",
+    "ivm_session_rollup",
 ]
 
 

@@ -89,6 +89,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_topk_orders_by_segment": QuerySpec(ivm.ivm_topk_orders_by_segment, ivm.IVM_TOPK_SEGMENT_SQL),
     "ivm_watermark_rollup": QuerySpec(ivm.ivm_watermark_rollup, ivm.IVM_WATERMARK_ROLLUP_SQL),
     "ivm_watermark_late_report": QuerySpec(ivm.ivm_watermark_late_report, ivm.IVM_WATERMARK_LATE_SQL),
+    "ivm_session_rollup": QuerySpec(ivm.ivm_session_rollup, ivm.IVM_SESSION_ROLLUP_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;

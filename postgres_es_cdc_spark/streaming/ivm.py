@@ -400,6 +400,166 @@ def WindowSpec_topk(group_col: str, order_col: str, tie_col: str):
                   .orderBy(F.desc(order_col), F.asc(tie_col)))
 
 
+SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap
+
+
+class SessionSink:
+    """foreachBatch sink maintaining per-key GAP-MERGED SESSIONS — the
+    session-window member of the IVM family (AggSink: totals; TopKSink:
+    order statistics; WatermarkAggSink: tumbling event-time windows;
+    THIS: data-driven windows that MERGE as late points bridge them).
+
+    The merge algebra is the interval-set semilattice: collapsing
+    points to [min,max] intervals preserves every gap boundary, so
+    sessionize(A ∪ B) == sessionize(sessionize(A) ∪ sessionize(B)) —
+    batch order cannot change the final session set, and a point
+    arriving between two existing sessions correctly FUSES them (their
+    counts add). Event counts ride the intervals as summed weights.
+
+    Durability and replay: the same versioned-manifest commit as
+    WatermarkAggSink — state dir + applied batch id repoint in one
+    os.replace, so a crash keeps the prior state and a committed
+    batch's replay is a no-op (counts are not idempotent under
+    re-union once points are collapsed, so exactly-once comes from the
+    batch-id gate, not from the algebra).
+
+    Scale shape: per batch, one key-partitioned window sessionizes the
+    batch's points (map-side groupable after the first shuffle), then
+    the state's |open sessions| rows re-merge under the same window —
+    per-batch cost O(batch + sessions), history never re-read."""
+
+    def __init__(self, base_dir: str, key_col: str, ts_col: str,
+                 gap_us: int = SESSION_GAP_US):
+        self.base_dir = base_dir
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.gap_us = gap_us
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "_session_manifest.json")
+
+    def meta(self) -> dict:
+        import json
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"current": None, "last_batch_id": -1}
+
+    def _commit(self, meta: dict) -> None:
+        import json
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    def state(self, spark) -> DataFrame | None:
+        cur = self.meta()["current"]
+        return spark.read.parquet(cur) if cur else None
+
+    def _sessionize(self, iv: DataFrame) -> DataFrame:
+        """Gap-merge an interval frame (key, start_us, end_us, n):
+        intervals whose start lies within gap of the running max end
+        fuse. One key-partitioned window Exchange carries both the
+        running-max and the running-sum (same partition/order spec)."""
+        from pyspark.sql import Window
+        w = Window.partitionBy(self.key_col).orderBy("start_us", "end_us")
+        prev_end = F.max("end_us").over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        new_flag = F.when(
+            prev_end.isNull()
+            | (F.col("start_us") > prev_end + self.gap_us), 1).otherwise(0)
+        sid = F.sum(new_flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (iv.withColumn("_sid", sid)
+                  .groupBy(self.key_col, "_sid")
+                  .agg(F.min("start_us").alias("start_us"),
+                       F.max("end_us").alias("end_us"),
+                       F.sum("n").alias("n"))
+                  .drop("_sid"))
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        pts = batch.select(
+            self.key_col,
+            F.col(self.ts_col).alias("start_us"),
+            F.col(self.ts_col).alias("end_us"),
+            F.lit(1).cast("long").alias("n"))
+        parts = self._sessionize(pts)
+        prior = self.state(spark)
+        if prior is not None:
+            parts = prior.unionByName(parts)
+        merged = self._sessionize(parts)
+        new_dir = os.path.join(self.base_dir, f"sess.v{batch_id}")
+        if new_dir == meta["current"]:
+            new_dir += "r"
+        merged.write.mode("overwrite").parquet(new_dir)
+        old_dir = meta["current"]
+        self._commit({"current": new_dir, "last_batch_id": batch_id})
+        if old_dir and old_dir != new_dir and os.path.isdir(old_dir):
+            import shutil
+            shutil.rmtree(old_dir, ignore_errors=True)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def ivm_session_rollup(spark, sf_dir: str) -> DataFrame:
+    """SessionSink driven end-to-end as a driver-checkable query: fold
+    the events stream into per-user 30-min-gap sessions through three
+    %3-interleaved batches (so most sessions are SPLIT across batches
+    and must fuse on merge — the hard path), then return the maintained
+    session set. Oracle: the one-shot lag/cumsum sessionization
+    (events_session's construction) — equal by the interval-semilattice
+    argument, proven on real data every round."""
+    import shutil
+    import tempfile
+
+    from postgres_es_cdc_spark.operators.common import events_table
+
+    e = events_table(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    base = tempfile.mkdtemp(prefix="sess_rollup_")
+    try:
+        sink = SessionSink(base, key_col="user_id", ts_col="ts_us")
+        for i in range(3):
+            sink.apply_batch(
+                e.filter(F.col("event_id") % 3 == i).drop("event_id"), i)
+        view = sink.state(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return view.select("user_id",
+                       F.col("start_us").alias("session_start_us"),
+                       F.col("end_us").alias("session_end_us"),
+                       F.col("n").alias("n_events"))
+
+
+IVM_SESSION_ROLLUP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+              > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sess_id
+"""
+
+
 def ivm_topk_orders_by_segment(spark, sf_dir: str, k: int = 3) -> DataFrame:
     """TopKSink's merge algebra exposed as a driver-checkable query:
     maintain the top-k orders by value per market segment through three

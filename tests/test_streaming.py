@@ -832,3 +832,110 @@ def test_watermark_agg_sink_torn_write_leaves_prior_state(spark, tmp_path):
         spark.createDataFrame([(30 * S, "a", 2)], schema), 1)
     assert sorted((r.grp, r.sum_v, r.n_v)
                   for r in sink.state(spark).collect()) == [("a", 3, 2)]
+
+
+def test_session_sink_fuses_sessions_bridged_by_late_batch(spark, tmp_path):
+    """SessionSink through the real file-stream harness: two sessions
+    created in batch 0 are FUSED when batch 2 delivers the bridging
+    point (the interval-semilattice hard case); the final session set
+    equals the one-shot sessionization, and a committed batch replay is
+    a no-op."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.ivm import SessionSink
+
+    M = 60_000_000                      # minutes -> micros; gap = 30 min
+    schema = "user_id long, ts_us long"
+    batches = [
+        # u1: points at 0 and 70min -> two sessions; u2: one point
+        [(1, 0 * M), (1, 70 * M), (2, 0 * M)],
+        # u1 grows session 1; u2 second session far away
+        [(1, 10 * M), (2, 100 * M)],
+        # u1: 40min bridges [0,10] and [70,70] (40-10=30<=gap, 70-40<=gap)
+        [(1, 40 * M)],
+    ]
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    seen: set = set()
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema)
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                _os.utime(full, (base + b, base + b))
+                seen.add(full)
+
+    sink = SessionSink(str(tmp_path / "state"), key_col="user_id",
+                       ts_col="ts_us", gap_us=30 * M)
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.start_us, r.end_us, r.n)
+           for r in sink.state(spark).collect()}
+    want = {
+        (1, 0, 70 * M, 4),              # fused: 0,10,40,70
+        (2, 0, 0, 1),
+        (2, 100 * M, 100 * M, 1),
+    }
+    assert got == want
+    # committed replay: no-op (batch-id gate)
+    sink.apply_batch(spark.createDataFrame(batches[1], schema), 1)
+    again = {(r.user_id, r.start_us, r.end_us, r.n)
+             for r in sink.state(spark).collect()}
+    assert again == want
+
+
+def test_session_merge_is_batch_order_independent(spark):
+    """Property (seeded randomized): folding random point batches
+    through SessionSink's merge in any batch order equals the one-shot
+    sessionization — the interval-semilattice claim beyond the single
+    harness example."""
+    import itertools
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.streaming.ivm import SessionSink
+
+    rng = random.Random(20260814)
+    schema = "user_id long, ts_us long"
+    sink = SessionSink("", key_col="user_id", ts_col="ts_us", gap_us=10)
+    for trial in range(3):
+        pts = [(rng.randint(1, 2), rng.randint(0, 80))
+               for _ in range(rng.randint(5, 12))]
+        cut1, cut2 = sorted(rng.sample(range(1, len(pts)), 2)) \
+            if len(pts) > 3 else (1, 2)
+        batches = [pts[:cut1], pts[cut1:cut2], pts[cut2:]]
+        allp = spark.createDataFrame(pts, schema)
+        w = Window.partitionBy("user_id").orderBy("ts_us")
+        flag = F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > 10, 1).otherwise(0)
+        sid = F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = {(r.user_id, r.s, r.e, r.n) for r in
+                allp.withColumn("_sid", sid)
+                    .groupBy("user_id", "_sid")
+                    .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"),
+                         F.count(F.lit(1)).alias("n")).collect()}
+        for perm in itertools.permutations(range(3)):
+            view = None
+            for bi in perm:
+                if not batches[bi]:
+                    continue
+                part = sink._sessionize(
+                    spark.createDataFrame(batches[bi], schema)
+                         .select("user_id",
+                                 F.col("ts_us").alias("start_us"),
+                                 F.col("ts_us").alias("end_us"),
+                                 F.lit(1).cast("long").alias("n")))
+                view = part if view is None else sink._sessionize(
+                    view.unionByName(part))
+            got = {(r.user_id, r.start_us, r.end_us, r.n)
+                   for r in view.collect()}
+            assert got == want, (trial, perm)

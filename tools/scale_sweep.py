@@ -75,6 +75,7 @@ SWEEP = [
     "docs_bpe_pair_stats",
     "graph_common_neighbors_topk",
     "cdc_schema_evolution_fold",
+    "ivm_session_rollup",
 ]
 
 
