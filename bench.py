@@ -121,6 +121,7 @@ HEADLINE = [
     "graph_common_neighbors_topk",
     "cdc_schema_evolution_fold",
     "ivm_session_rollup",
+    "multimodal_audio_energy",
 ]
 
 

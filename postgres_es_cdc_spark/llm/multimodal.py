@@ -455,3 +455,87 @@ GROUP BY fr.asset_id
 
 
 MULTIMODAL_FRAME_DEDUP_SQL = _frame_dedup_sql()
+
+
+def audio_decode_stub(payload: bytes):
+    """Real PCM decode kernel slot (torchaudio/libsndfile in
+    production) — deliberately unimplemented in this container; see
+    module docstring."""
+    raise NotImplementedError(
+        "audio codecs are not available in this environment; "
+        "use fake_audio_samples for deterministic tests")
+
+
+def fake_audio_samples(payload: bytes) -> list:
+    """Deterministic stand-in PCM decode: consecutive byte PAIRS become
+    signed 16-bit big-endian samples (odd tail byte dropped) — the
+    batch shape of a real audio decode (bytes in, sample array out),
+    integer-exact so the DuckDB twin reproduces it from the same
+    bytes."""
+    p = payload or b""
+    return [((p[i] << 8) | p[i + 1]) - 32768
+            for i in range(0, len(p) - 1, 2)]
+
+
+def multimodal_audio_energy(spark, sf_dir: str) -> DataFrame:
+    """Audio-modality analysis through the real mapInPandas plumbing:
+    per audio asset, sample count, total ENERGY (Σ sample², the loudness
+    integral) and PEAK amplitude — the stats a corpus-prep pipeline
+    gates on (silence/clipping filters) before transcribing audio at
+    scale. Completes the modality coverage: image (resize), video
+    (frame sample/dedup), audio (THIS).
+
+    Exactness: the fake PCM kernel is pure integer arithmetic on the
+    payload bytes (ASCII corpus ⇒ DuckDB reproduces each sample from
+    character codes); energy ≤ 32768²·samples fits long comfortably.
+    Scale shape: Arrow-batched mapInPandas emits 3 ints per asset — the
+    sample arrays never leave the executor, and the shuffle carries
+    only the stats (same discipline as frame dedup's hashes)."""
+    import pandas as pd
+
+    from postgres_es_cdc_spark.catalog import table
+
+    assets = (assets_from_documents(table(spark, sf_dir, "documents"))
+              .filter(F.col("modality") == "audio")
+              .select("asset_id", "payload"))
+
+    def stats(batches):
+        for pdf in batches:
+            ids, ns, energy, peak = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = fake_audio_samples(bytes(payload)
+                                       if payload is not None else b"")
+                ids.append(aid)
+                ns.append(len(s))
+                energy.append(sum(v * v for v in s))
+                peak.append(max((abs(v) for v in s), default=0))
+            yield pd.DataFrame({"asset_id": ids, "n_samples": ns,
+                                "energy": energy, "peak": peak})
+
+    return assets.mapInPandas(
+        stats, "asset_id long, n_samples long, energy long, peak long")
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = """
+WITH audio AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1
+),
+idx AS (
+  SELECT asset_id, text,
+         unnest(generate_series(1, CAST(length(text) // 2 AS BIGINT))) AS i
+  FROM audio
+),
+s AS (
+  SELECT asset_id,
+         ascii(substring(text, CAST(2*i - 1 AS INT), 1)) * 256
+         + ascii(substring(text, CAST(2*i AS INT), 1)) - 32768 AS smp
+  FROM idx
+)
+SELECT a.asset_id,
+       CAST(COALESCE(COUNT(s.smp), 0) AS BIGINT) AS n_samples,
+       CAST(COALESCE(SUM(CAST(s.smp AS BIGINT) * s.smp), 0) AS BIGINT)
+         AS energy,
+       CAST(COALESCE(MAX(ABS(s.smp)), 0) AS BIGINT) AS peak
+FROM audio a LEFT JOIN s ON a.asset_id = s.asset_id
+GROUP BY a.asset_id
+"""

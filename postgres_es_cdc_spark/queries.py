@@ -113,6 +113,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
+    "multimodal_audio_energy": QuerySpec(multimodal.multimodal_audio_energy, multimodal.MULTIMODAL_AUDIO_ENERGY_SQL),
     # --- LLM data pipeline: governance (round-2 additions) ---
     "docs_pii_scrub": QuerySpec(quality.docs_pii_scrub, quality.DOCS_PII_SCRUB_SQL),
     "docs_split_assign": QuerySpec(sampling.docs_split_assign, sampling.DOCS_SPLIT_ASSIGN_SQL),

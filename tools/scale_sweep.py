@@ -76,6 +76,7 @@ SWEEP = [
     "graph_common_neighbors_topk",
     "cdc_schema_evolution_fold",
     "ivm_session_rollup",
+    "multimodal_audio_energy",
 ]
 
 
