@@ -122,6 +122,7 @@ HEADLINE = [
     "cdc_schema_evolution_fold",
     "ivm_session_rollup",
     "multimodal_audio_energy",
+    "events_markov_stationary",
 ]
 
 

@@ -1132,3 +1132,103 @@ SELECT l_partkey, COUNT(*) AS n_suppliers,
          * 10000.0 AS hhi
 FROM ps GROUP BY l_partkey
 """
+
+
+MARKOV_SCALE = 10 ** 12
+MARKOV_ITERS = 3
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str,
+                             iters: int = MARKOV_ITERS) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — power
+    iteration over the transition matrix events_type_transitions
+    counts, answering "where does user behavior settle": the long-run
+    share of each event type, the summary behind engagement-mix
+    forecasting and anomaly baselines.
+
+    Exactness (the pagerank discipline, operators/graph.py): mass lives
+    in ×1e12 fixed-point integers; each step computes Σ_i (v_i · n_ij)
+    div n_i — every term an exact integer with a FIXED op order, so
+    both engines produce bit-identical vectors and the oracle unrolls
+    the same ``iters`` steps as CTEs. (Double-valued iteration would
+    diverge: per-destination sums are order-dependent in floats.)
+    States with no outgoing transitions shed their mass — documented
+    absorbing behavior, deterministic in both engines.
+
+    Scale shape: ONE user-keyed shuffle builds the |types|² count
+    matrix (map-side-combinable); the iteration then runs on that tiny
+    frame — a |types|-row vector joined to a |types|²-row matrix,
+    broadcast-sized regardless of corpus size."""
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (e.select("user_id", "event_type", "ts_us", "event_id")
+          .withColumn("prev_type", F.lag("event_type").over(w))
+          .filter(F.col("prev_type").isNotNull()))
+    trans = (t.groupBy(F.col("prev_type").alias("src"),
+                       F.col("event_type").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    tm = trans.join(tot, "src").localCheckpoint(eager=False)
+
+    states = e.select("event_type").distinct() \
+               .withColumnRenamed("event_type", "state")
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    v = (states.crossJoin(F.broadcast(n_states))
+               .select("state", F.expr(f"{MARKOV_SCALE} div k").alias("m")))
+    for _ in range(iters):
+        stepped = (v.join(tm, v.state == tm.src)
+                    .select(F.col("dst").alias("state"),
+                            F.expr("(m * n) div tot").alias("c"))
+                    .groupBy("state").agg(F.sum("c").alias("s")))
+        v = (states.join(stepped, "state", "left")
+                   .select("state",
+                           F.coalesce("s", F.lit(0)).cast("long")
+                            .alias("m")))
+    return v.select(F.col("state").alias("event_type"),
+                    F.col("m").alias("stationary_q"),
+                    (F.col("m").cast("double") / MARKOV_SCALE)
+                     .alias("stationary"))
+
+
+def _markov_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT s.state,
+         CAST(COALESCE(c.s, 0) AS BIGINT) AS m
+  FROM states s LEFT JOIN (
+    SELECT tm.dst AS state, CAST(SUM((v.m * tm.n) // tm.tot) AS BIGINT) AS s
+    FROM {prev} v JOIN tm ON v.state = tm.src
+    GROUP BY tm.dst
+  ) c ON s.state = c.state
+)"""
+
+
+EVENTS_MARKOV_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tm AS (
+  SELECT trans.src, trans.dst, trans.n, tt.tot
+  FROM trans JOIN (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+                   FROM trans GROUP BY src) tt ON trans.src = tt.src
+),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+v0 AS (
+  SELECT state,
+         CAST({MARKOV_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+           AS m
+  FROM states
+),
+{",".join(_markov_iter_sql(f"v{i}", f"v{i + 1}")
+          for i in range(MARKOV_ITERS))}
+SELECT state AS event_type, m AS stationary_q,
+       CAST(m AS DOUBLE) / {MARKOV_SCALE} AS stationary
+FROM v{MARKOV_ITERS}
+"""

@@ -77,6 +77,7 @@ SWEEP = [
     "cdc_schema_evolution_fold",
     "ivm_session_rollup",
     "multimodal_audio_energy",
+    "events_markov_stationary",
 ]
 
 
