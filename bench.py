@@ -123,6 +123,8 @@ HEADLINE = [
     "ivm_session_rollup",
     "multimodal_audio_energy",
     "events_markov_stationary",
+    "emb_pca_top_component",
+    "cdc_truncate_restart_fold",
 ]
 
 

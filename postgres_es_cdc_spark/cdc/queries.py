@@ -366,3 +366,45 @@ SELECT o_orderkey AS id,
          AS priority
 FROM orders
 """
+
+
+def cdc_truncate_restart_fold(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TRUNCATE honored mid-stream — the reference silently drops
+    TruncateMessage (producer.go:162-166), so truncating the source
+    table leaves its sink permanently desynchronized; here the fold
+    discards every event below the truncate offset (A11, one broadcast
+    scalar into the scan filter). Plan: INSERT every order, TRUNCATE,
+    then re-INSERT only o_orderkey % 4 == 0 with a new status — the
+    final state must contain exactly the re-inserted quarter, no
+    survivors from before the wipe."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from postgres_es_cdc_spark.catalog import table
+    from postgres_es_cdc_spark.cdc.apply import apply_changes_with_truncate
+
+    schema = _parse_datatype_string("id long, custkey long, status string")
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pay = lambda status: F.to_json(F.struct(  # noqa: E731
+        k.cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        status.alias("status")), {"ignoreNullFields": "false"})
+    ins1 = o.select((k * 10).cast("long").alias("offset"),
+                    F.lit("INSERT").alias("operationType"),
+                    pay(F.col("o_orderstatus")).alias("payload"))
+    trunc = spark.createDataFrame(
+        [(10 ** 9, "TRUNCATE", None)],
+        "offset long, operationType string, payload string")
+    ins2 = (o.filter(k % 4 == 0)
+             .select((F.lit(10 ** 9 + 1) + k).cast("long").alias("offset"),
+                     F.lit("INSERT").alias("operationType"),
+                     pay(F.lit("R2")).alias("payload")))
+    events = ins1.unionByName(trunc).unionByName(ins2)
+    return apply_changes_with_truncate(events, schema)
+
+
+CDC_TRUNCATE_SQL = """
+SELECT o_orderkey AS id, o_custkey AS custkey, 'R2' AS status
+FROM orders WHERE o_orderkey % 4 = 0
+"""

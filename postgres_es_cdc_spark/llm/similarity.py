@@ -2053,3 +2053,109 @@ SELECT cid, n_members,
          / CAST(nn AS DOUBLE) AS balance_ratio
 FROM sizes CROSS JOIN tot
 """
+
+
+PCA_ITERS = 3
+PCA_DIV = 1 << 20   # Gram downscale so the iteration stays in int64
+PCA_VSCALE = 1_000_000
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str,
+                          iters: int = PCA_ITERS) -> DataFrame:
+    """Dominant principal direction of the corpus (power iteration on
+    the uncentered Gram/second-moment matrix M = Σ x·xᵀ) — the first
+    step of PCA whitening / spectral diagnostics an embedding pipeline
+    runs before indexing (anisotropy checks, dimension pruning).
+
+    The Gram accumulation is the BLAS path a real cluster uses: numpy
+    X·ᵀX per Arrow batch inside mapInPandas (one 64×64 partial per
+    batch — the sample arrays never shuffle, only 4096-row partials),
+    then a map-side-combinable sum. Integer-exact end to end: xq are
+    ×1e6 fixed-point ints, int64 partial sums are associative and
+    commutative, so batch boundaries cannot change M, and the oracle
+    recomputes the identical M as SUM(xq_i·xq_j).
+
+    Power iteration in integers (the pagerank discipline): M is
+    downscaled by a FIXED power of two (exact truncation, identical in
+    both engines — `div` and `//` both truncate toward zero), each
+    step computes w = Mq·v exactly in int64 (|mq|·|v|·64 < 2^63 by
+    construction) and max-normalizes with the integer rule
+    v' = w div (max|w| div VSCALE + 1). Sign and ties are fully
+    deterministic, so the oracle unrolls the same ``iters`` steps.
+    Returns (dim, component_q, component)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(quantize(F.col("embedding")).alias("q"))
+
+    def gram(batches):
+        idx = np.arange(1, 65, dtype=np.int64)
+        ii = np.repeat(idx, 64)
+        jj = np.tile(idx, 64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["q"]], dtype=np.int64)
+            M = X.T @ X
+            yield pd.DataFrame({"i": ii, "j": jj, "m": M.ravel()})
+
+    M = (q.mapInPandas(gram, "i int, j int, m long")
+          .groupBy("i", "j").agg(F.sum("m").alias("m"))
+          .select("i", "j", F.expr(f"m div {PCA_DIV}").alias("mq"))
+          .localCheckpoint(eager=False))        # 4096 rows, loop-invariant
+
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
+    v = dims.select("i", F.lit(PCA_VSCALE).cast("long").alias("v"))
+    for _ in range(iters):
+        w = (M.join(v.select(F.col("i").alias("j"),
+                             F.col("v").alias("vj")), "j")
+              .groupBy("i")
+              .agg(F.sum(F.col("mq") * F.col("vj")).alias("w")))
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (w.crossJoin(F.broadcast(mx))
+              .select("i",
+                      F.expr(f"w div (mx div {PCA_VSCALE} + 1)")
+                       .alias("v")))
+    return v.select(F.col("i").alias("dim"),
+                    F.col("v").alias("component_q"),
+                    (F.col("v").cast("double") / PCA_VSCALE)
+                     .alias("component"))
+
+
+def _pca_iter_sql(prev: str, k: int) -> str:
+    # w{k} MATERIALIZED: referenced twice (max-normalizer + next v) —
+    # plain CTEs would inline and re-run the join per reference
+    # (DEVNOTES: deep unrolls go exponential without MATERIALIZED).
+    return f"""
+w{k} AS MATERIALIZED (
+  SELECT m.i, CAST(SUM(m.mq * v.v) AS BIGINT) AS w
+  FROM mq m JOIN {prev} v ON m.j = v.i
+  GROUP BY m.i
+),
+v{k + 1} AS (
+  SELECT i,
+         w // ((SELECT MAX(ABS(w)) FROM w{k}) // {PCA_VSCALE} + 1) AS v
+  FROM w{k}
+)"""
+
+
+EMB_PCA_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+),
+gram AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(SUM(a.xq * b.xq) AS BIGINT) AS m
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+mq AS MATERIALIZED (SELECT i, j, m // {PCA_DIV} AS mq FROM gram),
+v0 AS (SELECT i, CAST({PCA_VSCALE} AS BIGINT) AS v
+       FROM (SELECT DISTINCT i FROM mq)),
+{",".join(_pca_iter_sql(f"v{k}", k) for k in range(PCA_ITERS))}
+SELECT i AS dim, v AS component_q,
+       CAST(v AS DOUBLE) / {PCA_VSCALE} AS component
+FROM v{PCA_ITERS}
+"""

@@ -106,6 +106,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # fixed-init fixed-iters k-means with exact rational centroids — the
     # DuckDB twin unrolls the loop (KMEANS_SQL), full hash check.
     "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, similarity.KMEANS_SQL),
+    "emb_pca_top_component": QuerySpec(similarity.emb_pca_top_component, similarity.EMB_PCA_SQL),
     # --- graph iteration ---
     "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
     "graph_triangle_counts": QuerySpec(
@@ -152,6 +153,8 @@ REGISTRY: dict[str, QuerySpec] = {
         cdcq.cdc_txn_committed_only, cdcq.CDC_TXN_COMMITTED_SQL),
     # typed events -> byte-exact pgoutput wire -> decode -> fold; oracle
     # is the independent expected-state projection.
+    "cdc_truncate_restart_fold": QuerySpec(
+        cdcq.cdc_truncate_restart_fold, cdcq.CDC_TRUNCATE_SQL),
     "cdc_schema_evolution_fold": QuerySpec(
         pgoutput.cdc_schema_evolution_fold, cdcq.CDC_SCHEMA_EVOLUTION_SQL),
     "cdc_pgoutput_roundtrip": QuerySpec(
