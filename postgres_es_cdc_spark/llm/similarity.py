@@ -2055,7 +2055,7 @@ FROM sizes CROSS JOIN tot
 """
 
 
-PCA_ITERS = 3
+PCA_ITERS = 40
 PCA_DIV = 1 << 20   # Gram downscale so the iteration stays in int64
 PCA_VSCALE = 1_000_000
 
@@ -2081,8 +2081,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str,
     step computes w = Mq·v exactly in int64 (|mq|·|v|·64 < 2^63 by
     construction) and max-normalizes with the integer rule
     v' = w div (max|w| div VSCALE + 1). Sign and ties are fully
-    deterministic, so the oracle unrolls the same ``iters`` steps.
-    Returns (dim, component_q, component)."""
+    deterministic, so the oracle unrolls the same ``iters`` steps
+    (40: the driver embeddings have a nearly flat spectrum, top-gap
+    ~1.07, so alignment with the true eigenvector needs ~(gap)^-k —
+    measured cos 0.92-0.99 at 40 iterations vs 0.33 at 3; the
+    semantic test pins the residual). Returns (dim, component_q,
+    component)."""
     import numpy as np
     import pandas as pd
 
@@ -2102,21 +2106,30 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str,
 
     M = (q.mapInPandas(gram, "i int, j int, m long")
           .groupBy("i", "j").agg(F.sum("m").alias("m"))
-          .select("i", "j", F.expr(f"m div {PCA_DIV}").alias("mq"))
-          .localCheckpoint(eager=False))        # 4096 rows, loop-invariant
+          .select("i", "j", F.expr(f"m div {PCA_DIV}").alias("mq")))
 
-    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
-    v = dims.select("i", F.lit(PCA_VSCALE).cast("long").alias("v"))
+    # The reduced matrix is DIMENSION²-sized (4096 rows), independent of
+    # corpus size — the accepted vocabulary-sized collect class. The
+    # iteration itself is 64-vector arithmetic: driver math, exactly the
+    # reduce-then-eigensolve split a real cluster uses (running it as 40
+    # chained tiny Spark jobs measured 80s of pure scheduling overhead).
+    mq = {(r["i"], r["j"]): r["mq"] for r in M.collect()}
+
+    def tdiv(a: int, b: int) -> int:
+        # truncation toward zero — matches Spark `div` and DuckDB `//`
+        # (Python's // floors, which disagrees on negatives)
+        qd = abs(a) // abs(b)
+        return qd if (a >= 0) == (b >= 0) else -qd
+
+    vec = [PCA_VSCALE] * 64
     for _ in range(iters):
-        w = (M.join(v.select(F.col("i").alias("j"),
-                             F.col("v").alias("vj")), "j")
-              .groupBy("i")
-              .agg(F.sum(F.col("mq") * F.col("vj")).alias("w")))
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = (w.crossJoin(F.broadcast(mx))
-              .select("i",
-                      F.expr(f"w div (mx div {PCA_VSCALE} + 1)")
-                       .alias("v")))
+        w = [sum(mq.get((i, j), 0) * vec[j - 1] for j in range(1, 65))
+             for i in range(1, 65)]
+        mx = max(abs(x) for x in w)
+        d = mx // PCA_VSCALE + 1
+        vec = [tdiv(x, d) for x in w]
+    v = spark.createDataFrame(
+        [(i + 1, int(vec[i])) for i in range(64)], "i int, v long")
     return v.select(F.col("i").alias("dim"),
                     F.col("v").alias("component_q"),
                     (F.col("v").cast("double") / PCA_VSCALE)

@@ -200,3 +200,33 @@ def test_hier_assign_routes_fraction_and_mostly_agrees_with_flat(spark, sf_dir):
     agree = (hier.join(flat, hier["vec_id"] == flat["id"])
                  .filter(F.col("cid") == F.col("flat_cid")).count())
     assert agree / n > 0.5
+
+
+def test_pca_component_aligns_with_numpy_eigenvector(spark, sf_dir):
+    """Semantic check beyond hash parity: the 40-step integer power
+    iterate must align with numpy's dominant eigenvector of the same
+    Gram matrix (the driver embeddings have a nearly flat spectrum, so
+    this pins that the iteration count actually converges — 3 steps
+    measured cos 0.33)."""
+    import numpy as np
+
+    from postgres_es_cdc_spark.catalog import table
+    from postgres_es_cdc_spark.llm.similarity import (
+        emb_pca_top_component, quantize)
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [list(r.q) for r in
+         e.select(quantize(F.col("embedding")).alias("q")).collect()],
+        dtype=np.int64)
+    M = (X.T @ X).astype(np.float64)
+    _, evecs = np.linalg.eigh(M)
+    top = evecs[:, -1]
+
+    rows = emb_pca_top_component(spark, sf_dir).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r.dim - 1] = r.component_q
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.9, cos
