@@ -437,11 +437,16 @@ def cdc_schema_evolution_fold(spark: SparkSession,
             [(off, bytearray(encode_relation(oid, "orders_evo", cols)))],
             "offset long, data binary")
 
+    # Checkpointed: the span decode reads the wire frame once per span
+    # (plus the relation collect), and each read would re-run BOTH
+    # encode mapInPandas passes — materialize the bytes once, as the
+    # streaming path's segment files do.
     wire = (rel(-2, ["id", "custkey", "status"])
             .unionByName(encode_typed_events(v1_ev, oid, v1_schema))
             .unionByName(rel(evo_off - 5,
                              ["id", "custkey", "status", "priority"]))
-            .unionByName(encode_typed_events(v2_ev, oid, v2_schema)))
+            .unionByName(encode_typed_events(v2_ev, oid, v2_schema))
+            .localCheckpoint(eager=False))
     decoded, _ = decode_with_relation_resends(wire, {})
     return apply_changes(decoded, v2_schema)
 
