@@ -125,6 +125,7 @@ HEADLINE = [
     "events_markov_stationary",
     "emb_pca_top_component",
     "cdc_truncate_restart_fold",
+    "docs_lsh_recall_curve",
 ]
 
 

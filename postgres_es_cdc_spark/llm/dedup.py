@@ -1439,3 +1439,77 @@ JOIN names na ON na.p_name = name_a
 JOIN names nb ON nb.p_name = name_b
 WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
 """
+
+
+def docs_lsh_recall_curve(spark: SparkSession, sf_dir: str,
+                          cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """LSH banding RECALL CURVE — the S-curve every LSH deployment
+    tunes against, measured on real data instead of assumed from
+    theory: for each true-Jaccard decile over the shared-shingle
+    candidate pairs, what fraction did the banded MinHash index flag?
+    Theory says P(flagged | J) = 1-(1-J^r)^b (r=2, b=4 here); this
+    table is the empirical check, and the observability row that tells
+    a pipeline operator whether the configured bands still match the
+    corpus's similarity profile.
+
+    Exactness: jaccard is one double division of exact ints; the
+    decile is floor(j·10) clamped to 9 (identical IEEE ops both
+    engines); flagging is set membership in the exact LSH pair set.
+    Scale shape: reads the two MEMOIZED family stages (shared shingle
+    intersections + banded pairs, both df/bucket-capped) and joins
+    pair-keyed frames — no new pair generation, no new shuffle shape."""
+    shared = _shared_shingle_intersections(spark, sf_dir, cap)
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")))
+    truth = shared.select(
+        "doc_a", "doc_b",
+        F.least(F.floor(jac * 10).cast("int"), F.lit(9)).alias("bucket"))
+    lsh = (_build_lsh_pairs(spark, sf_dir, cap)
+           .withColumn("_f", F.lit(1)))
+    j = truth.join(lsh, ["doc_a", "doc_b"], "left")
+    return (j.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.sum(F.coalesce("_f", F.lit(0)).cast("long"))
+                   .alias("n_flagged"))
+             .select("bucket", "n_pairs", "n_flagged",
+                     (F.col("n_flagged").cast("double")
+                      / F.col("n_pairs").cast("double")).alias("recall")))
+
+
+DOCS_LSH_RECALL_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LEAST(CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                          / (a.n_sh + b.n_sh - COUNT(*)) * 10) AS INT),
+               9) AS bucket
+  FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+),
+sigs AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+) + f"""
+  FROM sh
+),
+banded AS ({_BANDS_SQL}),
+lsh AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT t.bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN lsh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN lsh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t
+LEFT JOIN lsh ON t.doc_a = lsh.doc_a AND t.doc_b = lsh.doc_b
+GROUP BY t.bucket
+"""

@@ -939,3 +939,56 @@ def test_session_merge_is_batch_order_independent(spark):
             got = {(r.user_id, r.start_us, r.end_us, r.n)
                    for r in view.collect()}
             assert got == want, (trial, perm)
+
+
+def test_watermark_sink_matches_reference_fold_on_random_batches(
+        spark, tmp_path):
+    """Property (seeded randomized): WatermarkAggSink folded over random
+    out-of-order batches equals a 20-line Python reference
+    implementation of the Structured-Streaming watermark rule (running
+    max of prior batch event times - delay; strictly-older rows drop;
+    retained rows aggregate into tumbling windows)."""
+    import random
+    from collections import defaultdict
+
+    from postgres_es_cdc_spark.streaming.ivm import WatermarkAggSink
+
+    rng = random.Random(20260814)
+    schema = "ts_us long, grp string, v long"
+    W, D = 100, 250
+    for trial in range(3):
+        batches = [[(rng.randint(0, 1000), rng.choice("ab"),
+                     rng.randint(1, 9))
+                    for _ in range(rng.randint(1, 8))]
+                   for _ in range(4)]
+
+        # reference fold
+        wm = None
+        agg: dict = defaultdict(lambda: [0, 0, None, None])
+        n_late = 0
+        for b in batches:
+            kept = [r for r in b if wm is None or r[0] >= wm]
+            n_late += len(b) - len(kept)
+            for ts, g, v in kept:
+                a = agg[(ts - ts % W, g)]
+                a[0] += v
+                a[1] += 1
+                a[2] = v if a[2] is None else min(a[2], v)
+                a[3] = v if a[3] is None else max(a[3], v)
+            if b:
+                cand = max(r[0] for r in b) - D
+                wm = cand if wm is None else max(wm, cand)
+
+        sink = WatermarkAggSink(
+            str(tmp_path / f"state{trial}"), group_col="grp",
+            ts_col="ts_us", value_col="v", window_us=W, delay_us=D)
+        for i, b in enumerate(batches):
+            sink.apply_batch(spark.createDataFrame(b, schema), i)
+        got = {(r.window_start_us, r.grp):
+               (r.sum_v, r.n_v, r.min_v, r.max_v)
+               for r in sink.state(spark).collect()}
+        want = {k: tuple(v) for k, v in agg.items()}
+        assert got == want, trial
+        meta = sink.meta()
+        assert meta["n_late_total"] == n_late
+        assert meta["watermark_us"] == wm
