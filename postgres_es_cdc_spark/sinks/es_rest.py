@@ -151,3 +151,34 @@ def es_bulk_requests(events: DataFrame, key: str = "id",
                             .alias("body"),
                            F.lit("POST").alias("method"),
                            F.lit("/_bulk").alias("path")))
+
+
+def execute_es_requests(requests: DataFrame, base_url: str,
+                        timeout: float = 10.0) -> None:
+    """EXECUTE a rendered REST plan (offset, method, path, body) against
+    a live Elasticsearch-compatible endpoint — the runnable form of the
+    request frames above, stdlib-only (urllib) so it works wherever the
+    executors run. Rows post per partition in offset order (repartition
+    by the doc key upstream if strict per-key ordering across
+    partitions is required — the same single-writer assumption as the
+    reference's one-partition topic, utils.go:49). Non-2xx responses
+    raise, failing the Spark task (at-least-once with the keyed
+    idempotent request shapes above).
+
+    In-sandbox the loopback round-trip test drives this against a fake
+    recording server (tests/test_es_sink.py) — the closable slice of
+    the live-wire gap: byte-exact bodies leaving over a real socket."""
+    def run_partition(rows):
+        import urllib.request
+        for r in sorted(rows, key=lambda row: row["offset"]):
+            req = urllib.request.Request(
+                base_url.rstrip("/") + r["path"],
+                data=r["body"].encode("utf-8"),
+                method=r["method"],
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if resp.status >= 300:
+                    raise RuntimeError(
+                        f"ES request failed: {resp.status} {r['path']}")
+
+    requests.foreachPartition(run_partition)
