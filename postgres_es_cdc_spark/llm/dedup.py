@@ -1441,31 +1441,78 @@ WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
 """
 
 
+LSH_CURVE_TARGET = 500
+
+
 def docs_lsh_recall_curve(spark: SparkSession, sf_dir: str,
                           cap: int = PAIR_BUCKET_CAP) -> DataFrame:
     """LSH banding RECALL CURVE — the S-curve every LSH deployment
     tunes against, measured on real data instead of assumed from
-    theory: for each true-Jaccard decile over the shared-shingle
-    candidate pairs, what fraction did the banded MinHash index flag?
-    Theory says P(flagged | J) = 1-(1-J^r)^b (r=2, b=4 here); this
-    table is the empirical check, and the observability row that tells
-    a pipeline operator whether the configured bands still match the
-    corpus's similarity profile.
+    theory: for each true-Jaccard decile over shared-shingle candidate
+    pairs, what fraction did the banded MinHash index flag? Theory says
+    P(flagged | J) = 1-(1-J^r)^b (r=2, b=4 here); this table is the
+    empirical check that the configured bands still match the corpus's
+    similarity profile.
+
+    Scale shape: calibration is a STATISTIC, so it runs on a
+    deterministic document sample (stride s = max(1, N div 500),
+    derived from COUNT(*) with the same integer arithmetic in the
+    oracle — the knn-stride pattern): the exact truth pair set is
+    quadratic in sample size, constant at every sf, never in corpus
+    size (the first unsampled draft hung the adversarial sf1 sweep,
+    whose duplicate cliques inflate true pairs 100×). Both stages read
+    the memoized family materializations filtered to the sample BEFORE
+    any explode or pair join.
 
     Exactness: jaccard is one double division of exact ints; the
-    decile is floor(j·10) clamped to 9 (identical IEEE ops both
-    engines); flagging is set membership in the exact LSH pair set.
-    Scale shape: reads the two MEMOIZED family stages (shared shingle
-    intersections + banded pairs, both df/bucket-capped) and joins
-    pair-keyed frames — no new pair generation, no new shuffle shape."""
-    shared = _shared_shingle_intersections(spark, sf_dir, cap)
+    decile is floor(j·10) clamped to 9; flagging is set membership in
+    the banded pair set over the same sample."""
+    n = table(spark, sf_dir, "documents").count()
+    stride = max(1, n // LSH_CURVE_TARGET)
+
+    def in_sample(c):
+        return (c % 1000000) % stride == 0
+
+    sh = (_mutated_shingle_hashes(spark, sf_dir)
+          .filter(in_sample(F.col("doc_id"))))
+    sized = sh.select("doc_id", F.size("sh").alias("n_sh"),
+                      F.explode("sh").alias("h"))
+    df_w = Window.partitionBy("h")
+    per_sh = (
+        sized.withColumn("_df", F.count(F.lit(1)).over(df_w))
+             .filter(F.col("_df") <= cap)
+             .groupBy("h")
+             .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+             .filter(F.size("ds") > 1))
+    shared = (
+        per_sh.select(F.explode("ds").alias("a"), "ds")
+              .select("a", F.explode("ds").alias("b"))
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.n_sh").alias("na"),
+                       F.col("b.n_sh").alias("nb"))
+              .agg(F.count("*").alias("inter")))
     jac = (F.col("inter").cast("double")
            / (F.col("na") + F.col("nb") - F.col("inter")))
     truth = shared.select(
         "doc_a", "doc_b",
         F.least(F.floor(jac * 10).cast("int"), F.lit(9)).alias("bucket"))
-    lsh = (_build_lsh_pairs(spark, sf_dir, cap)
-           .withColumn("_f", F.lit(1)))
+
+    banded = (_lsh_banded(spark, sf_dir)
+              .filter(in_sample(F.col("doc_id"))))
+    buckets = (
+        _cap_buckets(banded, ["band_idx", "band_key"], "doc_id", cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1))
+    lsh = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+               .select("doc_a", F.explode("ids").alias("doc_b"))
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .distinct()
+               .withColumn("_f", F.lit(1)))
+
     j = truth.join(lsh, ["doc_a", "doc_b"], "left")
     return (j.groupBy("bucket")
              .agg(F.count(F.lit(1)).alias("n_pairs"),
@@ -1477,7 +1524,13 @@ def docs_lsh_recall_curve(spark: SparkSession, sf_dir: str,
 
 
 DOCS_LSH_RECALL_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH par AS (
+  SELECT GREATEST(1, COUNT(*) // {LSH_CURVE_TARGET}) AS s FROM documents
+),
+sh0 AS ({_SHINGLES_SQL}),
+sh AS (
+  SELECT sh0.* FROM sh0, par WHERE (doc_id % 1000000) % par.s = 0
+),
 exploded AS (
   SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh
 ),

@@ -135,8 +135,8 @@ def es_bulk_requests(events: DataFrame, key: str = "id",
     chunked = (ev.select("tableName", "offset", lines.alias("_l"))
                  .withColumn("_rn", F.row_number().over(w))
                  .withColumn("chunk_id",
-                             ((F.col("_rn") - 1) / max_actions)
-                             .cast("long")))
+                             F.expr(f"(_rn - 1) div {max_actions}")
+                              .cast("long")))
     return (chunked.groupBy("tableName", "chunk_id")
                    .agg(F.count(F.lit(1)).alias("n_actions"),
                         F.min("offset").alias("first_offset"),
