@@ -126,6 +126,7 @@ HEADLINE = [
     "emb_pca_top_component",
     "cdc_truncate_restart_fold",
     "docs_lsh_recall_curve",
+    "events_type_share_drift",
 ]
 
 

@@ -1232,3 +1232,50 @@ SELECT state AS event_type, m AS stationary_q,
        CAST(m AS DOUBLE) / {MARKOV_SCALE} AS stationary
 FROM v{MARKOV_ITERS}
 """
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type MIX with week-over-week drift — the
+    distribution-shift monitor an event pipeline alarms on (a type's
+    share jumping signals instrumentation breakage or behavior change;
+    the categorical twin of events_anomaly_zscore's volume baseline).
+
+    Exactness: share is ONE double division of exact counts; drift is
+    abs(share - lag(share)), fixed IEEE ops over a deterministic
+    (type, week) order. Scale: one map-side-combinable count per
+    (week, type) — the drift windows run on that |weeks·types|-row
+    rollup, never on events."""
+    e = events_table(spark, sf_dir)
+    wk = (F.col("ts_us") - F.col("ts_us") % WEEK_US) / F.lit(WEEK_US)
+    counts = (e.select(wk.cast("long").alias("week"), "event_type")
+               .groupBy("week", "event_type")
+               .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("week")
+    share = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    w = Window.partitionBy("event_type").orderBy("week")
+    withs = counts.withColumn("share", share)
+    return withs.select(
+        "week", "event_type", "n", "share",
+        F.abs(F.col("share") - F.lag("share").over(w)).alias("share_drift"))
+
+
+EVENTS_TYPE_DRIFT_SQL = f"""
+WITH counts AS (
+  SELECT (epoch_us(ts) - epoch_us(ts) % {WEEK_US}) // {WEEK_US} AS week,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+shares AS (
+  SELECT week, event_type, n,
+         CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY week) AS DOUBLE) AS share
+  FROM counts
+)
+SELECT week, event_type, n, share,
+       ABS(share - LAG(share) OVER (PARTITION BY event_type
+                                    ORDER BY week)) AS share_drift
+FROM shares
+"""

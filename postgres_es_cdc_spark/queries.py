@@ -300,6 +300,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_domain_mixture": QuerySpec(sampling.docs_domain_mixture, sampling.DOCS_DOMAIN_MIXTURE_SQL),
     "events_type_transitions": QuerySpec(analytics.events_type_transitions, analytics.EVENTS_TRANSITIONS_SQL),
     "events_markov_stationary": QuerySpec(analytics.events_markov_stationary, analytics.EVENTS_MARKOV_SQL),
+    "events_type_share_drift": QuerySpec(analytics.events_type_share_drift, analytics.EVENTS_TYPE_DRIFT_SQL),
     "emb_ivfpq_topk": QuerySpec(similarity.emb_ivfpq_topk, similarity.EMB_IVFPQ_SQL),
     "docs_bigram_lm_score": QuerySpec(lm.docs_bigram_lm_score, lm.DOCS_BIGRAM_LM_SQL),
     "emb_prefix_rerank_topk": QuerySpec(similarity.emb_prefix_rerank_topk, similarity.EMB_PREFIX_RERANK_SQL),

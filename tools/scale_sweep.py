@@ -81,6 +81,7 @@ SWEEP = [
     "emb_pca_top_component",
     "cdc_truncate_restart_fold",
     "docs_lsh_recall_curve",
+    "events_type_share_drift",
 ]
 
 
