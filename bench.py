@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_truncate_restart_fold",
     "docs_lsh_recall_curve",
     "events_type_share_drift",
+    "emb_dim_variance_report",
 ]
 
 

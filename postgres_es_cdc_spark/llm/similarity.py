@@ -2172,3 +2172,51 @@ SELECT i AS dim, v AS component_q,
        CAST(v AS DOUBLE) / {PCA_VSCALE} AS component
 FROM v{PCA_ITERS}
 """
+
+
+def emb_dim_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    anisotropy diagnostic next to emb_pca_top_component (dead or
+    dominating dimensions distort every distance; pipelines check this
+    before indexing and after any projection).
+
+    Exactness: integer sufficient statistics on the ×1e6 quantized
+    values (Σq and Σq² exactly summed in long/decimal), then the
+    fixed IEEE op sequence mean = s1/n, var = (s2 − s1²/n)/(n−1) —
+    identical in DuckDB. Scale: one partial-aggregable pass over the
+    exploded (vec, dim) rows; the report is 64 rows."""
+    # _exploded's posexplode dim is 0-based; report 1-based like every
+    # dim-surfacing oracle (generate_series(1, 64))
+    ex = _exploded(spark, sf_dir).withColumn("dim", F.col("dim") + 1)
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s1"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+         .cast("decimal(38,0)").alias("s2"))
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        "dim", "n",
+        (s1 / n).alias("mean_q"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_q"))
+
+
+EMB_DIM_VARIANCE_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
+  FROM embeddings, generate_series(1, 64) i(i)
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(xq) AS BIGINT) AS s1,
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+       (CAST(s2 AS DOUBLE)
+        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(n AS DOUBLE) - 1.0) AS var_q
+FROM agg
+"""

@@ -108,6 +108,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # DuckDB twin unrolls the loop (KMEANS_SQL), full hash check.
     "emb_kmeans_assignments": QuerySpec(similarity.kmeans_assignments, similarity.KMEANS_SQL),
     "emb_pca_top_component": QuerySpec(similarity.emb_pca_top_component, similarity.EMB_PCA_SQL),
+    "emb_dim_variance_report": QuerySpec(similarity.emb_dim_variance_report, similarity.EMB_DIM_VARIANCE_SQL),
     # --- graph iteration ---
     "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
     "graph_triangle_counts": QuerySpec(
