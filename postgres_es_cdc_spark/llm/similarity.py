@@ -1192,17 +1192,34 @@ WHERE rank <= 3
 SEMDEDUP_TRAIN_TARGET = 2000  # k-means training sample size ceiling
 
 
+SEMDEDUP_CLUSTER_CAP = 64  # target max cluster size C (bounds pair work)
+
+
 def _semdedup_params(n: int) -> tuple[int, int]:
     """(k clusters, training sample stride) as a function of corpus
-    size: k = max(8, isqrt(n)) is the published SemDeDup shape (cluster
-    count tracks sqrt(N), in-cluster pair work ~N^1.5 total); training
+    size: k = max(8, isqrt(n), ceil(n/C)) with constant target cluster
+    size C = SEMDEDUP_CLUSTER_CAP. Published SemDeDup bounds the cluster
+    SIZE, not the cluster count: with size bounded by ~C, total
+    in-cluster pair-verify work is O(N·C) — LINEAR in corpus size —
+    where the earlier k = isqrt(n) shape let cluster size grow as √N
+    and pair work as N^1.5 (measured 6.6x at 10x data in the round-6
+    sweep; ~1000x at 100x). The ceil(n/C) term starts binding at
+    n > C² (4096 vectors — above the sf0.01/sf0.1 fixtures, below the
+    sf1 sweep, so the sweep exercises the linear regime). Assign cost
+    through the two-level router is N·2√k = N·2√(n/C) — still a
+    super-linear term, but integer-dot work with a ~100x smaller
+    constant than pair cosines; a third routing level would make it
+    N·3·k^(1/3) if a future decade needs it. Training
     runs on every t-th vector so the iterative loop's cost is bounded
     by SEMDEDUP_TRAIN_TARGET vectors regardless of N. Both are exact
     integer arithmetic the oracle reproduces from COUNT(*)
     (FLOOR(SQRT(n)) == isqrt(n) for n far below 2^52). Requires
-    isqrt(n) <= n/t, i.e. n <= TRAIN_TARGET² (4M vectors locally; past
-    that, raise the target or train hierarchically)."""
-    return max(8, math.isqrt(n)), max(1, n // SEMDEDUP_TRAIN_TARGET)
+    k <= n/t, i.e. n <= CLUSTER_CAP·TRAIN_TARGET (128k vectors with the
+    current constants; past that, raise TRAIN_TARGET proportionally —
+    training cost stays sample·k — or train hierarchically)."""
+    return (max(8, math.isqrt(n),
+                (n + SEMDEDUP_CLUSTER_CAP - 1) // SEMDEDUP_CLUSTER_CAP),
+            max(1, n // SEMDEDUP_TRAIN_TARGET))
 
 
 def _semdedup_centroids(spark: SparkSession, sf_dir: str,
@@ -1385,9 +1402,13 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     is scale: pairwise work is quadratic only in cluster size, never in
     corpus size.
 
-    Scale shape (reworked after the sf1 sweep measured 114x at 10x data
-    with a FIXED k=8): k now tracks isqrt(N) — total in-cluster pair
-    count stays ~N^1.5 — and the k-means loop trains on a bounded
+    Scale shape (reworked twice by sweep evidence: fixed k=8 measured
+    114x at 10x data; k=isqrt(N) still left pair work ~N^1.5, 6.6x at
+    10x): k now additionally tracks ceil(N/C) with constant target
+    cluster size C (_semdedup_params), so cluster size — and with it
+    per-member pair-verify work — is BOUNDED: total pair work is
+    O(N·C), linear in corpus size, the published SemDeDup property.
+    The k-means loop trains on a bounded
     sample (every t-th vector, ~SEMDEDUP_TRAIN_TARGET rows), so
     training cost is O(sample·k·iters), not O(N·k·iters). EVERY member
     (base and mutant alike) is then assigned through the TWO-LEVEL
@@ -1451,7 +1472,9 @@ def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
   SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
   FROM embeddings, generate_series(1, 64) i(i)
 ), par AS (
-  SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k,
+  SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
+                  (COUNT(*) + {SEMDEDUP_CLUSTER_CAP - 1})
+                    // {SEMDEDUP_CLUSTER_CAP}) AS k,
          GREATEST(1, COUNT(*) // {SEMDEDUP_TRAIN_TARGET}) AS t
   FROM embeddings
 ), ext AS (
