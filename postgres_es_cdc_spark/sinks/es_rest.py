@@ -155,9 +155,11 @@ def es_bulk_requests(events: DataFrame, key: str = "id",
 
 def execute_es_requests(requests: DataFrame, base_url: str,
                         timeout: float = 10.0) -> None:
-    """EXECUTE a rendered REST plan (offset, method, path, body) against
-    a live Elasticsearch-compatible endpoint — the runnable form of the
-    request frames above, stdlib-only (urllib) so it works wherever the
+    """EXECUTE a rendered REST plan against a live
+    Elasticsearch-compatible endpoint — the runnable form of BOTH
+    request frames above: per-event plans carry `offset`, bulk plans
+    carry `first_offset`; either orders the posts. Stdlib-only (urllib)
+    so it works wherever the
     executors run. Rows post per partition in offset order (repartition
     by the doc key upstream if strict per-key ordering across
     partitions is required — the same single-writer assumption as the
@@ -170,7 +172,12 @@ def execute_es_requests(requests: DataFrame, base_url: str,
     the live-wire gap: byte-exact bodies leaving over a real socket."""
     def run_partition(rows):
         import urllib.request
-        for r in sorted(rows, key=lambda row: row["offset"]):
+
+        def order_key(row):
+            d = row.asDict()
+            return d["offset"] if "offset" in d else d["first_offset"]
+
+        for r in sorted(rows, key=order_key):
             req = urllib.request.Request(
                 base_url.rstrip("/") + r["path"],
                 data=r["body"].encode("utf-8"),
