@@ -1466,7 +1466,13 @@ def docs_lsh_recall_curve(spark: SparkSession, sf_dir: str,
 
     Exactness: jaccard is one double division of exact ints; the
     decile is floor(j·10) clamped to 9; flagging is set membership in
-    the banded pair set over the same sample."""
+    the banded pair set over the same sample. BOTH caps on this path —
+    the truth side's shingle doc-frequency cap (blocks with _df > cap
+    dropped whole, so `inter` counts retained shingles against
+    full-array na/nb — a documented, engine-shared approximation) and
+    the LSH side's row_number bucket cap — are mirrored in the DuckDB
+    CTEs (dfc / bandcap), so the comparison stays bit-exact even when
+    a sampled bucket reaches the cap."""
     n = table(spark, sf_dir, "documents").count()
     stride = max(1, n // LSH_CURVE_TARGET)
 
@@ -1523,7 +1529,11 @@ def docs_lsh_recall_curve(spark: SparkSession, sf_dir: str,
                       / F.col("n_pairs").cast("double")).alias("recall")))
 
 
-DOCS_LSH_RECALL_SQL = f"""
+def _docs_lsh_recall_sql(cap: int) -> str:
+    """Oracle builder for docs_lsh_recall_curve, cap-parameterized so a
+    test can compare both engines under a BINDING cap (the production
+    constant never binds on the sample at driver scale)."""
+    return f"""
 WITH par AS (
   SELECT GREATEST(1, COUNT(*) // {LSH_CURVE_TARGET}) AS s FROM documents
 ),
@@ -1534,26 +1544,41 @@ sh AS (
 exploded AS (
   SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh
 ),
+dfc AS (
+  SELECT doc_id, n_sh, h
+  FROM (SELECT doc_id, n_sh, h,
+               COUNT(*) OVER (PARTITION BY h) AS _df
+        FROM exploded)
+  WHERE _df <= {cap}
+),
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          LEAST(CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
                           / (a.n_sh + b.n_sh - COUNT(*)) * 10) AS INT),
                9) AS bucket
-  FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM dfc a JOIN dfc b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 ),
 sigs AS (
   SELECT doc_id,
 """ + ",\n".join(
-    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
-    for i, (a, b) in enumerate(MINHASH_PERMS)
-) + f"""
+        f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ) + f"""
   FROM sh
 ),
 banded AS ({_BANDS_SQL}),
+bandcap AS (
+  SELECT band_idx, band_key, doc_id
+  FROM (SELECT band_idx, band_key, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                                  ORDER BY doc_id) AS rn
+        FROM banded)
+  WHERE rn <= {cap}
+),
 lsh AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r
+  FROM bandcap l JOIN bandcap r
     ON l.band_idx = r.band_idx AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 )
@@ -1566,3 +1591,6 @@ FROM truth t
 LEFT JOIN lsh ON t.doc_a = lsh.doc_a AND t.doc_b = lsh.doc_b
 GROUP BY t.bucket
 """
+
+
+DOCS_LSH_RECALL_SQL = _docs_lsh_recall_sql(PAIR_BUCKET_CAP)

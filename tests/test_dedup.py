@@ -265,3 +265,19 @@ def test_incremental_pairs_match_full_recompute_and_roundtrip(
             for r in docs_incremental_lsh_pairs(
                 spark, sf_dir, store=loaded).collect()}
     assert inc2 == expected
+
+
+def test_lsh_recall_curve_caps_mirror_oracle_when_binding(spark, sf_dir):
+    """ADVICE r6: the truth-side shingle df-cap and the LSH bucket cap
+    must be mirrored in the oracle CTEs. The production constant never
+    binds on the sampled sf fixtures, so force a tiny cap that BINDS on
+    both paths and require bit-exact agreement."""
+    from postgres_es_cdc_spark.llm.dedup import (_docs_lsh_recall_sql,
+                                                 docs_lsh_recall_curve)
+    from tests.oracle_harness import compare, duck_connection
+
+    cap = 3
+    df = docs_lsh_recall_curve(spark, sf_dir, cap=cap)
+    con = duck_connection(sf_dir)
+    r = compare("lsh_recall_binding_cap", df, con, _docs_lsh_recall_sql(cap))
+    assert r.ok, r.message()
