@@ -2079,7 +2079,11 @@ FROM sizes CROSS JOIN tot
 
 
 PCA_ITERS = 40
-PCA_DIV = 1 << 20   # Gram downscale so the iteration stays in int64
+# Gram downscale. Valid range: the int64 Gram sum needs N·Q_SCALE²
+# < 2^63, i.e. N ≲ 9e6 vectors; the iteration itself is exact at any N
+# (Python unbounded ints / DuckDB HUGEINT). Past 9e6, raise PCA_DIV
+# and downscale inside the Arrow batches.
+PCA_DIV = 1 << 20
 PCA_VSCALE = 1_000_000
 
 
@@ -2101,8 +2105,11 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str,
     Power iteration in integers (the pagerank discipline): M is
     downscaled by a FIXED power of two (exact truncation, identical in
     both engines — `div` and `//` both truncate toward zero), each
-    step computes w = Mq·v exactly in int64 (|mq|·|v|·64 < 2^63 by
-    construction) and max-normalizes with the integer rule
+    step computes w = Mq·v exactly (Python unbounded ints here, HUGEINT
+    in the oracle — a BIGINT accumulator would overflow at N ≳ 7e4
+    vectors; the binding bound is the int64 Gram partial sum,
+    N·Q_SCALE² < 2^63 i.e. N ≲ 9e6, documented at PCA_DIV)
+    and max-normalizes with the integer rule
     v' = w div (max|w| div VSCALE + 1). Sign and ties are fully
     deterministic, so the oracle unrolls the same ``iters`` steps
     (40: the driver embeddings have a nearly flat spectrum, top-gap
@@ -2163,15 +2170,22 @@ def _pca_iter_sql(prev: str, k: int) -> str:
     # w{k} MATERIALIZED: referenced twice (max-normalizer + next v) —
     # plain CTEs would inline and re-run the join per reference
     # (DEVNOTES: deep unrolls go exponential without MATERIALIZED).
+    # The accumulator is HUGEINT: |mq| ≈ N·Q_SCALE²/PCA_DIV and
+    # |v| ≤ ~2·VSCALE would overflow a BIGINT SUM(mq·v) at roughly
+    # N ≳ 7e4 vectors, while the engine's driver loop runs in Python's
+    # unbounded ints — int128 keeps the two exactly aligned (the
+    # binding limit is now the Spark-side int64 Gram sum, N ≲ 9e6;
+    # past that raise PCA_DIV). v renormalizes back into BIGINT.
     return f"""
 w{k} AS MATERIALIZED (
-  SELECT m.i, CAST(SUM(m.mq * v.v) AS BIGINT) AS w
+  SELECT m.i, CAST(SUM(CAST(m.mq AS HUGEINT) * v.v) AS HUGEINT) AS w
   FROM mq m JOIN {prev} v ON m.j = v.i
   GROUP BY m.i
 ),
 v{k + 1} AS (
   SELECT i,
-         w // ((SELECT MAX(ABS(w)) FROM w{k}) // {PCA_VSCALE} + 1) AS v
+         CAST(w // ((SELECT MAX(ABS(w)) FROM w{k}) // {PCA_VSCALE} + 1)
+              AS BIGINT) AS v
   FROM w{k}
 )"""
 
