@@ -182,9 +182,12 @@ PICKS = {
         "the scan), word-blocked and PAIR_BUCKET_CAP-capped before "
         "pairing; Levenshtein verifies only candidates.",
     "graph_common_neighbors_topk":
-        "Common-neighbor pairs keyed by supplier with a per-supplier "
-        "cap (sum deg^2 bounded); partial-aggregable count; bounded "
-        "TakeOrdered top-k.",
+        "MinHash-LSH banding over each customer's (capped) supplier "
+        "set generates candidate pairs on the SPARSE side; exact "
+        "array_intersect verifies; adjacency localCheckpointed once "
+        "for its three branches; bounded TakeOrdered top-k. (The "
+        "supplier-keyed pair join was rejected at 518s/sf1: every "
+        "supplier has deg ~590, so sum deg^2 has no rare keys to cap.)",
     "cdc_schema_evolution_fold":
         "Relation pass collects only the 2 'R' rows; span decode is "
         "the same Arrow-batched mapInPandas as the streaming path; the "
