@@ -704,3 +704,175 @@ FROM pc
 ORDER BY n DESC, c1 ASC, c2 ASC
 LIMIT {BPE_PAIR_TOP}
 """
+
+
+BPE_MERGES = 20
+BPE_DELIM = "\x01"  # symbol-boundary marker; never occurs in real text
+
+
+def _bpe_train(vocab: list, merges: int):
+    """Driver-side BPE merge training over the (word, count) VOCABULARY
+    — the step docs_bpe_pair_stats exposes one iteration of, looped to
+    completion. Words are kept as delimiter-PREFIXED symbol strings
+    ("\\x01c\\x01a\\x01t"): with a prefix (not separator) delimiter,
+    plain left-to-right non-overlapping str.replace IS the greedy BPE
+    merge application ("·a·b·a·b" -> "·ab·ab"; "·a·a·a" -> "·aa·a"),
+    and DuckDB's replace() has identical semantics, so the oracle can
+    unroll the same loop as per-merge MATERIALIZED CTEs and stay
+    bit-exact. Pair counts are corpus-weighted (wn) with the overlap-
+    counting zip rule; argmax ties break (n DESC, c1 ASC, c2 ASC) —
+    the docs_bpe_pair_stats ordering.
+
+    This is the PCA driver-math split (DEVNOTES): the vocabulary is
+    tiny relative to the corpus (a production trainer collects it the
+    same way), each merge step is O(vocab·word_len) Python, and the
+    corpus never participates — m chained Spark jobs would pay ~2s
+    scheduling each for the same arithmetic.
+
+    Returns (merge_rows [(step, c1, c2, merged, n)], {word: sym})."""
+    syms = {w: BPE_DELIM + BPE_DELIM.join(w) for w, _ in vocab}
+    rows = []
+    for step in range(1, merges + 1):
+        counts = {}
+        for w, wn in vocab:
+            s = syms[w].split(BPE_DELIM)[1:]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wn
+        if not counts:
+            break
+        (c1, c2), n = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append((step, c1, c2, c1 + c2, n))
+        pat, rep = BPE_DELIM + c1 + BPE_DELIM + c2, BPE_DELIM + c1 + c2
+        for w in syms:
+            syms[w] = syms[w].replace(pat, rep)
+    return rows, syms
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (d.select(F.explode(tokens(F.col("text"))).alias("word"))
+             .filter(F.length("word") >= 1)
+             .filter(~F.col("word").contains(BPE_DELIM))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str,
+                    merges: int = BPE_MERGES) -> DataFrame:
+    """The trained BPE merge list: ``merges`` iterations of
+    count-pairs -> argmax -> apply, over the corpus word vocabulary —
+    closing the tokenizer-training loop docs_bpe_pair_stats opened
+    (that query IS step 1 of this one, restricted to char pairs).
+    Returns (step, c1, c2, merged, n) in training order; fewer rows
+    than ``merges`` iff the vocabulary merges to single symbols first.
+
+    Scale shape: one word-count MapReduce compacts the corpus to its
+    vocabulary; training is driver math on that vocabulary (see
+    _bpe_train); the corpus is never re-read."""
+    vocab = [(r["word"], r["wn"])
+             for r in _bpe_vocab(spark, sf_dir).collect()]
+    rows, _ = _bpe_train(vocab, merges)
+    return spark.createDataFrame(
+        rows, "step int, c1 string, c2 string, merged string, n long")
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str,
+                    merges: int = BPE_MERGES) -> DataFrame:
+    """Re-encode the corpus with the trained BPE merges and report
+    per-document token counts — the end product of tokenizer training
+    (token budgets drive packing, pricing, and mixture weights).
+
+    Scale shape: the encoded length of a word depends only on the word,
+    so the corpus-side work is ONE broadcast join of the exploded word
+    stream against the vocabulary-sized (word -> n_tokens) table built
+    driver-side from the trained symbol strings — no per-document
+    Python, no re-tokenization pass. n_tokens = count of boundary
+    markers in the final symbol string."""
+    vocab_df = _bpe_vocab(spark, sf_dir)
+    vocab = [(r["word"], r["wn"]) for r in vocab_df.collect()]
+    _, syms = _bpe_train(vocab, merges)
+    mdf = spark.createDataFrame(
+        [(w, s.count(BPE_DELIM)) for w, s in syms.items()],
+        "word string, n_tok long")
+    d = table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", "source",
+                      F.explode(tokens(F.col("text"))).alias("word"))
+              .filter(F.length("word") >= 1))
+    return (words.join(F.broadcast(mdf), "word")
+                 .groupBy("doc_id", "source")
+                 .agg(F.count(F.lit(1)).alias("n_words"),
+                      F.sum("n_tok").alias("n_bpe_tokens"))
+                 .select("doc_id", "source", "n_words", "n_bpe_tokens",
+                         (F.col("n_bpe_tokens").cast("double")
+                          / F.col("n_words").cast("double"))
+                         .alias("fertility")))
+
+
+def _bpe_train_ctes(merges: int) -> str:
+    """DuckDB twin of _bpe_train: the merge loop unrolled as per-step
+    MATERIALIZED CTE chains (the kmeans/power-iteration pattern).
+    m{i} is the argmax pair of step i (empty once the vocabulary is
+    fully merged — v{i} then passes through via the LEFT JOIN guard);
+    v{i} is the vocabulary after applying merge i with the same
+    prefix-delimiter replace as the engine."""
+    d = "chr(1)"
+    parts = [f"""WITH vocab AS (
+  SELECT word, COUNT(*) AS wn
+  FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS word
+        FROM documents)
+  WHERE length(word) >= 1 AND NOT contains(word, {d})
+  GROUP BY 1
+), v0 AS (
+  SELECT word, wn,
+         {d} || array_to_string(string_split(word, ''), {d}) AS sym
+  FROM vocab
+)"""]
+    for i in range(1, merges + 1):
+        parts.append(f""", e{i} AS (
+  SELECT wn, (string_split(sym, {d}))[2:] AS s FROM v{i - 1}
+), x{i} AS (
+  SELECT wn, s, unnest(generate_series(1, len(s) - 1)) AS j FROM e{i}
+), pc{i} AS (
+  SELECT s[j] AS c1, s[j + 1] AS c2, CAST(SUM(wn) AS BIGINT) AS n
+  FROM x{i} GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+  SELECT c1, c2, n FROM pc{i} ORDER BY n DESC, c1 ASC, c2 ASC LIMIT 1
+), v{i} AS MATERIALIZED (
+  SELECT v.word, v.wn,
+         CASE WHEN m.c1 IS NULL THEN v.sym
+              ELSE replace(v.sym, {d} || m.c1 || {d} || m.c2,
+                           {d} || m.c1 || m.c2)
+         END AS sym
+  FROM v{i - 1} v LEFT JOIN m{i} m ON TRUE
+)""")
+    return "".join(parts)
+
+
+DOCS_BPE_MERGES_SQL = _bpe_train_ctes(BPE_MERGES) + """
+SELECT * FROM (
+""" + "\n  UNION ALL ".join(
+    f"SELECT {i} AS step, c1, c2, c1 || c2 AS merged, n FROM m{i}"
+    for i in range(1, BPE_MERGES + 1)
+) + """
+)
+ORDER BY step
+"""
+
+
+DOCS_BPE_ENCODE_SQL = _bpe_train_ctes(BPE_MERGES) + f"""
+, enc AS (
+  SELECT word,
+         CAST(length(sym) - length(replace(sym, chr(1), '')) AS BIGINT)
+           AS n_tok
+  FROM v{BPE_MERGES}
+), docw AS (
+  SELECT doc_id, source,
+         unnest({TOKENS_SQL.format(col='text')}) AS word
+  FROM documents
+)
+SELECT doc_id, source, COUNT(*) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+FROM docw JOIN enc USING (word)
+GROUP BY doc_id, source
+"""

@@ -48,6 +48,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_term_frequency": QuerySpec(text.docs_term_frequency, text.DOCS_TERM_FREQUENCY_SQL),
     "docs_bpe_token_count": QuerySpec(text.docs_bpe_token_count, text.DOCS_BPE_TOKEN_SQL),
     "docs_bpe_pair_stats": QuerySpec(text.docs_bpe_pair_stats, text.DOCS_BPE_PAIR_SQL),
+    "docs_bpe_merges": QuerySpec(text.docs_bpe_merges, text.DOCS_BPE_MERGES_SQL),
+    "docs_bpe_encode": QuerySpec(text.docs_bpe_encode, text.DOCS_BPE_ENCODE_SQL),
     "docs_top_terms": QuerySpec(text.docs_top_terms, text.DOCS_TOP_TERMS_SQL),
     # --- LLM data pipeline: dedup ---
     "docs_exact_dedup": QuerySpec(dedup.docs_exact_dedup, dedup.DOCS_EXACT_DEDUP_SQL),

@@ -133,3 +133,37 @@ def test_basket_cap_bounds_giant_order(spark, tmp_path):
            .replace("LIMIT 25", "LIMIT 1000"))
     r = compare("basket_capped", df, con, sql)
     assert r.ok, r.message()
+
+
+def test_bpe_train_greedy_merge_semantics():
+    """_bpe_train implements textbook BPE: corpus-weighted pair counts,
+    (n DESC, c1, c2) tie rule, greedy left-to-right non-overlapping
+    merge application via the prefix-delimiter replace."""
+    from postgres_es_cdc_spark.llm.text import BPE_DELIM, _bpe_train
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    rows, syms = _bpe_train(vocab, 3)
+    # 'es' appears in newest(6)+widest(3)=9, 'st' likewise 9 — tie
+    # breaks to the lexicographically smaller pair ('e','s').
+    assert [(r[1], r[2], r[4]) for r in rows[:2]] == [
+        ("e", "s", 9), ("es", "t", 9)]
+    assert syms["newest"].split(BPE_DELIM)[1:] == ["n", "e", "w", "est"]
+
+    # overlap: greedy leftmost — 'aaa' under merge (a,a) -> (aa)(a)
+    rows2, syms2 = _bpe_train([("aaa", 1)], 1)
+    assert rows2[0][1:4] == ("a", "a", "aa")
+    assert syms2["aaa"].split(BPE_DELIM)[1:] == ["aa", "a"]
+
+
+def test_bpe_train_deterministic_merge_order():
+    """Same vocabulary (any iteration order) -> identical merge list:
+    the argmax rule is a pure function of the counts."""
+    from postgres_es_cdc_spark.llm.text import _bpe_train
+
+    vocab = [("spark", 3), ("scan", 7), ("sort", 7), ("stream", 2)]
+    a, _ = _bpe_train(vocab, 10)
+    b, _ = _bpe_train(list(reversed(vocab)), 10)
+    assert a == b and len(a) > 0
+    # exhaustion: merging stops when no pairs remain, rows < requested
+    c, syms = _bpe_train([("ab", 1)], 10)
+    assert len(c) == 1 and syms["ab"].count("\x01") == 1
