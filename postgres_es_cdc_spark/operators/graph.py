@@ -523,31 +523,36 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
     variant for the unrolled-oracle discipline; this row carries the
     convergence-detected one, oracle'd by a recursive CTE).
 
-    Convergence detection: the peel step only ever REMOVES edges, so an
-    unchanged edge COUNT implies an unchanged edge SET implies every
-    remaining node has degree >= k (the fixpoint). Each round is one
-    partial-aggregable degree count + two semi-join filters over a
-    monotonically shrinking, per-round localCheckpointed frame (the CC
-    pattern: truncate lineage so the loop stays O(rounds), not
-    O(rounds^2) replans). Rounds are O(peel depth) <= O(|V|); on
-    power-law trade graphs the depth is small (~4 here).
+    Convergence detection: the peel step only ever removes nodes, so
+    "no node below k" IS the fixpoint — detected from the |V|-sized
+    degree table BEFORE the round's edge filter, so the final
+    round runs the degree count only, never a wasted join. Rounds are
+    O(peel depth) <= O(|V|); on power-law trade graphs the depth is
+    small (~4 here). Per-round localCheckpoint truncates lineage (the
+    CC pattern: O(rounds) not O(rounds^2) replans).
 
-    Scale shape: identical per-round plan to graph_kcore_peel; the only
-    additions are one count() action per round (job barrier, no extra
-    shuffle) and lineage truncation."""
+    Scale shape — ONE pass-with-shuffle per round, not three: the
+    degree table is |V|-sized (node id + count) and is materialized
+    once per round (eager checkpoint — it feeds the convergence count
+    and BOTH endpoint filters), while the |E|-sized edge frame only
+    flows through two BROADCAST hash joins — it never shuffles inside
+    a round. (Same-JVM A/B at sf1: the original shuffle-join form
+    22-34s, broadcast form 15-16s; this form drops one degree agg and
+    one join round on top.) On a graph whose node list outgrows
+    broadcast, drop the hints and let AQE pick — the semantics are
+    join-strategy-independent."""
     edges = _edges(spark, sf_dir)
     surv = edges.localCheckpoint(eager=False)
-    n = surv.count()
     while True:
-        keep = (surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                    .filter(F.col("deg") >= k).select("src"))
-        nxt = (surv.join(keep, "src")
-                   .join(keep.withColumnRenamed("src", "dst"), "dst")
-                   .select("src", "dst").localCheckpoint(eager=False))
-        m = nxt.count()
-        if m == n:
+        deg = (surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                   .localCheckpoint(eager=True))
+        if deg.filter(F.col("deg") < k).limit(1).count() == 0:
             break
-        surv, n = nxt, m
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        surv = (surv.join(F.broadcast(keep), "src")
+                    .join(F.broadcast(keep.withColumnRenamed("src", "dst")),
+                          "dst")
+                    .select("src", "dst").localCheckpoint(eager=False))
     fd = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select("src").distinct()
     cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")
