@@ -226,3 +226,96 @@ def test_wal_stream_pipeline_txn_atomic_across_segments(spark, tmp_path):
     state2 = spark.read.parquet(sink.table_path("t")).drop("_cdc_version")
     assert sorted((r.id, r.name, r.qty) for r in state2.collect()) == \
         [(1, "a", 5), (2, "b", 6), (3, "c", 70)]
+
+
+def test_wal_stream_schema_evolution_across_batch_boundaries(spark, tmp_path):
+    """VERDICT r6 #6: the v2 Relation (adds a column) exercised through
+    the REAL streaming path (wal_cdc_pipeline, one segment per
+    micro-batch) in both placements:
+      (a) mid-batch — rows before the re-send decode with v1, rows
+          after with v2, inside one micro-batch;
+      (b) at a batch boundary — the next micro-batch has NO Relation
+          message at all and decodes entirely from the carried
+          (persisted) relation cache.
+    The folded sink state must equal the one-shot batch fold of the
+    same WAL (stream == batch under DDL drift), with the added column
+    NULL for rows never touched post-evolution (putAll key-absent)."""
+    import os as _os
+
+    from postgres_es_cdc_spark.cdc.txn import (TxnUpsertSink,
+                                               apply_changes_transactional)
+    from postgres_es_cdc_spark.sources.pgoutput import (
+        WalStreamApply, assign_txn_ids, wal_cdc_pipeline)
+
+    v1_cols = ["id", "name", "qty"]
+    v2_cols = ["id", "name", "qty", "prio"]
+    seg_msgs = [
+        # batch 1: v1 relation + two inserts
+        [encode_relation(OID, "t", v1_cols),
+         encode_begin(xid=1),
+         encode_insert(OID, [1, "a", 5]),
+         encode_insert(OID, [2, "b", 6]),
+         encode_commit()],
+        # batch 2: starts with a v1 UPDATE decoded from the CARRIED
+        # cache, then the v2 relation re-send MID-BATCH, then a v2 row
+        [encode_begin(xid=2),
+         encode_update(OID, [1, UNCHANGED, 50]),
+         encode_commit(),
+         encode_relation(OID, "t", v2_cols),
+         encode_begin(xid=3),
+         encode_update(OID, [2, UNCHANGED, UNCHANGED, "HIGH"]),
+         encode_commit()],
+        # batch 3: no Relation message anywhere — v2 comes entirely
+        # from the cross-batch cache carry-over
+        [encode_begin(xid=4),
+         encode_insert(OID, [3, "c", 7, "LOW"]),
+         encode_commit()],
+    ]
+
+    wal_dir = tmp_path / "wal"
+    touched: set = set()
+    for idx, msgs in enumerate(seg_msgs):
+        df = spark.createDataFrame(
+            [(idx * 100 + i, bytearray(m)) for i, m in enumerate(msgs)],
+            "offset long, data binary")
+        df.coalesce(1).write.mode("append").parquet(str(wal_dir))
+        for fname in _os.listdir(wal_dir):
+            full = str(wal_dir / fname)
+            if fname.endswith(".parquet") and full not in touched:
+                _os.utime(full, (1_700_000_000 + idx,) * 2)
+                touched.add(full)
+
+    v2_schema = _parse_datatype_string(
+        "id long, name string, qty long, prio string")
+    sink = TxnUpsertSink(str(tmp_path / "state"), {"t": v2_schema})
+    stream = (spark.readStream.schema("offset long, data binary")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(wal_dir)))
+    q = wal_cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r.id, r.name, r.qty, r.prio)
+        for r in spark.read.parquet(sink.table_path("t"))
+                      .drop("_cdc_version").collect())
+    # v1-era rows surface prio NULL unless touched post-evolution
+    assert streamed == [(1, "a", 50, None), (2, "b", 6, "HIGH"),
+                        (3, "c", 7, "LOW")]
+    # persisted context carries the evolved relation version
+    assert WalStreamApply(sink).relcache[OID] == ("t", v2_cols)
+
+    # one-shot batch twin over the identical WAL: stream == batch
+    from postgres_es_cdc_spark.sources.pgoutput import (
+        decode_with_relation_resends)
+    all_rows = [(idx * 100 + i, bytearray(m))
+                for idx, msgs in enumerate(seg_msgs)
+                for i, m in enumerate(msgs)]
+    wal = spark.createDataFrame(all_rows, "offset long, data binary")
+    ev, _ = decode_with_relation_resends(wal, {})
+    state = apply_changes_transactional(
+        assign_txn_ids(ev).filter(
+            F.col("tableName").eqNullSafe("t") |
+            F.col("operationType").isin("BEGIN", "COMMIT")),
+        v2_schema)
+    batch = sorted((r.id, r.name, r.qty, r.prio) for r in state.collect())
+    assert batch == streamed
