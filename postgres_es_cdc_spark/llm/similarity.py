@@ -1266,70 +1266,97 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
     — N·(k1 + k/k1) ≈ N·2√k work instead of the flat N·k, the
     inverted-multi-index shape billion-vector ANN systems use.
 
-    Inputs: c = quantized vectors (id, q, n2=Σq²); carr = centroid
-    ARRAY table (cid, n, sqv, b2) from _cent_arrays. Supers are the k1
+    Implementation is an Arrow-batched NUMPY kernel (mapInPandas), the
+    FAISS-style routing loop: the centroid table is vocabulary-sized
+    (k ≤ 2000 rows), so it collects once and rides the task closure;
+    per batch the vector·centroid dot blocks run as int64 GEMM — exact,
+    |xq·sq| ≤ 2^55, 64-dim sums ≤ 2^61 — and the expanded-square
+    numerators ns²·n2 − 2·ns·dot + b2 combine in PYTHON INTS (object
+    arrays; they exceed int64, exactly like the engine's old
+    decimal(38,0) path), then convert to float64 (correctly rounded,
+    same as a CAST) and divide in the oracle's exact op order. The
+    expression/higher-order-function form this replaces evaluated
+    every dot interpreted (CodegenFallback) — 15.1s of a 19.9s sf3 run
+    was this routing; the GEMM kernel is ~2s. Distances, argmin tie
+    rules (d2 asc, cid asc — numpy argmin's first-hit over
+    cid-ascending columns), and the routed count are bit-identical to
+    the _hier_route_cte DuckDB twin.
+
+    Inputs: c = quantized vectors (id, q, ...); carr = centroid ARRAY
+    table (cid, n, sqv, b2) from _cent_arrays. Supers are the k1
     children with smallest cid (singleton promotion — no second
-    training loop). All distances are the exact expanded-square
-    rational form (integer numerators combined in decimal(38,0), one
-    double division), so a DuckDB twin built by _hier_route_cte
-    reproduces every argmin bit-for-bit. Returns
-    (id, scid, cid, routed)."""
-    sarr = (carr.orderBy("cid").limit(k1)
-                .select(F.col("cid").alias("scid"),
-                        F.col("n").alias("ns"),
-                        F.col("sqv").alias("sqs"),
-                        F.col("b2").alias("b2s")))
-    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    training loop). Returns (id, scid, cid, routed = children scanned
+    in stage 2)."""
+    import numpy as np
+    import pandas as pd
 
-    # child -> super: k x k1 rational mean-to-mean distances (tiny).
-    cs_num = F.aggregate(
-        F.zip_with(F.col("sqv"), F.col("sqs"),
-                   lambda a, b: d38(a * F.col("ns") - b * F.col("n"))
-                   * (a * F.col("ns") - b * F.col("n"))),
-        F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)
-    cs_dist = (cs_num.cast("double")
-               / (F.col("n") * F.col("n")).cast("double")
-               / (F.col("ns") * F.col("ns")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    child_super = (carr.crossJoin(F.broadcast(sarr))
-                       .select("cid", "scid", cs_dist.alias("d2"))
-                       .groupBy("cid")
-                       .agg(F.min(F.struct("d2", "scid")).alias("b"))
-                       .select("cid", F.col("b.scid").alias("scid")))
+    rows = sorted(carr.collect(), key=lambda r: r["cid"])
+    cids = [r["cid"] for r in rows]
+    ns = {r["cid"]: int(r["n"]) for r in rows}
+    sq = {r["cid"]: [int(v) for v in r["sqv"]] for r in rows}
+    b2 = {r["cid"]: int(r["b2"]) for r in rows}
+    sup_ids = cids[:k1]
+    q2 = float(Q_SCALE) ** 2
 
-    # vector -> super: N x k1 broadcast array pass (expanded square).
-    vs_num = (d38(F.col("ns") * F.col("ns")) * F.col("n2")
-              - d38(F.lit(2) * F.col("ns"))
-                * dot_q(F.col("q"), F.col("sqs"))
-              + F.col("b2s"))
-    vs_dist = (vs_num.cast("double")
-               / (F.col("ns") * F.col("ns")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    vec_super = (c.crossJoin(F.broadcast(sarr))
-                  .select("id", "scid", vs_dist.alias("d2"))
-                  .groupBy("id")
-                  .agg(F.min(F.struct("d2", "scid")).alias("b"))
-                  .select("id", F.col("b.scid").alias("scid")))
+    # child -> super: k x k1 exact rational mean-to-mean distances,
+    # driver math on the collected table (oracle: csd/child_super).
+    sq_all = np.array([sq[cid] for cid in cids], dtype=object)
+    n_all = np.array([ns[cid] for cid in cids], dtype=object)
+    d2cs = np.empty((len(cids), len(sup_ids)), dtype=np.float64)
+    for j, s in enumerate(sup_ids):
+        diff = sq_all * ns[s] - np.array(sq[s], dtype=object)[None, :] \
+            * n_all[:, None]
+        num = (diff * diff).sum(axis=1)
+        d2cs[:, j] = (num.astype(np.float64)
+                      / (n_all * n_all).astype(np.float64)
+                      / float(ns[s] * ns[s]) / q2)
+    cell: dict = {}
+    for i, cid in enumerate(cids):
+        cell.setdefault(sup_ids[int(np.argmin(d2cs[i]))], []).append(cid)
 
-    # vector -> child WITHIN its super-cell: join on scid fans each
-    # vector out to only its cell's children (~k/k1 rows), not all k.
-    cell_children = (carr.join(child_super, "cid")
-                         .select("scid", "cid", "n", "sqv", "b2"))
-    vc_num = (d38(F.col("n") * F.col("n")) * F.col("n2")
-              - d38(F.lit(2) * F.col("n"))
-                * dot_q(F.col("q"), F.col("sqv"))
-              + F.col("b2"))
-    vc_dist = (vc_num.cast("double")
-               / (F.col("n") * F.col("n")).cast("double")
-               / F.lit(float(Q_SCALE) ** 2))
-    routed = (c.join(vec_super, "id")
-               .join(F.broadcast(cell_children), "scid")
-               .select("id", "scid", "cid", vc_dist.alias("d2")))
-    return (routed.groupBy("id", "scid")
-                  .agg(F.min(F.struct("d2", "cid")).alias("b"),
-                       F.count(F.lit(1)).alias("routed"))
-                  .select("id", F.col("scid").alias("scid"),
-                          F.col("b.cid").alias("cid"), "routed"))
+    sqs_mat = np.array([sq[s] for s in sup_ids], dtype=np.int64)
+    cell_mats = {s: (np.array([sq[cc] for cc in ch], dtype=np.int64), ch)
+                 for s, ch in cell.items()}
+
+    def _d2(n2o, dot, clist):
+        """float64 distance block from object-int n2 and int64 dots,
+        in the oracle's exact op order (numerator -> /n² -> /Q²)."""
+        out = np.empty((len(n2o), len(clist)), dtype=np.float64)
+        for j, cc in enumerate(clist):
+            num = ns[cc] * ns[cc] * n2o - 2 * ns[cc] \
+                * dot[:, j].astype(object) + b2[cc]
+            out[:, j] = (num.astype(np.float64)
+                         / float(ns[cc] * ns[cc]) / q2)
+        return out
+
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            X = np.array([list(v) for v in pdf["q"]], dtype=np.int64)
+            n2o = (X * X).sum(axis=1).astype(object)
+            si = np.argmin(_d2(n2o, X @ sqs_mat.T, sup_ids), axis=1)
+            oid, oscid, ocid, orouted = [], [], [], []
+            for j, s in enumerate(sup_ids):
+                mask = si == j
+                if not mask.any():
+                    continue
+                sqc_mat, ch = cell_mats[s]
+                ci = np.argmin(_d2(n2o[mask], X[mask] @ sqc_mat.T, ch),
+                               axis=1)
+                oid.append(ids[mask])
+                oscid.append(np.full(int(mask.sum()), s, dtype=np.int64))
+                ocid.append(np.array([ch[x] for x in ci], dtype=np.int64))
+                orouted.append(np.full(int(mask.sum()), len(ch),
+                                       dtype=np.int64))
+            yield pd.DataFrame({"id": np.concatenate(oid),
+                                "scid": np.concatenate(oscid),
+                                "cid": np.concatenate(ocid),
+                                "routed": np.concatenate(orouted)})
+
+    return c.select("id", "q").mapInPandas(
+        route, "id long, scid long, cid long, routed long")
 
 
 def _hier_route_cte(src: str) -> str:
@@ -1433,29 +1460,52 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
 
     c = _q_corpus(spark, sf_dir).withColumn(
         "n2", dot_q(F.col("q"), F.col("q")))
+    # `alla` feeds two plan branches (the pair-gather AND the final
+    # output join) and nothing actions it in between, so the checkpoint
+    # must be EAGER — a lazy one only caches on first action, by which
+    # time a single job has already scheduled the route chain twice
+    # (the DEVNOTES multi-branch rule; measured 21s -> 14s at sf3).
+    # The materialized frame is (id, cid): 16 bytes/row, never the
+    # vectors.
     alla = (_route_two_level(c, carr, k1)
-            .select(F.col("id").alias("vec_id"), "cid"))
+            .select(F.col("id").alias("vec_id"), "cid")
+            .localCheckpoint(eager=True))
 
-    # In-cluster pair verification: join the (array, norm)-carrying
-    # corpus to its cluster id ONCE, then self-join on cid — pair rows
-    # are expanded inside the join with their arrays already present,
-    # so the shuffle moves N vectors, not N^1.5 pair-side arrays (the
-    # sf1 sweep measured the fetch-arrays-per-pair form at 38s). One
-    # integer dot per pair (norms precomputed); exact same integers
-    # reach the same double ops as the oracle's three-aggregate form.
-    qa = (c.join(alla, c["id"] == alla["vec_id"])
-           .select("cid", "id", "q", "n2"))
-    l = qa.select("cid", F.col("id").alias("id1"), F.col("q").alias("q1"),
-                  F.col("n2").alias("n2a"))
-    r = qa.select("cid", F.col("id").alias("id2"), F.col("q").alias("q2"),
-                  F.col("n2").alias("n2b"))
-    cos = (dot_q(F.col("q1"), F.col("q2")).cast("double")
-           / (F.sqrt(F.col("n2a").cast("double"))
-              * F.sqrt(F.col("n2b").cast("double"))))
-    pruned = (l.join(r, "cid").filter(F.col("id1") < F.col("id2"))
-               .filter(cos >= threshold)
-               .select(F.col("id2").alias("vec_id")).distinct()
-               .withColumn("_p", F.lit(True)))
+    # In-cluster pair verification as per-cluster GEMM (the PCA BLAS
+    # pattern): each cluster's members gather once via applyInPandas,
+    # then numpy computes the full pair-dot block X·Xᵀ in int64 —
+    # EXACT (|dot| ≤ 64·Q_SCALE² < 2^53) — and the cosine as the
+    # identical IEEE op sequence the previous expression form used
+    # (cast-to-double, sqrt, multiply, divide, compare), so the prune
+    # set is bit-for-bit the oracle's. The expression/self-join form
+    # evaluated one interpreted higher-order dot per pair: on the
+    # adversarial duplicate-clique corpus (cluster sizes are skewed —
+    # k bounds the MEAN, p99 was ~25x it at sf3) that measured 51s at
+    # sf3; the GEMM form is ~14s. Row blocks inside the kernel keep
+    # the pair matrix O(B·m), never materializing m² at once.
+    import numpy as np
+    import pandas as pd
+
+    def _prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        X = np.array([list(v) for v in pdf["q"].to_numpy()[order]],
+                     dtype=np.int64)
+        s = np.sqrt(pdf["n2"].to_numpy()[order].astype(np.float64))
+        pruned = np.zeros(len(ids), dtype=bool)
+        B = 2048
+        for lo in range(0, len(ids), B):
+            hi = min(lo + B, len(ids))
+            cos = ((X[lo:hi] @ X.T).astype(np.float64)
+                   / (s[lo:hi, None] * s[None, :]))
+            hit = (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            pruned |= hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[pruned]})
+
+    qa = c.join(alla, c["id"] == alla["vec_id"]).select("cid", "id", "q",
+                                                        "n2")
+    pruned = (qa.groupBy("cid").applyInPandas(_prune_cluster, "vec_id long")
+                .withColumn("_p", F.lit(True)))
     return (alla.join(pruned, "vec_id", "left")
                 .select(F.col("vec_id").alias("id"),
                         F.col("cid").alias("cluster"),

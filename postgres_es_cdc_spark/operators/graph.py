@@ -528,21 +528,24 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
     degree table BEFORE the round's edge filter, so the final
     round runs the degree count only, never a wasted join. Rounds are
     O(peel depth) <= O(|V|); on power-law trade graphs the depth is
-    small (~4 here). Per-round localCheckpoint truncates lineage (the
-    CC pattern: O(rounds) not O(rounds^2) replans).
+    small (~4 here).
 
-    Scale shape — ONE pass-with-shuffle per round, not three: the
-    degree table is |V|-sized (node id + count) and is materialized
-    once per round (eager checkpoint — it feeds the convergence count
-    and BOTH endpoint filters), while the |E|-sized edge frame only
-    flows through two BROADCAST hash joins — it never shuffles inside
-    a round. (Same-JVM A/B at sf1: the original shuffle-join form
-    22-34s, broadcast form 15-16s; this form drops one degree agg and
-    one join round on top.) On a graph whose node list outgrows
-    broadcast, drop the hints and let AQE pick — the semantics are
+    Scale shape — ONE pass-with-shuffle per round, and the edge set is
+    NEVER rewritten: the degree table is |V|-sized and eager-
+    checkpointed per round (it feeds the convergence count and BOTH
+    endpoint filters); the peel itself is two lazy BROADCAST hash
+    joins stacked over the once-materialized base edges, so each round
+    adds only a map-side filter to the plan — a peel typically removes
+    a vanishing fraction of edges (sf3: ~300 of 35M; per-round
+    re-checkpointing measured 15s/round of pure rewrite). Lineage is
+    re-truncated every 8 rounds so a deep peel stays O(rounds), not
+    O(rounds²) replans. On a graph whose node list outgrows broadcast,
+    drop the hints and let AQE pick — the semantics are
     join-strategy-independent."""
     edges = _edges(spark, sf_dir)
     surv = edges.localCheckpoint(eager=False)
+    surv.count()
+    rounds = 0
     while True:
         deg = (surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                    .localCheckpoint(eager=True))
@@ -552,7 +555,11 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
         surv = (surv.join(F.broadcast(keep), "src")
                     .join(F.broadcast(keep.withColumnRenamed("src", "dst")),
                           "dst")
-                    .select("src", "dst").localCheckpoint(eager=False))
+                    .select("src", "dst"))
+        rounds += 1
+        if rounds % 8 == 0:
+            surv = surv.localCheckpoint(eager=False)
+            surv.count()
     fd = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select("src").distinct()
     cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")

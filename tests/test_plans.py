@@ -109,35 +109,39 @@ def test_pmi_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_semdedup_assign_is_broadcast_array_pass(spark, sf_dir):
-    """Round-5 fix guard: emb_semdedup_prune's assignment joins the
-    BROADCAST centroid-array table — no exploded (vector, dim) x
-    centroid shuffle join remains on the assign path."""
-    from postgres_es_cdc_spark.llm.similarity import emb_semdedup_prune
+def test_semdedup_assign_is_arrow_kernel(spark, sf_dir):
+    """Round-7 fix guard: emb_semdedup_prune's assign stage is the
+    Arrow-batched numpy routing kernel (mapInPandas int64 GEMM) and its
+    pair verify is the per-cluster GEMM (applyInPandas) — the
+    expression/higher-order-function forms were interpreted
+    (CodegenFallback) and measured 15.1s + 29M interpreted pair dots
+    at sf3."""
+    from postgres_es_cdc_spark.llm.similarity import (emb_hier_assign,
+                                                      emb_semdedup_prune)
 
+    # the shared route frame (emb_hier_assign returns it un-checkpointed;
+    # inside emb_semdedup_prune it hides behind the eager checkpoint)
+    assert "MapInPandas" in _plan(emb_hier_assign(spark, sf_dir))
     plan = _plan(emb_semdedup_prune(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
 
 
 def test_semdedup_assign_is_two_level(spark, sf_dir):
-    """Round-6 fix guard: emb_semdedup_prune's assign stage must be the
-    two-level router (_route_two_level), not the flat N·k pass — the
-    sf1 sweep measured the flat form at 13.7x per 10x data. Shape
-    evidence: (a) the two-level route produces the same cluster ids as
-    emb_hier_assign's routing for base-corpus vectors (they share the
-    routing core and centroids); (b) the assign path carries a
-    broadcast super-centroid cross join AND a broadcast cell-children
-    hash join — two distinct broadcast stages, vs one for flat."""
+    """Round-6 fix guard (shape updated in round 7): emb_semdedup_prune
+    must assign through the shared two-level router — evidenced by the
+    route producing the same cluster ids as emb_hier_assign for
+    base-corpus vectors (they share the routing kernel and centroids),
+    and by the routed-count column being cell-sized, not k-sized."""
     from postgres_es_cdc_spark.llm.similarity import (emb_hier_assign,
                                                       emb_semdedup_prune)
 
     sd = emb_semdedup_prune(spark, sf_dir)
-    plan = _plan(sd)
-    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:3000]
-    assert "BroadcastHashJoin" in plan, plan[:3000]
+    hier_rows = emb_hier_assign(spark, sf_dir).collect()
+    hier = {r["vec_id"]: r["cid"] for r in hier_rows}
+    # two-level: stage 2 scans only the super-cell's children (< k)
+    k = len({r["cid"] for r in hier_rows})
+    assert max(r["routed"] for r in hier_rows) < max(k, 9)
 
-    hier = {r["vec_id"]: r["cid"]
-            for r in emb_hier_assign(spark, sf_dir).collect()}
     sd_rows = {r["id"]: r["cluster"] for r in sd.collect()
                if r["id"] < 100000}          # base corpus (mutants excluded)
     assert sd_rows and all(hier[i] == c for i, c in sd_rows.items())
