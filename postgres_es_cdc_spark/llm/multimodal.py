@@ -284,34 +284,38 @@ def multimodal_embed_topk(spark, sf_dir: str, k: int = 3,
     ])
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # numpy residue-class sums: 8 strided-slice reductions per asset
+        # instead of a per-BYTE Python loop (the loop measured as the
+        # dominant cost of this query at sf3 — 30M byte iterations).
+        import numpy as np
         for pdf in batches:
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "f": [byte_residue_features(bytes(p)) for p in pdf["payload"]],
-            })
+            feats = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                feats.append([int(a[j::8].sum()) for j in range(8)])
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "f": feats})
 
     feats = assets.select("asset_id", "payload").mapInPandas(
         _extract, feat_schema)
-    q = (feats.filter(F.col("asset_id") < n_queries)
-              .select(F.col("asset_id").alias("qid"),
-                      F.col("f").alias("qf")))
-    c = feats.select(F.col("asset_id").alias("cid"), F.col("f").alias("cf"))
 
     def idot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0).cast("long"), lambda acc, v: acc + v)
 
-    cos = (idot(F.col("qf"), F.col("cf")).cast("double")
-           / (F.sqrt(idot(F.col("qf"), F.col("qf")).cast("double"))
-              * F.sqrt(idot(F.col("cf"), F.col("cf")).cast("double"))))
     # Guard: a zero-byte payload yields a zero vector and NaN cosine,
     # and NaN ordering differs across engines — exclude empty vectors on
     # BOTH sides (no-op on this corpus; min doc length > 0).
-    nz = idot(F.col("cf"), F.col("cf")) > 0
-    qnz = idot(F.col("qf"), F.col("qf")) > 0
-    scored = (F.broadcast(q.filter(qnz)).crossJoin(c.filter(nz))
-              .filter(F.col("qid") != F.col("cid"))
-              .select("qid", "cid", cos.alias("cos_sim")))
+    nz = idot(F.col("f"), F.col("f")) > 0
+    # feats feeds both the query collect and the scoring scan — one
+    # eager checkpoint runs the extractor exactly once (8 longs/asset).
+    c = (feats.filter(nz)
+              .select(F.col("asset_id").alias("cid"), F.col("f").alias("cf"))
+              .localCheckpoint(eager=True))
+    qrows = [(r["cid"], list(r["cf"]))
+             for r in c.filter(F.col("cid") < n_queries).collect()]
+    from postgres_es_cdc_spark.llm.similarity import _bq_scores
+    scored = (_bq_scores(qrows, c, "cid", "cf", "cos")
+              .filter(F.col("qid") != F.col("cid")))
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -69,26 +69,80 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _bq_scores(qrows: list, cdf: DataFrame, cid_col: str, vec_col: str,
+               metric: str, prefix: int | None = None) -> DataFrame:
+    """Broadcast-queries × corpus-scan scoring as an Arrow-batched int64
+    GEMM kernel — the shared engine under every brute-force embedding
+    pass (top-k, range search, recall evals). The query block is
+    BOUNDED BY DESIGN (literal constants or COUNT(*)-derived sample
+    targets), so collecting it IS the broadcast: the k×64 matrix rides
+    the task closure, and each Arrow batch of candidates computes all
+    dots as one X·Qᵀ — numpy integer matmul, EXACT (|xq·sq| ≤ 2^55,
+    64-term sums ≤ 2^61). The per-pair zip_with/aggregate expression
+    form this replaces is CodegenFallback (interpreted): the sf3 sweep
+    measured 10-16s per query of pure interpreted dots.
+
+    metric='cos': double(dot) / (sqrt(double(Σq²)) · sqrt(double(Σc²)))
+    — the identical IEEE op sequence as the expression form (int→double
+    casts are correctly rounded in both), so oracles match bit-for-bit.
+    metric='l2sq': Σ(a−b)² computed as Σq² + Σc² − 2·dot — the same
+    INTEGER by algebra (≤ ~1.1e15, exact in int64).
+    prefix: slice both sides to the first `prefix` dims (Matryoshka).
+
+    Emits ALL (qid, cid) pairs — callers keep their own qid != cid /
+    threshold / top-k logic JVM-side, unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.int64)
+    if prefix is not None:
+        qm = qm[:, :prefix]
+    q2 = (qm * qm).sum(axis=1)
+    sqn = np.sqrt(q2.astype(np.float64))
+    out_field = "cos_sim double" if metric == "cos" else "d long"
+    val_col = "cos_sim" if metric == "cos" else "d"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[cid_col].to_numpy()
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.int64)
+            if prefix is not None:
+                x = x[:, :prefix]
+            dot = x @ qm.T
+            c2 = (x * x).sum(axis=1)
+            if metric == "cos":
+                val = (dot.astype(np.float64)
+                       / (sqn[None, :]
+                          * np.sqrt(c2.astype(np.float64))[:, None]))
+            else:
+                val = q2[None, :] + c2[:, None] - 2 * dot
+            yield pd.DataFrame({
+                "qid": np.tile(qids, len(ids)),
+                cid_col: np.repeat(ids, len(qids)),
+                val_col: val.ravel(),
+            })
+
+    return cdf.select(cid_col, vec_col).mapInPandas(
+        score, f"qid long, {cid_col} long, {out_field}")
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 3,
                     n_queries: int = 5) -> DataFrame:
-    """Brute-force cosine top-k: queries = vec_id < n_queries, broadcast
-    against the full candidate set. Quantized-exact kernel (see module
-    docstring); emb_cosine_topk_fast is the float production variant."""
+    """Brute-force cosine top-k: queries = vec_id < n_queries, scored
+    against the full candidate set by the shared GEMM scan kernel
+    (_bq_scores); ranking stays a JVM-side bounded window. Quantized-
+    exact; emb_cosine_topk_fast is the float production variant."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
     c = e.select(F.col("vec_id").alias("cid"),
                  quantize(F.col("embedding")).alias("cq"))
-    cos = (
-        dot_q(F.col("qq"), F.col("cq")).cast("double")
-        / (F.sqrt(dot_q(F.col("qq"), F.col("qq")).cast("double"))
-           * F.sqrt(dot_q(F.col("cq"), F.col("cq")).cast("double")))
-    )
-    scored = (
-        F.broadcast(q).crossJoin(c)
-         .filter(F.col("qid") != F.col("cid"))
-         .select("qid", "cid", cos.alias("cos_sim"))
-    )
+    qrows = [(r["qid"], list(r["qq"])) for r in q.collect()]
+    scored = (_bq_scores(qrows, c, "cid", "cq", "cos")
+              .filter(F.col("qid") != F.col("cid")))
     return _topk(scored, k).select("qid", "cid", "rank", "cos_sim")
 
 
@@ -1605,24 +1659,18 @@ def emb_range_search(spark: SparkSession, sf_dir: str,
     bounds count, range bounds similarity; recommendation and dedup
     candidates both need this form).
 
-    Scale shape: the query block (n_queries rows) is broadcast against
-    the corpus scan — one pass over the corpus per query batch, no
-    shuffle of corpus vectors; at billions of vectors the same query
-    composes with the IVF probe (emb_ivf_trained_topk) to scan only
-    nearby cells. Kernel is the exact integer-quantized cosine."""
-    c = _q_corpus(spark, sf_dir).withColumn(
-        "n2", dot_q(F.col("q"), F.col("q")))
-    q = (c.filter(F.col("id") < n_queries)
-          .select(F.col("id").alias("qid"), F.col("q").alias("qv"),
-                  F.col("n2").alias("qn2")))
-    cos = (dot_q(F.col("qv"), F.col("q")).cast("double")
-           / (F.sqrt(F.col("qn2").cast("double"))
-              * F.sqrt(F.col("n2").cast("double"))))
-    return (c.crossJoin(F.broadcast(q))
-             .filter(F.col("id") != F.col("qid"))
-             .select("qid", F.col("id").alias("match_id"),
-                     cos.alias("cos_sim"))
-             .filter(F.col("cos_sim") >= tau))
+    Scale shape: the bounded query block rides the GEMM scan kernel
+    (_bq_scores) — one Arrow-batched pass over the corpus, no shuffle
+    of corpus vectors; at billions of vectors the same query composes
+    with the IVF probe (emb_ivf_trained_topk) to scan only nearby
+    cells. Kernel is the exact integer-quantized cosine."""
+    c = _q_corpus(spark, sf_dir)
+    qrows = [(r["id"], list(r["q"]))
+             for r in c.filter(F.col("id") < n_queries).collect()]
+    return (_bq_scores(qrows, c, "id", "q", "cos")
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", F.col("id").alias("match_id"), "cos_sim")
+            .filter(F.col("cos_sim") >= tau))
 
 
 EMB_RANGE_SEARCH_SQL = f"""
@@ -1820,16 +1868,22 @@ def emb_label_knn_accuracy(spark: SparkSession, sf_dir: str,
     s = (e.filter(F.col("vec_id") % mod == 0)
           .select("vec_id", F.col("label").cast("int").alias("label"),
                   quantize(F.col("embedding")).alias("q")))
-    a = s.select(F.col("vec_id").alias("ida"), F.col("label").alias("la"),
-                 F.col("q").alias("qa"))
-    b = s.select(F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
-                 F.col("q").alias("qb"))
-    d2 = l2sq_q(F.col("qa"), F.col("qb"))
-    pairs = (a.join(b, F.col("ida") != F.col("idb"))
-              .select("ida", "la", "lb", d2.alias("d2"), "idb"))
+    srows = s.collect()          # ~KNN_SAMPLE_TARGET rows by construction
+    qrows = [(r["vec_id"], list(r["q"])) for r in srows]
+    labels = F.broadcast(spark.createDataFrame(
+        [(r["vec_id"], r["label"]) for r in srows], "vid long, lab int"))
+    pairs = (_bq_scores(qrows, s.select(F.col("vec_id").alias("idb"), "q"),
+                        "idb", "q", "l2sq")
+             .filter(F.col("qid") != F.col("idb"))
+             .withColumnRenamed("qid", "ida")
+             .withColumnRenamed("d", "d2"))
     w = Window.partitionBy("ida").orderBy(F.asc("d2"), F.asc("idb"))
     nn = (pairs.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1))
+               .filter(F.col("rn") == 1)
+               .join(labels.select(F.col("vid").alias("ida"),
+                                   F.col("lab").alias("la")), "ida")
+               .join(labels.select(F.col("vid").alias("idb"),
+                                   F.col("lab").alias("lb")), "idb"))
     return (nn.groupBy(F.col("la").alias("label"))
               .agg(F.count(F.lit(1)).alias("n_sampled"),
                    F.sum((F.col("la") == F.col("lb")).cast("long"))
@@ -1885,8 +1939,9 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
     trusting emb_prefix_rerank_topk's cheap first stage (MRL papers
     report exactly this curve). Companion eval to emb_label_knn_accuracy.
 
-    Scale shape: both rankings are broadcast-query × corpus-scan passes
-    with per-query top-k (bounded windows over per-query rows, never a
+    Scale shape: both rankings are GEMM corpus-scan passes (_bq_scores;
+    the prefix ranking slices both sides inside the kernel) with
+    per-query top-k (bounded windows over per-query rows, never a
     global sort); the recall join compares two k-row sets per query.
     Exact integer distances, id tie-breaks — bit-stable in both
     engines."""
@@ -1895,19 +1950,14 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
     c = e.select(F.col("vec_id").alias("cid"),
                  quantize(F.col("embedding")).alias("cq"))
-    full = (F.broadcast(q).crossJoin(c)
-             .filter(F.col("qid") != F.col("cid"))
-             .select("qid", "cid",
-                     l2sq_q(F.col("qq"), F.col("cq")).alias("d")))
+    qrows = [(r["qid"], list(r["qq"])) for r in q.collect()]
+    full = (_bq_scores(qrows, c, "cid", "cq", "l2sq")
+            .filter(F.col("qid") != F.col("cid")))
     wq = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cid"))
     exact = (full.withColumn("rn", F.row_number().over(wq))
                  .filter(F.col("rn") <= k).select("qid", "cid"))
-    qp = q.select("qid", F.slice("qq", 1, prefix_dims).alias("qp"))
-    cp = c.select("cid", F.slice("cq", 1, prefix_dims).alias("cp"))
-    pfx = (F.broadcast(qp).crossJoin(cp)
-            .filter(F.col("qid") != F.col("cid"))
-            .select("qid", "cid",
-                    l2sq_q(F.col("qp"), F.col("cp")).alias("d")))
+    pfx = (_bq_scores(qrows, c, "cid", "cq", "l2sq", prefix=prefix_dims)
+           .filter(F.col("qid") != F.col("cid")))
     approx = (pfx.withColumn("rn", F.row_number().over(wq))
                  .filter(F.col("rn") <= k).select("qid", "cid"))
     hits = (exact.join(approx, ["qid", "cid"])
@@ -2038,10 +2088,9 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qq"))
     c = e.select(F.col("vec_id").alias("cand"),
                  quantize(F.col("embedding")).alias("cq"))
-    full = (F.broadcast(q).crossJoin(c)
-             .filter(F.col("qid") != F.col("cand"))
-             .select("qid", "cand",
-                     l2sq_q(F.col("qq"), F.col("cq")).alias("d")))
+    qrows = [(r["qid"], list(r["qq"])) for r in q.collect()]
+    full = (_bq_scores(qrows, c, "cand", "cq", "l2sq")
+            .filter(F.col("qid") != F.col("cand")))
     wq = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cand"))
     exact = (full.withColumn("rn", F.row_number().over(wq))
                  .filter(F.col("rn") <= k).select("qid", "cand"))
