@@ -230,3 +230,43 @@ def test_pca_component_aligns_with_numpy_eigenvector(spark, sf_dir):
         v[r.dim - 1] = r.component_q
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.9, cos
+
+
+def test_bq_scores_matches_python_reference(spark):
+    """The GEMM scan kernel's arithmetic against an INDEPENDENT
+    per-element Python reference (math.sqrt on exact ints, same IEEE op
+    order the expression form used): bit-equal cosines, exact integer
+    l2, prefix slicing, negative components."""
+    import math
+    import random
+
+    from postgres_es_cdc_spark.llm.similarity import _bq_scores
+
+    rng = random.Random(77)
+    dim = 16
+    qs = [(i, [rng.randint(-2_000_000, 2_000_000) for _ in range(dim)])
+          for i in range(3)]
+    cs = [(100 + i, [rng.randint(-2_000_000, 2_000_000)
+                     for _ in range(dim)]) for i in range(20)]
+    cdf = spark.createDataFrame(cs, "cid long, cq array<long>")
+
+    got_cos = {(r.qid, r.cid): r.cos_sim
+               for r in _bq_scores(qs, cdf, "cid", "cq", "cos").collect()}
+    got_l2 = {(r.qid, r.cid): r.d
+              for r in _bq_scores(qs, cdf, "cid", "cq", "l2sq").collect()}
+    got_pfx = {(r.qid, r.cid): r.d
+               for r in _bq_scores(qs, cdf, "cid", "cq", "l2sq",
+                                   prefix=5).collect()}
+    assert len(got_cos) == len(got_l2) == len(got_pfx) == 60
+
+    for qid, qv in qs:
+        for cid, cv in cs:
+            dot = sum(a * b for a, b in zip(qv, cv))
+            q2 = sum(a * a for a in qv)
+            c2 = sum(b * b for b in cv)
+            ref = float(dot) / (math.sqrt(float(q2)) * math.sqrt(float(c2)))
+            assert got_cos[(qid, cid)] == ref, (qid, cid)
+            assert got_l2[(qid, cid)] == sum(
+                (a - b) ** 2 for a, b in zip(qv, cv))
+            assert got_pfx[(qid, cid)] == sum(
+                (a - b) ** 2 for a, b in zip(qv[:5], cv[:5]))
