@@ -1594,3 +1594,73 @@ GROUP BY t.bucket
 
 
 DOCS_LSH_RECALL_SQL = _docs_lsh_recall_sql(PAIR_BUCKET_CAP)
+
+
+def docs_leakage_safe_splits(spark: SparkSession, sf_dir: str,
+                             max_iters: int = 5) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: split membership is a
+    pure hash of the NEAR-DUPLICATE CLUSTER id, never the document id,
+    so every member of a near-dup cluster lands in the same split —
+    the rule that keeps eval sets honest (a test doc whose near-twin
+    sits in train is contamination; docs_split_assign's plain id-hash
+    cannot see that). Composes the dedup family's memoized cluster
+    labels (LSH pairs -> min-label components) with the engine-wide
+    split hash; singleton docs are their own group, so the assignment
+    degrades to the plain split exactly where no near-dup exists.
+
+    Report per split: docs, distinct groups, and n_rescued — documents
+    whose naive id-hash split DIFFERS from their cluster split, i.e.
+    the leakage this rule prevented (0 iff every cluster is split-pure
+    by luck).
+
+    Scale shape: one corpus pass LEFT-joined to the pair-graph-sized
+    label table (near-dup members only), then a partial-aggregable
+    rollup; the hash is join-free so any worker recomputes membership.
+    """
+    from postgres_es_cdc_spark.llm.sampling import key_hash
+
+    def split_of(c):
+        b = key_hash(c) % 100
+        return (F.when(b < 90, F.lit("train"))
+                 .when(b < 95, F.lit("val"))
+                 .otherwise(F.lit("test")))
+
+    docs = mutated_corpus(spark, sf_dir).select("doc_id")
+    labels = _cluster_labels(spark, sf_dir, max_iters)
+    g = (docs.join(labels, "doc_id", "left")
+             .select("doc_id", F.coalesce("label", "doc_id").alias("gid")))
+    return (g.select("gid", split_of(F.col("gid")).alias("split"),
+                     (split_of(F.col("gid")) != split_of(F.col("doc_id")))
+                     .cast("long").alias("_moved"))
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("gid").alias("n_groups"),
+                  F.sum("_moved").alias("n_rescued")))
+
+
+def _split_case_sql(key: str) -> str:
+    from postgres_es_cdc_spark.llm.sampling import KEY_HASH_SQL  # noqa
+    h = KEY_HASH_SQL.format(key=key)
+    return (f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+            f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END")
+
+
+def _leakage_splits_sql() -> str:
+    from postgres_es_cdc_spark.llm.sampling import KEY_HASH_SQL  # noqa
+    return (_CLUSTERS_CTE_SQL + f""",
+docs AS (SELECT doc_id FROM ({_MUTATED_SQL})),
+g AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS gid
+      FROM docs d LEFT JOIN l5 l ON d.doc_id = l.doc_id),
+s AS (SELECT gid,
+             {_split_case_sql('gid')} AS split,
+             CASE WHEN {_split_case_sql('gid')} != {_split_case_sql('d.doc_id')}
+                  THEN 1 ELSE 0 END AS moved
+      FROM g d)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_groups,
+       CAST(SUM(moved) AS BIGINT) AS n_rescued
+FROM s GROUP BY split
+""")
+
+
+DOCS_LEAKAGE_SPLITS_SQL = _leakage_splits_sql()

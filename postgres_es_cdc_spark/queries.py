@@ -88,6 +88,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_near_dup_rate_by_source": QuerySpec(dedup.docs_near_dup_rate_by_source, dedup.DOCS_NEAR_DUP_BY_SOURCE_SQL),
     "part_name_fuzzy_pairs": QuerySpec(dedup.part_name_fuzzy_pairs, dedup.PART_NAME_FUZZY_SQL),
     "docs_lsh_recall_curve": QuerySpec(dedup.docs_lsh_recall_curve, dedup.DOCS_LSH_RECALL_SQL),
+    "docs_leakage_safe_splits": QuerySpec(dedup.docs_leakage_safe_splits, dedup.DOCS_LEAKAGE_SPLITS_SQL),
     # TopKSink's k-bounded semilattice merge vs one-shot per-group top-k
     "ivm_topk_orders_by_segment": QuerySpec(ivm.ivm_topk_orders_by_segment, ivm.IVM_TOPK_SEGMENT_SQL),
     "ivm_watermark_rollup": QuerySpec(ivm.ivm_watermark_rollup, ivm.IVM_WATERMARK_ROLLUP_SQL),
