@@ -124,10 +124,11 @@ PICKS = {
         "outgrows the threshold (asserted with forced SMJ in "
         "test_plans.py); at this size Catalyst rightly broadcasts.",
     "emb_semdedup_prune":
-        "SemDeDup: pair generation is an equi-join on cluster id (pair "
-        "space quadratic only in cluster size); per-vector norms are "
-        "computed once in the scan and carried through the join — one "
-        "integer dot per pair, not three.",
+        "SemDeDup: cluster size bounded by k=max(isqrt(N), ceil(N/C)) "
+        "=> pair work O(N*C); assign is the Arrow-batched numpy routing "
+        "kernel (int64 GEMM, eager-checkpointed once for its two "
+        "consumers); in-cluster pair verify is a per-cluster GEMM "
+        "(applyInPandas, row-blocked).",
     "ivm_orders_priority_rollup":
         "IVM fold: three per-batch partial HashAggregates merged by one "
         "final aggregate — the shuffle carries one counter row per "
@@ -169,9 +170,11 @@ PICKS = {
         "partial-aggregable pair count; final ranking is TakeOrdered.",
     "graph_kcore_fixpoint":
         "Convergence-detected peel: per round one partial-aggregable "
-        "degree count + two semi-join filters over a shrinking, "
-        "localCheckpointed edge set; stable edge count terminates "
-        "(monotone removal => fixpoint).",
+        "degree count into a |V|-sized eager-checkpointed table that "
+        "feeds the zero-nodes-below-k convergence test and BOTH "
+        "broadcast endpoint filters; the |E|-sized edge set is never "
+        "rewritten — peels stack as lazy map-side broadcast joins over "
+        "the once-materialized base (lineage cut every 8 rounds).",
     "ivm_watermark_rollup":
         "Watermark gate is a scan-side filter against one broadcast "
         "scalar; retained rows partial-aggregate into tumbling windows "
