@@ -128,6 +128,12 @@ HEADLINE = [
     "docs_lsh_recall_curve",
     "events_type_share_drift",
     "emb_dim_variance_report",
+    # round-7 flagships
+    "docs_bpe_merges",
+    "docs_bpe_encode",
+    "docs_leakage_safe_splits",
+    "emb_binary_quantize_topk",
+    "graph_clustering_coefficient",
 ]
 
 

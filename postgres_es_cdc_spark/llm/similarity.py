@@ -2356,3 +2356,119 @@ SELECT dim, n,
        / (CAST(n AS DOUBLE) - 1.0) AS var_q
 FROM agg
 """
+
+
+BQ_QUERIES = 5
+BQ_CAND = 10
+BQ_K = 3
+
+
+def _bin_half(col: str, lo: int) -> Column:
+    """Pack sign bits lo..lo+31 of a quantized vector into one positive
+    32-bit integer (bit j set iff q[lo+j] >= 0). Two halves per vector
+    keep every packed value < 2^32, so the identical SUM-of-CASE builds
+    it in DuckDB with no 1<<63 sign-bit hazard."""
+    return sum(
+        (F.when(F.element_at(col, lo + j + 1) >= 0,
+                F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(32)).cast("long")
+
+
+def emb_binary_quantize_topk(spark: SparkSession, sf_dir: str,
+                             k: int = BQ_K, n_queries: int = BQ_QUERIES,
+                             n_cand: int = BQ_CAND) -> DataFrame:
+    """Binary (1-bit) quantization ANN: sign-bit codes + Hamming-distance
+    candidate generation + exact-cosine rerank — the 32x-compression
+    search path modern vector stores run before full-precision rerank
+    (reference has no vector surface; [EXT] similarity-search member).
+
+    Plan shape for 100 TB: codes are computed SCAN-SIDE (two packed
+    32-bit halves per vector — a per-row projection that pipelines with
+    the parquet scan and whole-stage codegen: bit ops + bit_count are
+    JVM builtins, no Python, no shuffle). The bounded query block
+    cross-joins broadcast against the code stream; per-query candidate
+    cut is a WindowGroupLimit on (hamming, id); only n_queries*n_cand
+    survivors ever touch full vectors for the exact integer-cosine
+    rerank. Memory per row in the scan: 16 bytes of code vs 512 of
+    vector — the point of the method.
+
+    Cross-engine exactness: packing is integer CASE sums (< 2^32 per
+    half); Hamming = bit_count(xor) on each half, both engines'
+    builtins; rerank is the module's exact quantized cosine; both cuts
+    tie-break on id."""
+    c = _q_corpus(spark, sf_dir)
+    codes = c.select(
+        "id",
+        _bin_half("q", 0).alias("h1"),
+        _bin_half("q", 32).alias("h2"))
+    qc = (codes.filter(F.col("id") < n_queries)
+               .select(F.col("id").alias("qid"),
+                       F.col("h1").alias("qh1"),
+                       F.col("h2").alias("qh2")))
+    ham = (F.bit_count(F.col("qh1").bitwiseXOR(F.col("h1")))
+           + F.bit_count(F.col("qh2").bitwiseXOR(F.col("h2")))).cast("long")
+    wq = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("id"))
+    cand = (codes.join(F.broadcast(qc), F.col("id") != F.col("qid"))
+                 .select("qid", "id", ham.alias("hamming"))
+                 .withColumn("hrank", F.row_number().over(wq))
+                 .filter(F.col("hrank") <= n_cand)
+                 .select("qid", F.col("id").alias("cid"), "hamming"))
+    c1 = c.select(F.col("id").alias("qid"), F.col("q").alias("q1"))
+    c2 = c.select(F.col("id").alias("cid"), F.col("q").alias("q2"))
+    cos = (dot_q(F.col("q1"), F.col("q2")).cast("double")
+           / (F.sqrt(dot_q(F.col("q1"), F.col("q1")).cast("double"))
+              * F.sqrt(dot_q(F.col("q2"), F.col("q2")).cast("double"))))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (cand.join(c1, "qid").join(c2, "cid")
+                .select("qid", "cid", "hamming", cos.alias("cos_sim"))
+                .withColumn("rank", F.row_number().over(wr).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("qid", "cid", "hamming", "rank", "cos_sim"))
+
+
+def _bin_half_sql(lo: int) -> str:
+    return ("CAST(" + " + ".join(
+        f"(CASE WHEN q[{lo + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)) + " AS BIGINT)")
+
+
+EMB_BINARY_QUANTIZE_SQL = f"""
+WITH corpus AS ({_QC_SQL}),
+codes AS (
+  SELECT id, {_bin_half_sql(0)} AS h1, {_bin_half_sql(32)} AS h2
+  FROM corpus
+),
+q AS (SELECT id AS qid, h1 AS qh1, h2 AS qh2 FROM codes
+      WHERE id < {BQ_QUERIES}),
+cand AS (
+  SELECT qid, cid, hamming FROM (
+    SELECT q.qid, c.id AS cid,
+           CAST(bit_count(xor(q.qh1, c.h1))
+                + bit_count(xor(q.qh2, c.h2)) AS BIGINT) AS hamming,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY bit_count(xor(q.qh1, c.h1))
+                                       + bit_count(xor(q.qh2, c.h2)) ASC,
+                                       c.id ASC) AS hrank
+    FROM q JOIN codes c ON c.id != q.qid)
+  WHERE hrank <= {BQ_CAND}
+),
+rer AS (
+  SELECT cand.qid, cand.cid, cand.hamming,
+         CAST(CAST(SUM(a.q[i.i] * b.q[i.i]) AS BIGINT) AS DOUBLE)
+       / ( SQRT(CAST(CAST(SUM(a.q[i.i] * a.q[i.i]) AS BIGINT) AS DOUBLE))
+         * SQRT(CAST(CAST(SUM(b.q[i.i] * b.q[i.i]) AS BIGINT) AS DOUBLE)) )
+         AS cos_sim
+  FROM cand
+  JOIN corpus a ON a.id = cand.qid
+  JOIN corpus b ON b.id = cand.cid,
+  generate_series(1, 64) i(i)
+  GROUP BY cand.qid, cand.cid, cand.hamming
+)
+SELECT qid, cid, hamming, rank, cos_sim FROM (
+  SELECT qid, cid, hamming, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, cid ASC) AS BIGINT)
+           AS rank
+  FROM rer)
+WHERE rank <= {BQ_K}
+"""

@@ -760,3 +760,105 @@ LIMIT {{top}}
 
 GRAPH_COMMON_NEIGHBORS_SQL = _cn_sql().format(cap=CN_BUCKET_CAP,
                                               top=CN_TOP)
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part co-purchase
+    graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the
+    standard local-density diagnostic (community structure, link-spam
+    detection) on top of the triangle engine. [EXT] — the reference has
+    no graph surface.
+
+    Shares the degree-oriented forward triangle method with
+    graph_triangle_counts (O(m^1.5) wedge volume, each triangle counted
+    once); nodes with zero triangles are kept via a left join against
+    the degree table, so the output covers EVERY node of deg ≥ 2.
+
+    Exactness: T and deg are integers; the coefficient is one
+    int→double division (2·T ≤ 2^32, deg·(deg−1) ≤ 2^40 — both exact
+    doubles), the same single-op IEEE sequence in DuckDB.
+
+    Scale: identical shuffle profile to triangle counting (the dominant
+    cost); the closing left join is keyed by node — broadcast-able
+    whenever the node set is, partitioned otherwise.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "l_orderkey")
+              .filter(F.col("u") < F.col("v"))
+              .select("u", "v").distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    e = (edges
+         .join(deg.select(F.col("node").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("deg").alias("dv")), "v"))
+    fwd = ((F.col("du") < F.col("dv"))
+           | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    ori = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst")).cache()
+    e1 = ori.select("src", F.col("dst").alias("v1"), F.col("ddst").alias("d1"))
+    e2 = ori.select("src", F.col("dst").alias("v2"), F.col("ddst").alias("d2"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+    closing = ori.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("src", "v1", "v2")
+    tcnt = (tri.select(F.explode(F.array("src", "v1", "v2")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (deg.filter(F.col("deg") >= 2)
+              .join(tcnt, "node", "left")
+              .select(
+                  F.col("node").alias("partkey"),
+                  "deg",
+                  F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+                   .alias("n_triangles")))
+    cc = ((F.col("n_triangles") * 2).cast("double")
+          / (F.col("deg") * (F.col("deg") - 1)).cast("double"))
+    return out.withColumn("clustering_coeff", cc)
+
+
+GRAPH_CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+), ori AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN dv.deg ELSE du.deg END AS ddst
+  FROM pairs
+  JOIN deg du ON du.node = pairs.u
+  JOIN deg dv ON dv.node = pairs.v
+), tri AS (
+  SELECT e1.src AS s, e1.dst AS v1, e2.dst AS v2
+  FROM ori e1
+  JOIN ori e2 ON e1.src = e2.src
+   AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), tcnt AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (SELECT s AS node FROM tri
+        UNION ALL SELECT v1 AS node FROM tri
+        UNION ALL SELECT v2 AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS partkey, deg.deg,
+       CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(tcnt.n_triangles, 0) * 2 AS DOUBLE)
+       / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS clustering_coeff
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+WHERE deg.deg >= 2
+"""

@@ -106,6 +106,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_centroid_assign": QuerySpec(similarity.emb_centroid_assign, similarity.EMB_CENTROID_SQL),
     "emb_lsh_sign_buckets": QuerySpec(similarity.emb_lsh_sign_buckets, similarity.EMB_LSH_BUCKETS_SQL),
     "emb_int8_quantize": QuerySpec(similarity.emb_int8_quantize, similarity.EMB_INT8_QUANTIZE_SQL),
+    "emb_binary_quantize_topk": QuerySpec(
+        similarity.emb_binary_quantize_topk, similarity.EMB_BINARY_QUANTIZE_SQL),
     "emb_ivf_topk": QuerySpec(similarity.emb_ivf_topk, similarity.EMB_IVF_TOPK_SQL),
     # fixed-init fixed-iters k-means with exact rational centroids — the
     # DuckDB twin unrolls the loop (KMEANS_SQL), full hash check.
@@ -114,6 +116,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_dim_variance_report": QuerySpec(similarity.emb_dim_variance_report, similarity.EMB_DIM_VARIANCE_SQL),
     # --- graph iteration ---
     "graph_pagerank": QuerySpec(graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL),
+    "graph_clustering_coefficient": QuerySpec(
+        graph.graph_clustering_coefficient, graph.GRAPH_CLUSTERING_SQL),
     "graph_triangle_counts": QuerySpec(
         graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
     # --- LLM data pipeline: multimodal columns ---
