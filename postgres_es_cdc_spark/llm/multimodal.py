@@ -543,3 +543,112 @@ SELECT a.asset_id,
 FROM audio a LEFT JOIN s ON a.asset_id = s.asset_id
 GROUP BY a.asset_id
 """
+
+
+# Scene-cut defaults: compare consecutive FULL frames (the partial tail
+# frame never pairs cleanly, so it is excluded from both engines);
+# threshold calibrated so the documents corpus produces a real mix of
+# cut and non-cut transitions at every sf.
+VSC_FRAME = 64
+VSC_THRESH = 1500
+
+
+def scene_cut_stub(payload: bytes):
+    """Real scene-cut kernel slot (pyscenedetect/libav histogram diff in
+    production) — deliberately unimplemented in this container; see
+    module docstring."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "use the byte-frame kernel in multimodal_video_scene_cuts")
+
+
+def multimodal_video_scene_cuts(spark, sf_dir: str,
+                                frame_size: int = VSC_FRAME,
+                                thresh: int = VSC_THRESH) -> DataFrame:
+    """Video scene-cut detection through the real mapInPandas plumbing:
+    per video asset, split the payload into fixed-size frames and flag a
+    CUT wherever the L1 distance between consecutive frames exceeds a
+    threshold — the shot-boundary pass a video corpus pipeline runs
+    before per-scene sampling/captioning. Completes video coverage next
+    to frame sampling (transform) and frame dedup.
+
+    The distance kernel is pure integer arithmetic on payload bytes
+    (sum of |b1-b2| over the frame), so the ASCII corpus lets DuckDB
+    reproduce every frame byte from character codes — the same
+    fake-decode discipline as multimodal_audio_energy. Only FULL frames
+    participate (len // frame_size); assets shorter than one frame are
+    excluded on both sides.
+
+    Scale shape: Arrow-batched mapInPandas emits 4 ints per asset — the
+    frame matrices live and die inside the executor (numpy diff over a
+    nf x frame_size uint8 view), and the shuffle carries only stats.
+    Exactness: diffs <= 255*frame_size per pair, totals fit long with
+    ~2^40 headroom; no floats anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from postgres_es_cdc_spark.catalog import table
+
+    assets = (assets_from_documents(table(spark, sf_dir, "documents"))
+              .filter(F.col("modality") == "video")
+              .select("asset_id", "payload"))
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "n_frames": [], "n_cuts": [],
+                   "max_diff": [], "total_diff": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                nf = len(p) // frame_size
+                if nf < 1:
+                    continue
+                fr = np.frombuffer(
+                    p[:nf * frame_size],
+                    dtype=np.uint8).astype(np.int64).reshape(nf, frame_size)
+                d = np.abs(np.diff(fr, axis=0)).sum(axis=1)
+                out["asset_id"].append(int(aid))
+                out["n_frames"].append(nf)
+                out["n_cuts"].append(int((d >= thresh).sum()))
+                out["max_diff"].append(int(d.max()) if len(d) else 0)
+                out["total_diff"].append(int(d.sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        stats, "asset_id long, n_frames long, n_cuts long, "
+               "max_diff long, total_diff long")
+
+
+MULTIMODAL_SCENE_CUTS_SQL = f"""
+WITH video AS (
+  SELECT doc_id AS asset_id, text,
+         length(text) // {VSC_FRAME} AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fidx AS (
+  SELECT asset_id, text,
+         unnest(generate_series(1, nf - 1)) AS fi
+  FROM video WHERE nf >= 2
+),
+pos AS (
+  SELECT asset_id, fi, text,
+         unnest(generate_series(1, {VSC_FRAME})) AS j
+  FROM fidx
+),
+d AS (
+  SELECT asset_id, fi,
+         SUM(ABS(ascii(substring(text, CAST(fi*{VSC_FRAME} + j AS INT), 1))
+               - ascii(substring(text,
+                                 CAST((fi-1)*{VSC_FRAME} + j AS INT), 1))))
+           AS diff
+  FROM pos GROUP BY asset_id, fi
+)
+SELECT v.asset_id,
+       CAST(v.nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN d.diff >= {VSC_THRESH} THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MAX(d.diff), 0) AS BIGINT) AS max_diff,
+       CAST(COALESCE(SUM(d.diff), 0) AS BIGINT) AS total_diff
+FROM video v LEFT JOIN d ON d.asset_id = v.asset_id
+WHERE v.nf >= 1
+GROUP BY v.asset_id, v.nf
+"""

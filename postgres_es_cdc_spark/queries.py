@@ -94,6 +94,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_watermark_rollup": QuerySpec(ivm.ivm_watermark_rollup, ivm.IVM_WATERMARK_ROLLUP_SQL),
     "ivm_watermark_late_report": QuerySpec(ivm.ivm_watermark_late_report, ivm.IVM_WATERMARK_LATE_SQL),
     "ivm_session_rollup": QuerySpec(ivm.ivm_session_rollup, ivm.IVM_SESSION_ROLLUP_SQL),
+    "ivm_join_view_rollup": QuerySpec(
+        ivm.ivm_join_view_rollup, ivm.IVM_JOIN_VIEW_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
@@ -124,6 +126,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),
     "multimodal_audio_energy": QuerySpec(multimodal.multimodal_audio_energy, multimodal.MULTIMODAL_AUDIO_ENERGY_SQL),
+    "multimodal_video_scene_cuts": QuerySpec(
+        multimodal.multimodal_video_scene_cuts,
+        multimodal.MULTIMODAL_SCENE_CUTS_SQL),
     # --- LLM data pipeline: governance (round-2 additions) ---
     "docs_pii_scrub": QuerySpec(quality.docs_pii_scrub, quality.DOCS_PII_SCRUB_SQL),
     "docs_split_assign": QuerySpec(sampling.docs_split_assign, sampling.DOCS_SPLIT_ASSIGN_SQL),

@@ -602,3 +602,190 @@ FROM (SELECT segment, o_orderkey, cents,
       FROM base)
 WHERE rank <= 3
 """
+
+
+class JoinSink:
+    """foreachBatch sink maintaining an inner equi-JOIN view
+    incrementally — the two-input member of the IVM family (AggSink:
+    keyed totals; TopKSink: order statistics; WatermarkAggSink: windowed
+    lateness; SessionSink: gap merge; THIS: stream-stream join).
+
+    Classic delta-join maintenance: with accumulated sides L, R and a
+    batch carrying deltas dL, dR,
+
+        d(L join R) = dL join R  UNION ALL  L join dR
+                      UNION ALL  dL join dR
+
+    because inner join distributes over union and every output row is
+    produced exactly once — by the batch in which its LATER input
+    arrives. The view is therefore batch-boundary-invariant (pinned by
+    the permutation property test), matching the one-shot join a
+    from-scratch rebuild would compute.
+
+    Input shape: ONE stream carrying both tables tagged by a ``side``
+    column — exactly the reference's WAL stream, which interleaves every
+    published table's changes in commit order (postgres.go:61-70 tails
+    one slot for the whole publication; SURVEY §2 A17's dispatch loop
+    demultiplexes). A Spark foreachBatch sees that multiplexed batch and
+    splits it here.
+
+    Durability: all three state stores (left, right, view) are
+    APPEND-ONLY delta logs — per batch we write one new parquet dir per
+    store and repoint the manifest in ONE os.replace. A crash before
+    commit leaves orphan dirs the manifest never references (harmless);
+    a checkpoint replay of a committed batch id is a no-op. No state dir
+    is ever rewritten, so per-batch cost is O(|delta| + matched output),
+    independent of history length — the property that makes this an IVM
+    operator rather than a re-join. (Compaction of the delta log is a
+    consumer policy — sources/compaction.py composes.)
+
+    Scale shape: both delta joins key on the join column; at cluster
+    scale the accumulated sides are bucketed by key so only the delta
+    side shuffles. State grows with retained keys, not stream length;
+    bounding retention is WatermarkAggSink's gate composed upstream.
+    """
+
+    def __init__(self, base_dir: str, key_col: str,
+                 left_cols: list | None = None,
+                 right_cols: list | None = None,
+                 side_col: str = "side",
+                 left_tag: str = "L", right_tag: str = "R"):
+        # left_cols / right_cols: each side's payload columns within the
+        # multiplexed batch (disjoint; the other side carries them as
+        # null padding). None = no payload beyond the key.
+        self.base_dir = base_dir
+        self.key_col = key_col
+        self.left_cols = list(left_cols or [])
+        self.right_cols = list(right_cols or [])
+        self.side_col = side_col
+        self.left_tag = left_tag
+        self.right_tag = right_tag
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "_join_manifest.json")
+
+    def meta(self) -> dict:
+        import json
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"left": [], "right": [], "view": [], "last_batch_id": -1}
+
+    def _commit(self, meta: dict) -> None:
+        import json
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _read_log(spark, dirs: list) -> DataFrame | None:
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def state_view(self, spark) -> DataFrame | None:
+        return self._read_log(spark, self.meta()["view"])
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        side = F.col(self.side_col)
+        d_left = batch.filter(side == self.left_tag).select(
+            self.key_col, *self.left_cols)
+        d_right = batch.filter(side == self.right_tag).select(
+            self.key_col, *self.right_cols)
+
+        def _write(df: DataFrame, store: str) -> str:
+            new_dir = os.path.join(self.base_dir, f"{store}.b{batch_id}")
+            df.write.mode("overwrite").parquet(new_dir)
+            return new_dir
+
+        old_l = self._read_log(spark, meta["left"])
+        old_r = self._read_log(spark, meta["right"])
+        k = self.key_col
+        d_view = d_left.join(d_right, k)
+        if old_r is not None:
+            d_view = d_view.unionByName(d_left.join(old_r, k))
+        if old_l is not None:
+            d_view = d_view.unionByName(old_l.join(d_right, k))
+
+        new_meta = {
+            "left": meta["left"] + [_write(d_left, "left")],
+            "right": meta["right"] + [_write(d_right, "right")],
+            "view": meta["view"] + [_write(d_view, "view")],
+            "last_batch_id": batch_id,
+        }
+        self._commit(new_meta)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def ivm_join_view_rollup(spark, sf_dir: str) -> DataFrame:
+    """JoinSink driven end-to-end as a driver-checkable query: maintain
+    the orders-x-lineitem join view through three multiplexed batches in
+    which an order and its lineitems arrive in DIFFERENT batches
+    (orders: o_orderkey % 3 == i; lineitems: (l_orderkey +
+    l_linenumber) % 3 == i — so a single order's items straddle all
+    three batches and most join rows are produced by the cross-batch
+    terms dL-join-R / L-join-dR, the part a re-join-per-batch engine
+    gets for free and an IVM engine must prove). The maintained view is
+    then rolled up per order priority; the oracle is the one-shot join
+    + GROUP BY, equal by the delta-join distributivity argument in the
+    class docstring.
+
+    Exactness: join keys and cents are integers; counts are exact; no
+    floats anywhere."""
+    import shutil
+    import tempfile
+
+    from postgres_es_cdc_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"))
+    items = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+         .alias("price_cents"))
+
+    base = tempfile.mkdtemp(prefix="join_ivm_")
+    try:
+        sink = JoinSink(base, key_col="k", left_cols=["priority"],
+                        right_cols=["ln", "price_cents"])
+        for i in range(3):
+            b = (orders.filter(F.col("k") % 3 == i)
+                 .select("k", F.lit("L").alias("side"), "priority",
+                         F.lit(None).cast("int").alias("ln"),
+                         F.lit(None).cast("long").alias("price_cents"))
+                 .unionByName(
+                     items.filter((F.col("k") + F.col("ln")) % 3 == i)
+                     .select("k", F.lit("R").alias("side"),
+                             F.lit(None).cast("string").alias("priority"),
+                             "ln", "price_cents")))
+            sink.apply_batch(b, i)
+        view = sink.state_view(spark)
+        out = (view.groupBy("priority")
+                   .agg(F.count(F.lit(1)).alias("n_items"),
+                        F.countDistinct("k").alias("n_orders"),
+                        F.sum("price_cents").alias("sum_price_cents"))
+                   .localCheckpoint())      # outlive the tmpdir
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+IVM_JOIN_VIEW_SQL = """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""

@@ -992,3 +992,96 @@ def test_watermark_sink_matches_reference_fold_on_random_batches(
         meta = sink.meta()
         assert meta["n_late_total"] == n_late
         assert meta["watermark_us"] == wm
+
+
+def _join_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, side string, name string, qty long")
+
+
+def test_join_sink_matches_oneshot_join_any_batch_order(spark, tmp_path):
+    """JoinSink's delta-join maintenance over a multiplexed two-table
+    stream equals the one-shot inner join, for EVERY permutation of the
+    batches — the distributivity argument in the class docstring, pinned
+    on data where matches land same-batch, cross-batch in both
+    directions, and never (dangling rows on each side)."""
+    import itertools
+
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    # L rows carry name, R rows carry qty. Key 1: same batch. Key 2:
+    # L before R. Key 3: R before L. Key 4: L only. Key 5: R only.
+    # Key 6: multiple R rows across batches (fan-out).
+    b0 = [(1, "L", "a", None), (1, "R", None, 10),
+          (2, "L", "b", None), (6, "L", "f", None), (6, "R", None, 60)]
+    b1 = [(2, "R", None, 20), (3, "R", None, 30), (4, "L", "d", None)]
+    b2 = [(3, "L", "c", None), (5, "R", None, 50), (6, "R", None, 61)]
+    batches = [b0, b1, b2]
+
+    want = sorted([(1, "a", 10), (2, "b", 20), (3, "c", 30),
+                   (6, "f", 60), (6, "f", 61)])
+    for pi, perm in enumerate(itertools.permutations(range(3))):
+        sink = JoinSink(str(tmp_path / f"join{pi}"), key_col="k",
+                        left_cols=["name"], right_cols=["qty"])
+        for i, bi in enumerate(perm):
+            sink.apply_batch(_join_batch(spark, batches[bi]), i)
+        got = sorted((r.k, r.name, r.qty)
+                     for r in sink.state_view(spark).collect())
+        assert got == want, f"permutation {perm}: {got}"
+
+
+def test_join_sink_replay_and_torn_write(spark, tmp_path):
+    """Committed-batch replay is a no-op (no duplicate join rows), and a
+    torn write — delta dirs written, manifest never repointed — leaves
+    the prior committed view intact because the manifest only ever
+    references dirs that finished writing."""
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    sink = JoinSink(str(tmp_path / "join"), key_col="k",
+                    left_cols=["name"], right_cols=["qty"])
+    b0 = _join_batch(spark, [(1, "L", "a", None), (1, "R", None, 10)])
+    sink.apply_batch(b0, 0)
+    assert [(r.k, r.name, r.qty)
+            for r in sink.state_view(spark).collect()] == [(1, "a", 10)]
+
+    # Replay of the committed batch id: nothing changes.
+    sink.apply_batch(b0, 0)
+    assert sink.state_view(spark).count() == 1
+    assert len(sink.meta()["view"]) == 1
+
+    # Torn write: orphan delta dirs from a crashed batch 1 are invisible
+    # because the manifest still lists only batch 0's dirs.
+    orphan = str(tmp_path / "join" / "view.b1")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    assert sink.state_view(spark).count() == 1
+
+    # Recovery: the real batch 1 commits on top; the orphan dir gets
+    # overwritten by the fresh write (mode=overwrite), never read.
+    b1 = _join_batch(spark, [(1, "R", None, 11)])
+    sink.apply_batch(b1, 1)
+    got = sorted((r.k, r.name, r.qty)
+                 for r in sink.state_view(spark).collect())
+    assert got == [(1, "a", 10), (1, "a", 11)]
+
+
+def test_join_sink_state_is_append_only(spark, tmp_path):
+    """The IVM claim itself: no state dir is ever rewritten — each batch
+    appends exactly one new dir per store and earlier dirs' mtimes are
+    untouched (per-batch cost independent of history length)."""
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    sink = JoinSink(str(tmp_path / "join"), key_col="k",
+                    left_cols=["name"], right_cols=["qty"])
+    sink.apply_batch(_join_batch(
+        spark, [(1, "L", "a", None), (1, "R", None, 10)]), 0)
+    m0 = sink.meta()
+    stamp = {d: os.stat(d).st_mtime_ns for d in
+             m0["left"] + m0["right"] + m0["view"]}
+    sink.apply_batch(_join_batch(
+        spark, [(2, "L", "b", None), (1, "R", None, 11)]), 1)
+    m1 = sink.meta()
+    assert [len(m1[s]) for s in ("left", "right", "view")] == [2, 2, 2]
+    for d, t in stamp.items():
+        assert os.stat(d).st_mtime_ns == t, f"state dir rewritten: {d}"
