@@ -785,12 +785,19 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # Materialized EAGERLY: edges feeds deg (twice via the unionAll) and
+    # the orientation join; deg feeds that join twice plus the closing
+    # left join; ori feeds both wedge sides and the closure. All are
+    # multi-consumer frames ahead of a single action — lazy cache/
+    # checkpoint would schedule the upstream once PER BRANCH (the
+    # round-6 54s->5s lesson), so each is pinned before fan-out.
     edges = (a.join(b, "l_orderkey")
               .filter(F.col("u") < F.col("v"))
-              .select("u", "v").distinct())
+              .select("u", "v").distinct().localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=True))
     e = (edges
          .join(deg.select(F.col("node").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -801,7 +808,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     ori = e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst")).cache()
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst")
+    ).localCheckpoint(eager=True)
     e1 = ori.select("src", F.col("dst").alias("v1"), F.col("ddst").alias("d1"))
     e2 = ori.select("src", F.col("dst").alias("v2"), F.col("ddst").alias("d2"))
     wedges = e1.join(e2, "src").filter(
