@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.catalog import table
 from postgres_es_cdc_spark.llm.text import (
-    STOPWORDS, TOKENS_SQL, quality_expr)
+    STOPWORDS, TOKENS_SQL, quality_expr, tokens)
 
 # Knuth's multiplicative constant; mod 2^32 keeps the product in int64
 # for any realistic key (< 3.4e9) and is portable integer arithmetic in
@@ -456,3 +456,81 @@ GROUP BY tok.doc_id
 
 
 DOCS_DSIR_SQL = _dsir_sql()
+
+
+# Training-export defaults: shard count for the final write, and a
+# second multiplicative constant (xxhash32's prime-2, coprime to 2^32
+# and independent of _KNUTH) so shard MEMBERSHIP and within-shard ORDER
+# are decorrelated hashes of the same key.
+N_TRAIN_SHARDS = 8
+_SHUF = 2246822519
+
+
+def docs_training_shards(spark: SparkSession, sf_dir: str,
+                         n_shards: int = N_TRAIN_SHARDS) -> DataFrame:
+    """The training-export pass: assign every document to one of
+    n_shards shards by key hash and give each shard a deterministic
+    PSEUDO-SHUFFLED reading order (ordered by an independent second
+    hash) — what a 100 TB corpus goes through right before being
+    written out for the trainer (global shuffle is what makes SGD see
+    i.i.d.-ish batches; doing it with hashes makes it reproducible and
+    engine-portable, unlike df.sample/rand()).
+
+    The returned summary pins the FULL permutation, not just
+    membership: order_checksum = Σ position·doc_id over the shard's
+    shuffle order — any transposition of two docs changes it. Bound:
+    position and doc_id are each ≤ |corpus|, so each term ≤ N² and the
+    sum ≤ N³ — exact int64 through N ≈ 2M docs; beyond that, checksum
+    per sub-shard.
+
+    Scale shape: one hash-partition shuffle on the shard key + one
+    window per shard (Spark writes this as repartition(shard) +
+    sortWithinPartitions at export time — the same plan, streaming to
+    parquet writers instead of an aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    h1 = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    h2 = (F.col("doc_id") * F.lit(_SHUF)) % F.lit(_MOD)
+    s = d.select(
+        "doc_id",
+        (h1 % F.lit(n_shards)).cast("long").alias("shard"),
+        h2.alias("h2"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(F.asc("h2"), F.asc("doc_id"))
+    p = (s.withColumn("pos", F.row_number().over(w).cast("long"))
+          .withColumn("n", F.count(F.lit(1)).over(
+              Window.partitionBy("shard"))))
+    return (p.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+         .alias("first_doc_id"),
+        F.min(F.when(F.col("pos") == F.col("n"), F.col("doc_id")))
+         .alias("last_doc_id"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum")))
+
+
+DOCS_TRAINING_SHARDS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(((doc_id * {_KNUTH}) % {_MOD}) % {N_TRAIN_SHARDS} AS BIGINT)
+           AS shard,
+         (doc_id * {_SHUF}) % {_MOD} AS h2,
+         CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY h2 ASC, doc_id ASC) AS BIGINT)
+           AS pos,
+         COUNT(*) OVER (PARTITION BY shard) AS n
+  FROM s
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc_id,
+       MIN(CASE WHEN pos = n THEN doc_id END) AS last_doc_id,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+FROM p GROUP BY shard
+"""

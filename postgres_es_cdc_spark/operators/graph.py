@@ -140,33 +140,42 @@ FROM r{ITERS}
 """
 
 
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the part co-purchase graph (parts
-    sharing an order, via lineitem self-join). [EXT] — the reference has
-    no graph surface.
+def _copurchase_forward_tri(spark: SparkSession, sf_dir: str):
+    """Shared triangle engine over the part co-purchase graph (parts
+    sharing an order, via lineitem self-join): returns (deg, tcnt) —
+    the per-node degree table and per-node triangle counts (nodes with
+    at least one triangle).
 
-    Algorithm: the degree-oriented "forward" method — orient every edge
-    from its lower-(degree, id) endpoint to the higher, enumerate wedges
-    out of each source, close them against the oriented edge list. The
-    orientation bounds out-degree by O(sqrt m), so wedge volume is
-    O(m^1.5) — the optimal combinatorial bound — instead of sum deg^2,
-    which a hub node would blow up. Each triangle materializes exactly
-    once. All-integer, so exact on any engine.
+    Algorithm: degree-oriented "forward" method in its ADJACENCY-ARRAY
+    form — orient every edge from its lower-(degree, id) endpoint to
+    the higher, build each node's oriented out-neighbor array, and for
+    every oriented edge (u, v) the triangles through it are
+    N+(u) ∩ N+(v). Orientation bounds out-degree by O(sqrt m), so total
+    intersection work is the optimal O(m^1.5) — but unlike the wedge
+    SELF-JOIN formulation, the O(m^1.5) wedge set is never materialized
+    through a shuffle: the intersection runs inside whole-stage codegen
+    on two array columns of one row (the round-6 common-neighbors
+    lesson; the wedge-join draft of this measured 13.8x at 10x data —
+    ~750M wedge rows through an exchange — vs ~2x for this form). Each
+    triangle appears exactly once (at its oriented pivot edge).
+    All-integer, so exact on any engine.
 
-    Scale: three shuffles (edge distinct, degree agg, wedge join keyed
-    by src) + one closure join keyed by (v1, v2). On a cluster, bucket
-    the oriented adjacency by src so wedge and closure joins co-locate;
-    AQE handles residual skew.
+    Scale: shuffles are edge distinct, degree agg, adjacency groupBy,
+    and two joins keyed by node that carry arrays bounded by O(sqrt m)
+    elements (the orientation's guarantee — no unbounded collect_list).
+    Every multi-consumer frame is eagerly checkpointed before fan-out
+    (lazy persistence schedules the upstream once per branch).
     """
     l = table(spark, sf_dir, "lineitem")
     a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
     edges = (a.join(b, "l_orderkey")
               .filter(F.col("u") < F.col("v"))
-              .select("u", "v").distinct())
+              .select("u", "v").distinct().localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=True))
     e = (edges
          .join(deg.select(F.col("node").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -174,24 +183,33 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("deg").alias("dv")), "v"))
     fwd = ((F.col("du") < F.col("dv"))
            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
-    # Cached: the oriented adjacency feeds three plan branches (both
-    # wedge sides + closure); without the cache each branch recomputes
-    # the lineitem self-join and degree aggregation. It is the compacted
-    # edge list — the right persistence point at any scale.
     ori = e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst")).cache()
-    e1 = ori.select("src", F.col("dst").alias("v1"), F.col("ddst").alias("d1"))
-    e2 = ori.select("src", F.col("dst").alias("v2"), F.col("ddst").alias("d2"))
-    wedges = e1.join(e2, "src").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
-    closing = ori.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
-    tri = wedges.join(closing, ["v1", "v2"]).select("src", "v1", "v2")
-    return (tri.select(F.explode(F.array("src", "v1", "v2")).alias("partkey"))
-               .groupBy("partkey")
-               .agg(F.count(F.lit(1)).alias("n_triangles")))
+    ).localCheckpoint(eager=True)
+    adj = (ori.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+              .localCheckpoint(eager=True))
+    # dst may have no out-edges: left join + empty-array default.
+    t = (ori.join(adj.select(F.col("src"), F.col("nbrs").alias("nu")),
+                  "src")
+            .join(adj.select(F.col("src").alias("dst"),
+                             F.col("nbrs").alias("nv")), "dst", "left")
+            .select("src", "dst",
+                    F.array_intersect(
+                        F.col("nu"),
+                        F.coalesce(F.col("nv"), F.array())).alias("ws")))
+    tri = t.select("src", "dst", F.explode("ws").alias("w"))
+    tcnt = (tri.select(F.explode(F.array("src", "dst", "w")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return deg, tcnt
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph.
+    [EXT] — the reference has no graph surface. Engine and scale notes:
+    _copurchase_forward_tri (shared with the clustering coefficient)."""
+    _, tcnt = _copurchase_forward_tri(spark, sf_dir)
+    return tcnt.select(F.col("node").alias("partkey"), "n_triangles")
 
 
 GRAPH_TRIANGLES_SQL = """
@@ -769,56 +787,22 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection) on top of the triangle engine. [EXT] — the reference has
     no graph surface.
 
-    Shares the degree-oriented forward triangle method with
-    graph_triangle_counts (O(m^1.5) wedge volume, each triangle counted
-    once); nodes with zero triangles are kept via a left join against
-    the degree table, so the output covers EVERY node of deg ≥ 2.
+    Shares the forward triangle engine with graph_triangle_counts
+    (_copurchase_forward_tri: adjacency-array intersections, O(m^1.5)
+    work with no wedge-set shuffle); nodes with zero triangles are kept
+    via a left join against the degree table, so the output covers
+    EVERY node of deg ≥ 2.
 
     Exactness: T and deg are integers; the coefficient is one
     int→double division (2·T ≤ 2^32, deg·(deg−1) ≤ 2^40 — both exact
     doubles), the same single-op IEEE sequence in DuckDB.
 
-    Scale: identical shuffle profile to triangle counting (the dominant
-    cost); the closing left join is keyed by node — broadcast-able
+    Scale: the triangle engine dominates (see its docstring; the
+    wedge-join draft of this query measured 49.8s at sf1 vs ~2x
+    expected); the closing left join is keyed by node — broadcast-able
     whenever the node set is, partitioned otherwise.
     """
-    l = table(spark, sf_dir, "lineitem")
-    a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
-    # Materialized EAGERLY: edges feeds deg (twice via the unionAll) and
-    # the orientation join; deg feeds that join twice plus the closing
-    # left join; ori feeds both wedge sides and the closure. All are
-    # multi-consumer frames ahead of a single action — lazy cache/
-    # checkpoint would schedule the upstream once PER BRANCH (the
-    # round-6 54s->5s lesson), so each is pinned before fan-out.
-    edges = (a.join(b, "l_orderkey")
-              .filter(F.col("u") < F.col("v"))
-              .select("u", "v").distinct().localCheckpoint(eager=True))
-    deg = (edges.select(F.col("u").alias("node"))
-                .unionAll(edges.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-                .localCheckpoint(eager=True))
-    e = (edges
-         .join(deg.select(F.col("node").alias("u"),
-                          F.col("deg").alias("du")), "u")
-         .join(deg.select(F.col("node").alias("v"),
-                          F.col("deg").alias("dv")), "v"))
-    fwd = ((F.col("du") < F.col("dv"))
-           | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
-    ori = e.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst")
-    ).localCheckpoint(eager=True)
-    e1 = ori.select("src", F.col("dst").alias("v1"), F.col("ddst").alias("d1"))
-    e2 = ori.select("src", F.col("dst").alias("v2"), F.col("ddst").alias("d2"))
-    wedges = e1.join(e2, "src").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
-    closing = ori.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
-    tri = wedges.join(closing, ["v1", "v2"]).select("src", "v1", "v2")
-    tcnt = (tri.select(F.explode(F.array("src", "v1", "v2")).alias("node"))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg, tcnt = _copurchase_forward_tri(spark, sf_dir)
     out = (deg.filter(F.col("deg") >= 2)
               .join(tcnt, "node", "left")
               .select(

@@ -192,6 +192,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- LLM data pipeline: sampling ---
     "docs_hash_sample": QuerySpec(sampling.docs_hash_sample, sampling.DOCS_HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(sampling.docs_stratified_sample, sampling.DOCS_STRATIFIED_SAMPLE_SQL),
+    "docs_training_shards": QuerySpec(
+        sampling.docs_training_shards, sampling.DOCS_TRAINING_SHARDS_SQL),
     "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
     "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
     # --- graph iteration (round-2 addition) ---

@@ -83,6 +83,14 @@ SWEEP = [
     "docs_lsh_recall_curve",
     "events_type_share_drift",
     "emb_dim_variance_report",
+    # round-7 additions
+    "docs_bpe_merges",
+    "docs_bpe_encode",
+    "docs_leakage_safe_splits",
+    "emb_binary_quantize_topk",
+    "graph_clustering_coefficient",
+    "ivm_join_view_rollup",
+    "multimodal_video_scene_cuts",
 ]
 
 
