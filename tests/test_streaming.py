@@ -1085,3 +1085,52 @@ def test_join_sink_state_is_append_only(spark, tmp_path):
     assert [len(m1[s]) for s in ("left", "right", "view")] == [2, 2, 2]
     for d, t in stamp.items():
         assert os.stat(d).st_mtime_ns == t, f"state dir rewritten: {d}"
+
+
+def test_join_sink_stream_matches_batch_join(spark, tmp_path):
+    """JoinSink through the real file-stream harness (one file per
+    trigger, foreachBatch, availableNow): the maintained view over a
+    multiplexed orders+items stream — with matches landing same-batch
+    and cross-batch in both directions — equals the one-shot inner join
+    of everything that arrived."""
+    import os as _os
+
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    schema = "k long, side string, name string, qty long"
+    batches = [
+        [(1, "L", "a", None), (1, "R", None, 10), (2, "L", "b", None)],
+        [(2, "R", None, 20), (3, "R", None, 30)],
+        [(3, "L", "c", None), (1, "R", None, 11), (9, "L", "z", None)],
+    ]
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    seen: set = set()
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema)
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                _os.utime(full, (base + b, base + b))
+                seen.add(full)
+
+    sink = JoinSink(str(tmp_path / "state"), key_col="k",
+                    left_cols=["name"], right_cols=["qty"])
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r.k, r.name, r.qty)
+                 for r in sink.state_view(spark).collect())
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    l = all_rows.filter("side = 'L'").select("k", "name")
+    r = all_rows.filter("side = 'R'").select("k", "qty")
+    want = sorted((x.k, x.name, x.qty) for x in l.join(r, "k").collect())
+    assert got == want == [(1, "a", 10), (1, "a", 11),
+                           (2, "b", 20), (3, "c", 30)]
+    assert sink.meta()["last_batch_id"] == 2
