@@ -134,6 +134,10 @@ HEADLINE = [
     "docs_leakage_safe_splits",
     "emb_binary_quantize_topk",
     "graph_clustering_coefficient",
+    "ivm_join_view_rollup",
+    "multimodal_video_scene_cuts",
+    "docs_training_shards",
+    "docs_winnowing_overlap",
 ]
 
 

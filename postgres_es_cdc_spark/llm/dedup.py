@@ -1664,3 +1664,135 @@ FROM s GROUP BY split
 
 
 DOCS_LEAKAGE_SPLITS_SQL = _leakage_splits_sql()
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS scheme):
+# hash every positional k-gram, then keep the MINIMUM hash of each
+# w-length window of consecutive k-gram hashes. Guarantee: any shared
+# substring of >= w+k-1 tokens contributes at least one IDENTICAL
+# fingerprint to both documents — so unlike the MinHash family (which
+# estimates whole-document similarity) this detects EXACT substring
+# overlap, the token-level contamination/plagiarism signal.
+WINNOW_W = 8
+WINNOW_TOP = 50
+
+
+def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
+                           w: int = WINNOW_W, top: int = WINNOW_TOP,
+                           cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """Cross-document exact-substring overlap via winnowing fingerprints:
+    top pairs by shared fingerprint count, with overlap_ratio =
+    shared / min(|fps_a|, |fps_b|) (≈ fraction of the smaller doc
+    covered by shared substrings, by winnowing's density guarantee).
+    Corpus: documents ∪ last-token-dropped mutants, so near-complete
+    overlaps exist at every sf.
+
+    Engine discipline: positional 3-gram hashes and the windowed minima
+    are per-row ARRAY transforms (higher-order functions over the token
+    array — no corpus×length explode; the only exploded relation is the
+    winnowed fingerprint set, ~|tokens|·2/(w+1) rows per doc). Pair
+    generation joins the fingerprint postings with itself: degenerate
+    fingerprints (boilerplate every doc shares) are dropped WHOLE by a
+    document-frequency cap before the join — the stop-shingle treatment
+    jaccard blocks use, mirrored verbatim in the oracle CTE so a
+    binding cap cannot diverge the engines (round-6 ADVICE rule).
+
+    Exactness: counts are integers; overlap_ratio is one int→double
+    division; top-k is fully tie-broken (n_shared DESC, doc_a, doc_b).
+
+    Scale: posting-list join work is Σ bucket² over capped buckets —
+    O(corpus · cap) worst case; everything before it is map-side."""
+    c = mutated_corpus(spark, sf_dir)
+    # Checkpoint BETWEEN the per-row array stages: higher-order
+    # functions are interpreted (CodegenFallback) with NO common-
+    # subexpression elimination, and ProjectCollapse inlines the
+    # upstream expression into each lambda — without the barriers the
+    # winnow lambda re-evaluates the full md5-gram transform PER WINDOW
+    # and the gram lambda re-runs the regex tokenize PER GRAM (O(len²)
+    # interpreted work; measured 28.8s for the gram stage alone at sf1
+    # vs ~3s with the barriers).
+    tk = (c.select("doc_id", tokens(F.col("text")).alias("toks"))
+           .localCheckpoint(eager=False))
+    n = F.size(F.col("toks"))
+    grams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: h32(F.array_join(F.slice(F.col("toks"), i, 3), " "))
+    )).otherwise(F.array().cast("array<bigint>"))
+    g = (tk.select("doc_id", grams.alias("grams"))
+           .localCheckpoint(eager=False))
+    ng = F.size(F.col("grams"))
+    fps = (F.when(ng >= w, F.array_distinct(F.transform(
+               F.sequence(F.lit(1), ng - w + 1),
+               lambda i: F.array_min(F.slice(F.col("grams"), i, w)))))
+            .when(ng >= 1, F.array(F.array_min(F.col("grams"))))
+            .otherwise(F.array().cast("array<bigint>")))
+    f = g.select("doc_id", fps.alias("fps")).localCheckpoint(eager=True)
+    nf = f.select("doc_id", F.size("fps").cast("long").alias("n_fp"))
+    fd = f.select("doc_id", F.explode("fps").alias("fp"))
+    kept = (fd.withColumn("dfreq", F.count(F.lit(1)).over(
+                Window.partitionBy("fp")))
+              .filter(F.col("dfreq") <= cap).drop("dfreq"))
+    pairs = (kept.alias("a")
+             .join(kept.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    ratio = (F.col("n_shared").cast("double")
+             / F.least(F.col("na"), F.col("nb")).cast("double"))
+    return (pairs
+            .join(nf.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_fp").alias("na")), "doc_a")
+            .join(nf.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_fp").alias("nb")), "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    ratio.alias("overlap_ratio"))
+            .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(top))
+
+
+DOCS_WINNOWING_SQL = f"""
+WITH corpus AS ({_MUTATED_SQL}),
+t AS (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM corpus),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> ('0x' || substr(md5(
+                        array_to_string(list_slice(toks, i, i + 2), ' ')),
+                      1, 8))::BIGINT)
+              ELSE [] END AS grams
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {WINNOW_W} THEN list_distinct(
+                list_transform(
+                  generate_series(1, len(grams) - {WINNOW_W} + 1),
+                  i -> list_min(list_slice(grams, i, i + {WINNOW_W} - 1))))
+              WHEN len(grams) >= 1 THEN [list_min(grams)]
+              ELSE [] END AS fps
+  FROM g
+),
+nf AS (SELECT doc_id, len(fps) AS n_fp FROM f),
+fd AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfreq FROM fd)
+  WHERE dfreq <= {PAIR_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE)
+         / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) AS overlap_ratio
+FROM pairs
+JOIN nf na ON na.doc_id = doc_a
+JOIN nf nb ON nb.doc_id = doc_b
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT {WINNOW_TOP}
+"""

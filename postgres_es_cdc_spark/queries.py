@@ -97,6 +97,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_join_view_rollup": QuerySpec(
         ivm.ivm_join_view_rollup, ivm.IVM_JOIN_VIEW_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
+    "docs_winnowing_overlap": QuerySpec(
+        dedup.docs_winnowing_overlap, dedup.DOCS_WINNOWING_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
     # semantics pinned in tests/test_dedup.py.

@@ -91,6 +91,8 @@ SWEEP = [
     "graph_clustering_coefficient",
     "ivm_join_view_rollup",
     "multimodal_video_scene_cuts",
+    "docs_training_shards",
+    "docs_winnowing_overlap",
 ]
 
 
