@@ -200,6 +200,36 @@ PICKS = {
         "Word-count MapReduce compacts the corpus to its vocabulary "
         "first; the char-pair explode is vocab-sized; final ranking is "
         "a bounded TakeOrdered.",
+    "emb_binary_quantize_topk":
+        "Sign-bit codes are packed scan-side (JVM bit ops pipelined "
+        "with the parquet scan — 16 bytes of code per row, not 512 of "
+        "vector); the bounded query block broadcasts; the Hamming cut "
+        "is a WindowGroupLimit; only n_queries x n_cand survivors "
+        "touch full vectors for the exact rerank.",
+    "graph_clustering_coefficient":
+        "Forward triangle engine in adjacency-array form: the O(m^1.5) "
+        "intersection work runs INSIDE codegen on two array columns of "
+        "one row — the wedge set never materializes through an "
+        "exchange (the wedge self-join draft shuffled ~750M rows at "
+        "sf1: 49.8s vs 12.6s). Every multi-consumer frame is eagerly "
+        "checkpointed before fan-out.",
+    "docs_winnowing_overlap":
+        "Positional gram hashes and windowed minima are per-row array "
+        "transforms with checkpoint barriers between stages "
+        "(interpreted HOFs + ProjectCollapse would otherwise recompute "
+        "the upstream expression per array element — O(len^2)); the "
+        "posting-list pair join is document-frequency-capped, cap "
+        "mirrored in the oracle.",
+    "docs_training_shards":
+        "The 100 TB export pass: one hash-partition shuffle on the "
+        "shard key + one window per shard; membership and order are "
+        "decorrelated pure hashes, so the plan is "
+        "repartition+sortWithinPartitions at write time; the checksum "
+        "pins the full permutation.",
+    "multimodal_video_scene_cuts":
+        "Arrow-batched mapInPandas pipelined into the scan; frame "
+        "matrices (numpy diff) never leave the executor — the shuffle "
+        "carries 4 ints per asset.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries
