@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "docs_training_shards",
     "docs_winnowing_overlap",
+    "events_hll_distinct_users",
 ]
 
 

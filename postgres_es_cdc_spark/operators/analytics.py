@@ -1279,3 +1279,132 @@ SELECT week, event_type, n, share,
                                     ORDER BY week)) AS share_drift
 FROM shares
 """
+
+
+# Portable HyperLogLog: m=256 buckets from a 60-bit md5-prefix hash;
+# rho = trailing-zero count of the bucket-stripped hash (geometric(1/2)
+# under a uniform hash — the same law as leading zeros, via JVM/DuckDB
+# bit_count, no floats). rho capped at 40 so Σ 2^(40−rho) stays an
+# EXACT dyadic sum: terms span 2^0..2^40 over 256 buckets < 2^49 — the
+# register sum is a plain BIGINT and every engine agrees bit-for-bit.
+HLL_M = 256
+HLL_RHO_CAP = 40
+_HLL_ALPHA = 0.7213475  # alpha_256 ~ 0.7213/(1+1.079/m), fixed literal
+
+# Linear-counting log table: lc(V) = ln(m/V) for V = 1..m, precomputed
+# ONCE here and embedded as the same shortest-repr literals in both the
+# Spark plan and the DuckDB SQL — both engines parse repr(x) back to
+# the identical double, so the low-range correction needs NO runtime
+# libm call (whose last-ulp behavior differs across platforms).
+import math as _math
+
+_HLL_LC_TABLE = tuple(_math.log(HLL_M / v) for v in range(1, HLL_M + 1))
+
+
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user sketch per event type via a from-scratch portable
+    HyperLogLog — the mergeable-sketch member of the approx family
+    (agg_approx_distinct uses Spark's built-in HLL++, whose registers
+    are opaque and engine-specific; THIS one's registers are plain
+    integers any engine reproduces, so the sketch itself — not just the
+    estimate — is verifiable and portable across systems, the property
+    that matters when sketches are stored and merged across pipelines).
+
+    Distributed-merge story: registers are a max-semilattice keyed by
+    (type, bucket), so Spark's map-side partial_max IS the sketch
+    merge — every partition builds a local sketch and the exchange
+    carries 256 registers per type, never user ids. The exact
+    COUNT(DISTINCT) is computed alongside as the error statement.
+
+    Cross-engine exactness: hash = 60-bit md5 prefix of the DECIMAL
+    STRING of user_id; bucket/suffix via %/shift (all positive);
+    rho = bit_count((w & -w) - 1) + 1 capped at 40; the register sum is
+    an exact BIGINT; the raw estimate is alpha·m²·2^40/S evaluated in
+    the identical IEEE op order; the standard low-range linear-counting
+    correction (V zero buckets > 0 and raw ≤ 2.5m ⇒ m·ln(m/V)) uses a
+    PRECOMPUTED 256-entry log table embedded as identical literals in
+    both plans — no runtime libm anywhere, so no platform divergence."""
+    e = table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    b = e.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.shiftright("h", 8).alias("w"))
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1,
+                F.lit(HLL_RHO_CAP)))
+    regs = (b.select("event_type", "bucket", rho.alias("rho"))
+             .groupBy("event_type", "bucket")
+             .agg(F.max("rho").alias("m")))
+    allb = (e.select("event_type").distinct()
+             .crossJoin(spark.range(HLL_M).select(
+                 F.col("id").alias("bucket")))
+             .join(regs, ["event_type", "bucket"], "left")
+             .withColumn("m", F.coalesce(F.col("m"), F.lit(0))))
+    s = allb.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({HLL_RHO_CAP} - m AS INT))")).alias("sum_q"),
+        F.sum((F.col("m") == 0).cast("long")).alias("n_zero_buckets"))
+    x = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    raw = (F.lit(_HLL_ALPHA) * F.lit(float(HLL_M * HLL_M))
+           * F.lit(float(1 << HLL_RHO_CAP))
+           / F.col("sum_q").cast("double"))
+    lut = F.array(*[F.lit(v) for v in _HLL_LC_TABLE])
+    lc = F.lit(float(HLL_M)) * F.element_at(
+        lut, F.col("n_zero_buckets").cast("int"))
+    est = F.when((F.col("n_zero_buckets") > 0)
+                 & (F.col("raw_estimate") <= F.lit(2.5 * HLL_M)), lc) \
+           .otherwise(F.col("raw_estimate"))
+    return (s.join(x, "event_type")
+             .withColumn("raw_estimate", raw)
+             .select("event_type", "n_exact", "n_zero_buckets", "sum_q",
+                     "raw_estimate", est.alias("hll_estimate")))
+
+
+EVENTS_HLL_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> 8) = 0 THEN {HLL_RHO_CAP}
+                  ELSE LEAST(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1,
+                             {HLL_RHO_CAP}) END) AS m
+  FROM b GROUP BY 1, 2
+),
+allb AS (
+  SELECT t.event_type, g.bucket, COALESCE(r.m, 0) AS m
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS bucket) g
+  LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m)) AS BIGINT)
+           AS sum_q,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_buckets
+  FROM allb GROUP BY 1
+),
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1),
+est AS (
+  SELECT s.event_type, x.n_exact, s.n_zero_buckets, s.sum_q,
+         CAST({_HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+           * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / CAST(s.sum_q AS DOUBLE)
+           AS raw_estimate
+  FROM s JOIN x ON x.event_type = s.event_type
+)
+SELECT event_type, n_exact, n_zero_buckets, sum_q, raw_estimate,
+       CASE WHEN n_zero_buckets > 0 AND raw_estimate <= {2.5 * HLL_M}
+            THEN CAST({HLL_M} AS DOUBLE) * list_extract(
+                   [{", ".join(repr(v) for v in _HLL_LC_TABLE)}],
+                   CAST(n_zero_buckets AS INT))
+            ELSE raw_estimate END AS hll_estimate
+FROM est
+"""

@@ -72,6 +72,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_ivf_recall": QuerySpec(similarity.emb_ivf_recall, similarity.EMB_IVF_RECALL_SQL),
     "events_path_mining": QuerySpec(analytics.events_path_mining, analytics.EVENTS_PATH_MINING_SQL),
     "events_anomaly_zscore": QuerySpec(analytics.events_anomaly_zscore, analytics.EVENTS_ANOMALY_SQL),
+    "events_hll_distinct_users": QuerySpec(
+        analytics.events_hll_distinct_users, analytics.EVENTS_HLL_SQL),
     "docs_cluster_size_histogram": QuerySpec(dedup.docs_cluster_size_histogram, dedup.DOCS_CLUSTER_SIZE_HIST_SQL),
     "docs_ngram_coverage": QuerySpec(decontam.docs_ngram_coverage, decontam.DOCS_NGRAM_COVERAGE_SQL),
     "cdc_txn_size_histogram": QuerySpec(cdcq.cdc_txn_size_histogram, cdcq.CDC_TXN_SIZE_HIST_SQL),

@@ -93,6 +93,7 @@ SWEEP = [
     "multimodal_video_scene_cuts",
     "docs_training_shards",
     "docs_winnowing_overlap",
+    "events_hll_distinct_users",
 ]
 
 
