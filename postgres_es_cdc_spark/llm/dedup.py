@@ -1677,6 +1677,38 @@ WINNOW_W = 8
 WINNOW_TOP = 50
 
 
+def winnow_fingerprints(c: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, text) → (doc_id, fps): the winnowed fingerprint set —
+    positional 3-gram hashes, then the distinct minima of every
+    w-length hash window. Guarantee (tested): two documents sharing any
+    substring of ≥ w+2 tokens share at least one fingerprint.
+
+    Checkpoints BETWEEN the per-row array stages: higher-order
+    functions are interpreted (CodegenFallback) with NO common-
+    subexpression elimination, and ProjectCollapse inlines the upstream
+    expression into each lambda — without the barriers the winnow
+    lambda re-evaluates the full md5-gram transform PER WINDOW and the
+    gram lambda re-runs the regex tokenize PER GRAM (O(len²)
+    interpreted work; measured 28.8s for the gram stage alone at sf1 vs
+    ~3s with the barriers)."""
+    tk = (c.select("doc_id", tokens(F.col("text")).alias("toks"))
+           .localCheckpoint(eager=False))
+    n = F.size(F.col("toks"))
+    grams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: h32(F.array_join(F.slice(F.col("toks"), i, 3), " "))
+    )).otherwise(F.array().cast("array<bigint>"))
+    g = (tk.select("doc_id", grams.alias("grams"))
+           .localCheckpoint(eager=False))
+    ng = F.size(F.col("grams"))
+    fps = (F.when(ng >= w, F.array_distinct(F.transform(
+               F.sequence(F.lit(1), ng - w + 1),
+               lambda i: F.array_min(F.slice(F.col("grams"), i, w)))))
+            .when(ng >= 1, F.array(F.array_min(F.col("grams"))))
+            .otherwise(F.array().cast("array<bigint>")))
+    return g.select("doc_id", fps.alias("fps")).localCheckpoint(eager=True)
+
+
 def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
                            w: int = WINNOW_W, top: int = WINNOW_TOP,
                            cap: int = PAIR_BUCKET_CAP) -> DataFrame:
@@ -1702,31 +1734,7 @@ def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
 
     Scale: posting-list join work is Σ bucket² over capped buckets —
     O(corpus · cap) worst case; everything before it is map-side."""
-    c = mutated_corpus(spark, sf_dir)
-    # Checkpoint BETWEEN the per-row array stages: higher-order
-    # functions are interpreted (CodegenFallback) with NO common-
-    # subexpression elimination, and ProjectCollapse inlines the
-    # upstream expression into each lambda — without the barriers the
-    # winnow lambda re-evaluates the full md5-gram transform PER WINDOW
-    # and the gram lambda re-runs the regex tokenize PER GRAM (O(len²)
-    # interpreted work; measured 28.8s for the gram stage alone at sf1
-    # vs ~3s with the barriers).
-    tk = (c.select("doc_id", tokens(F.col("text")).alias("toks"))
-           .localCheckpoint(eager=False))
-    n = F.size(F.col("toks"))
-    grams = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: h32(F.array_join(F.slice(F.col("toks"), i, 3), " "))
-    )).otherwise(F.array().cast("array<bigint>"))
-    g = (tk.select("doc_id", grams.alias("grams"))
-           .localCheckpoint(eager=False))
-    ng = F.size(F.col("grams"))
-    fps = (F.when(ng >= w, F.array_distinct(F.transform(
-               F.sequence(F.lit(1), ng - w + 1),
-               lambda i: F.array_min(F.slice(F.col("grams"), i, w)))))
-            .when(ng >= 1, F.array(F.array_min(F.col("grams"))))
-            .otherwise(F.array().cast("array<bigint>")))
-    f = g.select("doc_id", fps.alias("fps")).localCheckpoint(eager=True)
+    f = winnow_fingerprints(mutated_corpus(spark, sf_dir), w)
     nf = f.select("doc_id", F.size("fps").cast("long").alias("n_fp"))
     fd = f.select("doc_id", F.explode("fps").alias("fp"))
     kept = (fd.withColumn("dfreq", F.count(F.lit(1)).over(

@@ -1325,29 +1325,41 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECOMPUTED 256-entry log table embedded as identical literals in
     both plans — no runtime libm anywhere, so no platform divergence."""
     e = table(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+    s = hll_sketch(e, "event_type", "user_id")
+    x = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return s.join(x, "event_type").select(
+        "event_type", "n_exact", "n_zero_buckets", "sum_q",
+        "raw_estimate", "hll_estimate")
+
+
+def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Portable-HLL distinct estimate of ``key_col`` per ``group_col``
+    (see events_hll_distinct_users for the design). Returns one row per
+    group: (group_col, n_zero_buckets, sum_q, raw_estimate,
+    hll_estimate)."""
+    spark = df.sparkSession
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("long")
-    b = e.select("event_type", h.alias("h")).select(
-        "event_type",
+    b = df.select(group_col, h.alias("h")).select(
+        group_col,
         (F.col("h") % HLL_M).alias("bucket"),
         F.shiftright("h", 8).alias("w"))
     rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP)).otherwise(
         F.least(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1,
                 F.lit(HLL_RHO_CAP)))
-    regs = (b.select("event_type", "bucket", rho.alias("rho"))
-             .groupBy("event_type", "bucket")
+    regs = (b.select(group_col, "bucket", rho.alias("rho"))
+             .groupBy(group_col, "bucket")
              .agg(F.max("rho").alias("m")))
-    allb = (e.select("event_type").distinct()
-             .crossJoin(spark.range(HLL_M).select(
-                 F.col("id").alias("bucket")))
-             .join(regs, ["event_type", "bucket"], "left")
-             .withColumn("m", F.coalesce(F.col("m"), F.lit(0))))
-    s = allb.groupBy("event_type").agg(
+    allb = (df.select(group_col).distinct()
+              .crossJoin(spark.range(HLL_M).select(
+                  F.col("id").alias("bucket")))
+              .join(regs, [group_col, "bucket"], "left")
+              .withColumn("m", F.coalesce(F.col("m"), F.lit(0))))
+    s = allb.groupBy(group_col).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                      f"CAST({HLL_RHO_CAP} - m AS INT))")).alias("sum_q"),
         F.sum((F.col("m") == 0).cast("long")).alias("n_zero_buckets"))
-    x = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"))
     raw = (F.lit(_HLL_ALPHA) * F.lit(float(HLL_M * HLL_M))
            * F.lit(float(1 << HLL_RHO_CAP))
            / F.col("sum_q").cast("double"))
@@ -1357,10 +1369,8 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when((F.col("n_zero_buckets") > 0)
                  & (F.col("raw_estimate") <= F.lit(2.5 * HLL_M)), lc) \
            .otherwise(F.col("raw_estimate"))
-    return (s.join(x, "event_type")
-             .withColumn("raw_estimate", raw)
-             .select("event_type", "n_exact", "n_zero_buckets", "sum_q",
-                     "raw_estimate", est.alias("hll_estimate")))
+    return (s.withColumn("raw_estimate", raw)
+             .withColumn("hll_estimate", est))
 
 
 EVENTS_HLL_SQL = f"""

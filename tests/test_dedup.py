@@ -281,3 +281,28 @@ def test_lsh_recall_curve_caps_mirror_oracle_when_binding(spark, sf_dir):
     con = duck_connection(sf_dir)
     r = compare("lsh_recall_binding_cap", df, con, _docs_lsh_recall_sql(cap))
     assert r.ok, r.message()
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining guarantee (Schleimer et al. theorem): any
+    shared substring of >= w+2 tokens yields at least one SHARED
+    fingerprint; and disjoint token sets yield none."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        WINNOW_W, winnow_fingerprints)
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + 2))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma " + shared + " delta epsilon"),
+         (2, "zeta eta theta iota " + shared),
+         (3, "one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen")],
+        "doc_id long, text string")
+    f = {r.doc_id: set(r.fps)
+         for r in winnow_fingerprints(docs, WINNOW_W).collect()}
+    assert f[1] & f[2], "shared >=w+2-token substring must share a fp"
+    assert not (f[1] & f[3]) and not (f[2] & f[3]), \
+        "disjoint vocabularies must not share fingerprints"
+    # Density sanity: every doc with >= 1 gram has >= 1 fingerprint.
+    assert all(len(v) >= 1 for v in f.values())

@@ -167,3 +167,41 @@ def test_bpe_train_deterministic_merge_order():
     # exhaustion: merging stops when no pairs remain, rows < requested
     c, syms = _bpe_train([("ab", 1)], 10)
     assert len(c) == 1 and syms["ab"].count("\x01") == 1
+
+
+def test_hll_sketch_accuracy_envelope(spark):
+    """The portable HLL lands within its theoretical envelope across the
+    low (linear-counting) and raw regimes: relative error < 3 * 1.04 /
+    sqrt(m) ~ 0.195 for true cardinalities spanning 50..50000.
+    Deterministic: the hash is md5-based, no seeds involved."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.operators.analytics import hll_sketch
+
+    for n in (50, 500, 5000, 50000):
+        df = (spark.range(n)
+                   .select(F.lit("g").alias("grp"),
+                           (F.col("id") * 7 + 13).alias("key")))
+        row = hll_sketch(df, "grp", "key").collect()[0]
+        rel = abs(row.hll_estimate - n) / n
+        assert rel < 0.195, (n, row.hll_estimate, rel)
+
+
+def test_hll_registers_merge_as_max(spark):
+    """The sketch of a union equals the max-merge of the parts'
+    registers — i.e. splitting the data across partitions/batches can
+    never change the estimate (what makes the sketch mergeable across
+    pipelines and what Spark's partial_max exploits)."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.operators.analytics import hll_sketch
+
+    full = spark.range(4000).select(
+        F.lit("g").alias("grp"), (F.col("id") * 31 + 7).alias("key"))
+    whole = hll_sketch(full, "grp", "key").collect()[0]
+    # Same rows in 3 arbitrary slices, unioned in a different order:
+    parts = [full.filter(F.col("id") % 3 == i) for i in (2, 0, 1)]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    again = hll_sketch(u, "grp", "key").collect()[0]
+    assert (whole.sum_q, whole.n_zero_buckets, whole.hll_estimate) == \
+           (again.sum_q, again.n_zero_buckets, again.hll_estimate)
