@@ -1333,12 +1333,12 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_estimate", "hll_estimate")
 
 
-def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Portable-HLL distinct estimate of ``key_col`` per ``group_col``
-    (see events_hll_distinct_users for the design). Returns one row per
-    group: (group_col, n_zero_buckets, sum_q, raw_estimate,
-    hll_estimate)."""
-    spark = df.sparkSession
+def hll_registers(df: DataFrame, group_col: str,
+                  key_col: str) -> DataFrame:
+    """The sketch itself: sparse (group, bucket, m) register rows —
+    a max-semilattice, so any partition/batch of the input folds to the
+    same registers via groupBy-max (what HLLSink and Spark's map-side
+    partial_max both exploit)."""
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("long")
     b = df.select(group_col, h.alias("h")).select(
@@ -1348,14 +1348,21 @@ def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP)).otherwise(
         F.least(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1,
                 F.lit(HLL_RHO_CAP)))
-    regs = (b.select(group_col, "bucket", rho.alias("rho"))
+    return (b.select(group_col, "bucket", rho.alias("rho"))
              .groupBy(group_col, "bucket")
              .agg(F.max("rho").alias("m")))
-    allb = (df.select(group_col).distinct()
-              .crossJoin(spark.range(HLL_M).select(
-                  F.col("id").alias("bucket")))
-              .join(regs, [group_col, "bucket"], "left")
-              .withColumn("m", F.coalesce(F.col("m"), F.lit(0))))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_col: str) -> DataFrame:
+    """Sparse registers → per-group estimate columns (n_zero_buckets,
+    sum_q, raw_estimate, hll_estimate). Missing buckets count as m=0."""
+    spark = regs.sparkSession
+    allb = (regs.select(group_col).distinct()
+                .crossJoin(spark.range(HLL_M).select(
+                    F.col("id").alias("bucket")))
+                .join(regs, [group_col, "bucket"], "left")
+                .withColumn("m", F.coalesce(F.col("m"), F.lit(0))))
     s = allb.groupBy(group_col).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                      f"CAST({HLL_RHO_CAP} - m AS INT))")).alias("sum_q"),
@@ -1373,8 +1380,20 @@ def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
              .withColumn("hll_estimate", est))
 
 
-EVENTS_HLL_SQL = f"""
-WITH b AS (
+def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Portable-HLL distinct estimate of ``key_col`` per ``group_col``
+    (see events_hll_distinct_users for the design). Returns one row per
+    group: (group_col, n_zero_buckets, sum_q, raw_estimate,
+    hll_estimate)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, key_col), group_col)
+
+
+# Shared DuckDB CTE chain: events -> registers -> per-type
+# (n_zero_buckets, sum_q, raw_estimate) in `est`. Both the batch query
+# (with its exact companion) and the IVM sink row (registers folded
+# through batches) finish from the same `est`.
+_HLL_CORE_SQL = f"""b AS (
   SELECT event_type,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
            AS h
@@ -1401,20 +1420,34 @@ s AS (
            AS n_zero_buckets
   FROM allb GROUP BY 1
 ),
-x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
-      FROM events GROUP BY 1),
 est AS (
-  SELECT s.event_type, x.n_exact, s.n_zero_buckets, s.sum_q,
+  SELECT s.event_type, s.n_zero_buckets, s.sum_q,
          CAST({_HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
            * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / CAST(s.sum_q AS DOUBLE)
            AS raw_estimate
-  FROM s JOIN x ON x.event_type = s.event_type
-)
-SELECT event_type, n_exact, n_zero_buckets, sum_q, raw_estimate,
-       CASE WHEN n_zero_buckets > 0 AND raw_estimate <= {2.5 * HLL_M}
+  FROM s
+)"""
+
+_HLL_EST_CASE_SQL = f"""CASE WHEN n_zero_buckets > 0
+            AND raw_estimate <= {2.5 * HLL_M}
             THEN CAST({HLL_M} AS DOUBLE) * list_extract(
                    [{", ".join(repr(v) for v in _HLL_LC_TABLE)}],
                    CAST(n_zero_buckets AS INT))
-            ELSE raw_estimate END AS hll_estimate
+            ELSE raw_estimate END AS hll_estimate"""
+
+EVENTS_HLL_SQL = f"""
+WITH {_HLL_CORE_SQL},
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+SELECT est.event_type, x.n_exact, est.n_zero_buckets, est.sum_q,
+       est.raw_estimate,
+       {_HLL_EST_CASE_SQL}
+FROM est JOIN x ON x.event_type = est.event_type
+"""
+
+IVM_HLL_SQL = f"""
+WITH {_HLL_CORE_SQL}
+SELECT event_type, n_zero_buckets, sum_q, raw_estimate,
+       {_HLL_EST_CASE_SQL}
 FROM est
 """

@@ -98,6 +98,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_session_rollup": QuerySpec(ivm.ivm_session_rollup, ivm.IVM_SESSION_ROLLUP_SQL),
     "ivm_join_view_rollup": QuerySpec(
         ivm.ivm_join_view_rollup, ivm.IVM_JOIN_VIEW_SQL),
+    "ivm_hll_rollup": QuerySpec(ivm.ivm_hll_rollup, analytics.IVM_HLL_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_winnowing_overlap": QuerySpec(
         dedup.docs_winnowing_overlap, dedup.DOCS_WINNOWING_SQL),

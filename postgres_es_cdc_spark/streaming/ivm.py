@@ -789,3 +789,78 @@ SELECT o.o_orderpriority AS priority,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
+
+
+class HLLSink:
+    """foreachBatch sink maintaining a PORTABLE HyperLogLog sketch per
+    group — the approximate member of the IVM family. State is the
+    sparse register table (group, bucket, m): a max-semilattice, so
+    merging a batch is the same groupBy-max as building from scratch —
+    batch boundaries provably cannot change the registers (associative,
+    commutative, idempotent), and replay de-dup comes free of charge
+    from idempotence on top of the batch-id no-op guard.
+
+    Registers are plain integers (operators/analytics.py:hll_registers)
+    — unlike built-in HLL++ state they can be stored, shipped, and
+    re-merged by ANY engine, which is the point of keeping sketch
+    tables in a warehouse.
+
+    Scale shape: per batch one map-side partial-max row per
+    (group, bucket) — the exchange carries at most |groups|·256
+    registers, never keys; state size is |groups|·256 regardless of
+    stream length."""
+
+    def __init__(self, path: str, group_col: str, key_col: str):
+        self.path = path
+        self.group_col = group_col
+        self.key_col = key_col
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.operators.analytics import hll_registers
+
+        spark = batch.sparkSession
+        regs = hll_registers(batch, self.group_col, self.key_col)
+        if os.path.exists(self.path):
+            regs = spark.read.parquet(self.path).unionByName(regs)
+        merged = regs.groupBy(self.group_col, "bucket").agg(
+            F.max("m").alias("m"))
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+    def estimate(self, spark) -> DataFrame:
+        from postgres_es_cdc_spark.operators.analytics import (
+            hll_estimate_from_registers)
+
+        return hll_estimate_from_registers(
+            spark.read.parquet(self.path), self.group_col)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def ivm_hll_rollup(spark, sf_dir: str) -> DataFrame:
+    """HLLSink's register algebra exposed as a driver-checkable query:
+    fold the events stream's distinct-user sketch per event type through
+    three %3-interleaved batches via per-batch partial registers +
+    max-merge — the exact per-micro-batch code path — and return the
+    estimate of the maintained sketch. The oracle is the ONE-SHOT
+    sketch (analytics.IVM_HLL_SQL): equal because max is associative,
+    commutative, and idempotent, which this row proves on real data
+    every round."""
+    from postgres_es_cdc_spark.operators.analytics import (
+        hll_estimate_from_registers, hll_registers)
+
+    e = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+              .select("event_id", "event_type", "user_id"))
+    regs: DataFrame | None = None
+    for i in range(3):
+        part = hll_registers(
+            e.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            "event_type", "user_id")
+        regs = part if regs is None else (
+            regs.unionByName(part).groupBy("event_type", "bucket")
+                .agg(F.max("m").alias("m")))
+    return hll_estimate_from_registers(regs, "event_type").select(
+        "event_type", "n_zero_buckets", "sum_q", "raw_estimate",
+        "hll_estimate")

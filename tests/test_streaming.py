@@ -1134,3 +1134,52 @@ def test_join_sink_stream_matches_batch_join(spark, tmp_path):
     assert got == want == [(1, "a", 10), (1, "a", 11),
                            (2, "b", 20), (3, "c", 30)]
     assert sink.meta()["last_batch_id"] == 2
+
+
+def test_hll_sink_stream_matches_batch_sketch(spark, tmp_path):
+    """HLLSink through the real file-stream harness: the maintained
+    registers (and hence the estimate) equal the one-shot sketch of
+    everything that arrived — max is associative, commutative, AND
+    idempotent, so cross-batch redelivery of a key cannot move the
+    estimate either."""
+    import os as _os
+
+    from postgres_es_cdc_spark.operators.analytics import hll_sketch
+    from postgres_es_cdc_spark.streaming.ivm import HLLSink
+
+    schema = "grp string, key long"
+    batches = [
+        [("a", k) for k in range(0, 400)] + [("b", 1), ("b", 2)],
+        [("a", k) for k in range(200, 600)],        # 200..399 redelivered
+        [("b", 2), ("b", 3), ("a", 599)],           # more redelivery
+    ]
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    seen: set = set()
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema)
+              .coalesce(1).write.mode("append").parquet(src))
+        for fname in _os.listdir(src):
+            full = _os.path.join(src, fname)
+            if fname.endswith(".parquet") and full not in seen:
+                _os.utime(full, (base + b, base + b))
+                seen.add(full)
+
+    sink = HLLSink(str(tmp_path / "regs"), group_col="grp", key_col="key")
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+               .option("checkpointLocation", str(tmp_path / "ckpt"))
+               .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.grp: (r.sum_q, r.n_zero_buckets, r.hll_estimate)
+           for r in sink.estimate(spark).collect()}
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    want = {r.grp: (r.sum_q, r.n_zero_buckets, r.hll_estimate)
+            for r in hll_sketch(all_rows, "grp", "key").collect()}
+    assert got == want
+    # and the estimates are sane: ~600 distinct in a, 3 in b
+    assert abs(got["a"][2] - 600) / 600 < 0.195
+    assert abs(got["b"][2] - 3) < 1.0
