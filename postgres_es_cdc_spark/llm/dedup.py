@@ -1690,7 +1690,15 @@ def winnow_fingerprints(c: DataFrame, w: int = WINNOW_W) -> DataFrame:
     lambda re-evaluates the full md5-gram transform PER WINDOW and the
     gram lambda re-runs the regex tokenize PER GRAM (O(len²)
     interpreted work; measured 28.8s for the gram stage alone at sf1 vs
-    ~3s with the barriers)."""
+    ~3s with the barriers).
+
+    scan_parallel before the tokenize: the interpreted-HOF stages are
+    the expensive per-row work this corpus sees, and a single-row-group
+    scan pins them to one task (30s single-threaded at 30× vs ~3s
+    fanned out); at real scale the scan arrives with many splits and
+    the fan-out is a no-op."""
+    from postgres_es_cdc_spark.catalog import scan_parallel
+    c = scan_parallel(c.sparkSession, c.select("doc_id", "text"))
     tk = (c.select("doc_id", tokens(F.col("text")).alias("toks"))
            .localCheckpoint(eager=False))
     n = F.size(F.col("toks"))
@@ -1732,30 +1740,82 @@ def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
     Exactness: counts are integers; overlap_ratio is one int→double
     division; top-k is fully tie-broken (n_shared DESC, doc_a, doc_b).
 
-    Scale: posting-list join work is Σ bucket² over capped buckets —
-    O(corpus · cap) worst case; everything before it is map-side."""
+    Representative collapse (dense-clique mitigation): documents with
+    IDENTICAL fingerprint sets — exact-duplicate cliques, the shape
+    crawl dedup exists for — are collapsed to one representative per
+    set (gid = min doc_id) with a multiplicity m BEFORE pair
+    generation. The posting join then pairs representatives (work
+    bounded by DISTINCT-content volume, not clique²); doc-grain pairs
+    are recovered arithmetically: a cross pair (g1,g2) expands to
+    m1·m2 doc pairs, a within-clique pair to C(m,2), all with the
+    identical n_shared. Only the tiers of n_shared that can reach the
+    top-k are expanded (cumulative-weight threshold over tier sums),
+    so expansion is O(top + boundary tier), never O(Σ clique²). The
+    document-frequency cap stays at DOC grain (Σ multiplicities per
+    fingerprint), so the output is bit-identical to the uncollapsed
+    plan — the oracle remains the direct doc-grain spec and the hash
+    gate proves the equivalence.
+
+    Scale: posting-list join work is Σ bucket² over capped buckets of
+    DISTINCT contents — O(distinct corpus · cap) worst case; clique
+    size never enters a join; everything before the posting join is
+    map-side plus one shuffle on the fingerprint-set key."""
     f = winnow_fingerprints(mutated_corpus(spark, sf_dir), w)
-    nf = f.select("doc_id", F.size("fps").cast("long").alias("n_fp"))
-    fd = f.select("doc_id", F.explode("fps").alias("fp"))
-    kept = (fd.withColumn("dfreq", F.count(F.lit(1)).over(
+    wk = Window.partitionBy("_k")
+    g = (f.select("doc_id", F.array_sort("fps").alias("_k"),
+                  F.size("fps").cast("long").alias("n_fp"))
+          .withColumn("gid", F.min("doc_id").over(wk))
+          .withColumn("m", F.count(F.lit(1)).over(wk))
+          .localCheckpoint(eager=True))
+    members = g.select("doc_id", "gid")
+    groups = g.select("gid", "_k", "n_fp", "m").dropDuplicates(["gid"])
+    post = groups.select("gid", "m", "n_fp", F.explode("_k").alias("fp"))
+    # doc-grain document frequency = sum of clique multiplicities
+    kept = (post.withColumn("dfreq", F.sum("m").over(
                 Window.partitionBy("fp")))
-              .filter(F.col("dfreq") <= cap).drop("dfreq"))
-    pairs = (kept.alias("a")
-             .join(kept.alias("b"),
-                   (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_shared")))
+                .filter(F.col("dfreq") <= cap).drop("dfreq"))
+    cross = (kept.select(F.col("gid").alias("g1"), F.col("m").alias("m1"),
+                         F.col("n_fp").alias("n1"), "fp")
+             .join(kept.select(F.col("gid").alias("g2"),
+                               F.col("m").alias("m2"),
+                               F.col("n_fp").alias("n2"), "fp"), "fp")
+             .filter(F.col("g1") < F.col("g2"))
+             .groupBy("g1", "g2", "m1", "m2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .select("g1", "g2", "n1", "n2", "n_shared",
+                     (F.col("m1") * F.col("m2")).alias("weight")))
+    within = (kept.groupBy("gid", "m", "n_fp")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("m") >= 2)
+              .select(F.col("gid").alias("g1"), F.col("gid").alias("g2"),
+                      F.col("n_fp").alias("n1"), F.col("n_fp").alias("n2"),
+                      "n_shared",
+                      (F.col("m") * (F.col("m") - 1) / 2)
+                      .cast("long").alias("weight")))
+    rep = cross.unionByName(within).localCheckpoint(eager=True)
+    # keep every n_shared tier whose strictly-higher tiers expand to
+    # fewer than `top` doc pairs — the only tiers the top-k can touch
+    tiers = (rep.groupBy("n_shared")
+                .agg(F.sum("weight").alias("tw"))
+                .withColumn("before", F.coalesce(F.sum("tw").over(
+                    Window.orderBy(F.desc("n_shared"))
+                          .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+                .filter(F.col("before") < top)
+                .select("n_shared"))
+    rk = rep.join(F.broadcast(tiers), "n_shared")
+    exp = (F.broadcast(rk)
+             .join(members.select(F.col("gid").alias("g1"),
+                                   F.col("doc_id").alias("da")), "g1")
+             .join(members.select(F.col("gid").alias("g2"),
+                                   F.col("doc_id").alias("db")), "g2")
+             .filter((F.col("g1") != F.col("g2"))
+                     | (F.col("da") < F.col("db"))))
     ratio = (F.col("n_shared").cast("double")
-             / F.least(F.col("na"), F.col("nb")).cast("double"))
-    return (pairs
-            .join(nf.select(F.col("doc_id").alias("doc_a"),
-                            F.col("n_fp").alias("na")), "doc_a")
-            .join(nf.select(F.col("doc_id").alias("doc_b"),
-                            F.col("n_fp").alias("nb")), "doc_b")
-            .select("doc_a", "doc_b", "n_shared",
-                    ratio.alias("overlap_ratio"))
+             / F.least(F.col("n1"), F.col("n2")).cast("double"))
+    return (exp.select(F.least("da", "db").alias("doc_a"),
+                       F.greatest("da", "db").alias("doc_b"),
+                       "n_shared", ratio.alias("overlap_ratio"))
             .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(top))
 
