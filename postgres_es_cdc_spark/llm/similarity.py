@@ -1260,10 +1260,9 @@ def _semdedup_params(n: int) -> tuple[int, int]:
     sweep; ~1000x at 100x). The ceil(n/C) term starts binding at
     n > C² (4096 vectors — above the sf0.01/sf0.1 fixtures, below the
     sf1 sweep, so the sweep exercises the linear regime). Assign cost
-    through the two-level router is N·2√k = N·2√(n/C) — still a
-    super-linear term, but integer-dot work with a ~100x smaller
-    constant than pair cosines; a third routing level would make it
-    N·3·k^(1/3) if a future decade needs it. Training
+    through the routing ladder (_hier_levels/_route_hier) is
+    N·2√k below HIER3_MIN_K and N·3·k^(1/3) above it — the k^(1/3)
+    ladder retired the last super-linear embedding term. Training
     runs on every t-th vector so the iterative loop's cost is bounded
     by SEMDEDUP_TRAIN_TARGET vectors regardless of N. Both are exact
     integer arithmetic the oracle reproduces from COUNT(*)
@@ -1311,14 +1310,55 @@ def _cent_arrays(cent: DataFrame) -> DataFrame:
 
 HIER_SUPER_FLOOR = 4
 
+HIER3_MIN_K = 512  # three-level routing activates at this k
 
-def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
-    """Two-level (hierarchical) coarse-quantizer routing, shared by
+
+def _icbrt(n: int) -> int:
+    """Exact integer cube root (floor), no float trust: seed with the
+    float estimate, correct by integer comparison — round(1000^(1/3))
+    style off-by-ones cannot survive the adjustment loops."""
+    c = max(1, round(n ** (1.0 / 3.0)))
+    while c * c * c > n:
+        c -= 1
+    while (c + 1) ** 3 <= n:
+        c += 1
+    return c
+
+
+def _hier_levels(k: int) -> tuple[int, int]:
+    """(k1 supers, k2 tops) for the routing ladder, derived from the
+    cluster count k by exact integer arithmetic the oracle reproduces:
+    small k keeps the proven two-level path (k2 == k1 == isqrt(k) —
+    the top stage degenerates to the super stage exactly, see
+    _route_hier); k >= HIER3_MIN_K switches to the balanced k^(1/3)
+    ladder (k1 = icbrt(k)², k2 = icbrt(k)) that makes assign cost
+    N·3·k^(1/3) — the last super-linear embedding term
+    (N·2√(N/C) ≈ N^1.5/√C) goes away."""
+    if k >= HIER3_MIN_K:
+        c = _icbrt(k)
+        return c * c, c
+    k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
+    return k1, k1
+
+
+def _route_hier(c: DataFrame, carr: DataFrame, k1: int,
+                k2: int) -> DataFrame:
+    """Hierarchical coarse-quantizer routing ladder, shared by
     emb_hier_assign and emb_semdedup_prune's assign stage: route each
-    vector through the k1 super-centroids first (k1 comparisons), then
-    argmin only over the children of its super-cell (~k/k1 comparisons)
-    — N·(k1 + k/k1) ≈ N·2√k work instead of the flat N·k, the
+    vector through the k2 TOP centroids first, then the supers of its
+    top cell, then argmin only over the children of its super-cell —
+    N·(k2 + k1/k2 + k/k1) work instead of the flat N·k; with the
+    balanced k^(1/3) ladder that is N·3·k^(1/3), the
     inverted-multi-index shape billion-vector ANN systems use.
+
+    When k2 == k1 (small-k regime from _hier_levels) the top stage
+    reduces EXACTLY to the two-level router this generalizes: tops ==
+    supers, each super's nearest top is itself (mean-to-mean distance
+    0; identical-centroid ties collapse to the smallest cid on BOTH
+    the super→top and vec→top argmins, so the final super choice is
+    the same (d2 asc, scid asc) minimum the flat super scan picks —
+    the reduction is provable, and the sf0.01/sf0.001 hash gates
+    re-proved it empirically).
 
     Implementation is an Arrow-batched NUMPY kernel (mapInPandas), the
     FAISS-style routing loop: the centroid table is vocabulary-sized
@@ -1338,9 +1378,9 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
 
     Inputs: c = quantized vectors (id, q, ...); carr = centroid ARRAY
     table (cid, n, sqv, b2) from _cent_arrays. Supers are the k1
-    children with smallest cid (singleton promotion — no second
-    training loop). Returns (id, scid, cid, routed = children scanned
-    in stage 2)."""
+    children with smallest cid, tops the k2 smallest (singleton
+    promotion — no second training loop). Returns (id, scid, cid,
+    routed = children scanned in the final stage)."""
     import numpy as np
     import pandas as pd
 
@@ -1350,6 +1390,7 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
     sq = {r["cid"]: [int(v) for v in r["sqv"]] for r in rows}
     b2 = {r["cid"]: int(r["b2"]) for r in rows}
     sup_ids = cids[:k1]
+    top_ids = cids[:k2]
     q2 = float(Q_SCALE) ** 2
 
     # child -> super: k x k1 exact rational mean-to-mean distances,
@@ -1368,7 +1409,17 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
     for i, cid in enumerate(cids):
         cell.setdefault(sup_ids[int(np.argmin(d2cs[i]))], []).append(cid)
 
-    sqs_mat = np.array([sq[s] for s in sup_ids], dtype=np.int64)
+    # super -> top: the same rational distances, reusing the child x
+    # super block (supers are the first k1 children rows, tops the
+    # first k2 super columns — oracle: ssd/super_top slice of csd).
+    scell: dict = {}
+    for i, s in enumerate(sup_ids):
+        scell.setdefault(top_ids[int(np.argmin(d2cs[i, :k2]))],
+                         []).append(s)
+
+    sqt_mat = np.array([sq[t] for t in top_ids], dtype=np.int64)
+    scell_mats = {t: (np.array([sq[s] for s in ss], dtype=np.int64), ss)
+                  for t, ss in scell.items()}
     cell_mats = {s: (np.array([sq[cc] for cc in ch], dtype=np.int64), ch)
                  for s, ch in cell.items()}
 
@@ -1390,20 +1441,30 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
             ids = pdf["id"].to_numpy()
             X = np.array([list(v) for v in pdf["q"]], dtype=np.int64)
             n2o = (X * X).sum(axis=1).astype(object)
-            si = np.argmin(_d2(n2o, X @ sqs_mat.T, sup_ids), axis=1)
+            ti = np.argmin(_d2(n2o, X @ sqt_mat.T, top_ids), axis=1)
             oid, oscid, ocid, orouted = [], [], [], []
-            for j, s in enumerate(sup_ids):
-                mask = si == j
-                if not mask.any():
+            for tj, t in enumerate(top_ids):
+                tmask = ti == tj
+                if not tmask.any():
                     continue
-                sqc_mat, ch = cell_mats[s]
-                ci = np.argmin(_d2(n2o[mask], X[mask] @ sqc_mat.T, ch),
+                sqs_mat, ss = scell_mats[t]
+                si = np.argmin(_d2(n2o[tmask], X[tmask] @ sqs_mat.T, ss),
                                axis=1)
-                oid.append(ids[mask])
-                oscid.append(np.full(int(mask.sum()), s, dtype=np.int64))
-                ocid.append(np.array([ch[x] for x in ci], dtype=np.int64))
-                orouted.append(np.full(int(mask.sum()), len(ch),
-                                       dtype=np.int64))
+                for sj, s in enumerate(ss):
+                    mask = np.zeros(len(ids), dtype=bool)
+                    mask[np.flatnonzero(tmask)[si == sj]] = True
+                    if not mask.any():
+                        continue
+                    sqc_mat, ch = cell_mats[s]
+                    ci = np.argmin(_d2(n2o[mask], X[mask] @ sqc_mat.T, ch),
+                                   axis=1)
+                    oid.append(ids[mask])
+                    oscid.append(np.full(int(mask.sum()), s,
+                                         dtype=np.int64))
+                    ocid.append(np.array([ch[x] for x in ci],
+                                         dtype=np.int64))
+                    orouted.append(np.full(int(mask.sum()), len(ch),
+                                           dtype=np.int64))
             yield pd.DataFrame({"id": np.concatenate(oid),
                                 "scid": np.concatenate(oscid),
                                 "cid": np.concatenate(ocid),
@@ -1414,23 +1475,38 @@ def _route_two_level(c: DataFrame, carr: DataFrame, k1: int) -> DataFrame:
 
 
 def _hier_route_cte(src: str) -> str:
-    """DuckDB twin of _route_two_level over the exploded source `src`
+    """DuckDB twin of _route_hier over the exploded source `src`
     (columns vec_id, dim, xq). Emits the par2/chrank/sup/csd/
-    child_super/vsd/vec_super/vcd CTE chain; expects `par` (k, t) and
-    `c3` (trained centroids) already in scope. Callers finish with an
-    argmin over vcd (ROW_NUMBER d2 ASC, cid ASC)."""
-    return f""", par2 AS (
-  SELECT k, t, GREATEST({HIER_SUPER_FLOOR},
-                        CAST(FLOOR(SQRT(k)) AS BIGINT)) AS k1
-  FROM par
+    child_super/super_top/vsd/vec_top/vec_super/vcd CTE chain; expects
+    `par` (k, t) and `c3` (trained centroids) already in scope. Callers
+    finish with an argmin over vcd (ROW_NUMBER d2 ASC, cid ASC).
+
+    (k1, k2) mirror _hier_levels exactly: the integer cube root comes
+    from a bounded generate_series max (fully integer-exact, no float
+    cbrt trust), and below HIER3_MIN_K both collapse to the isqrt
+    super count — the regime where the ladder provably equals the
+    two-level router."""
+    return f""", cb AS (
+  SELECT MAX(s.i) AS c
+  FROM (SELECT unnest(generate_series(1, 1000)) AS i) s, par
+  WHERE s.i * s.i * s.i <= par.k
+), par2 AS (
+  SELECT k, t,
+         CASE WHEN k >= {HIER3_MIN_K} THEN cb.c * cb.c
+              ELSE GREATEST({HIER_SUPER_FLOOR},
+                            CAST(FLOOR(SQRT(k)) AS BIGINT)) END AS k1,
+         CASE WHEN k >= {HIER3_MIN_K} THEN cb.c
+              ELSE GREATEST({HIER_SUPER_FLOOR},
+                            CAST(FLOOR(SQRT(k)) AS BIGINT)) END AS k2
+  FROM par, cb
 ), chrank AS (
   SELECT cid, DENSE_RANK() OVER (ORDER BY cid ASC) AS r
   FROM (SELECT DISTINCT cid FROM c3)
-), sup AS (
+), sup AS MATERIALIZED (
   SELECT c3.cid, c3.dim, c3.n, c3.sq
   FROM c3 JOIN chrank ON c3.cid = chrank.cid, par2
   WHERE chrank.r <= par2.k1
-), csd AS (
+), csd AS MATERIALIZED (
   SELECT c.cid, s.cid AS scid,
          CAST(SUM(CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)
                 * CAST(c.sq*s.n - s.sq*c.n AS HUGEINT)) AS DOUBLE)
@@ -1445,19 +1521,39 @@ def _hier_route_cte(src: str) -> str:
                                   ORDER BY d2 ASC, scid ASC) AS rn
         FROM csd)
   WHERE rn = 1
-), vsd AS (
+), super_top AS (
+  SELECT cid AS s_cid, tid
+  FROM (SELECT csd.cid, csd.scid AS tid,
+               ROW_NUMBER() OVER (PARTITION BY csd.cid
+                                  ORDER BY csd.d2 ASC, csd.scid ASC) AS rn
+        FROM csd
+        JOIN chrank cr ON csd.cid = cr.cid
+        JOIN chrank ct ON csd.scid = ct.cid, par2
+        WHERE cr.r <= par2.k1 AND ct.r <= par2.k2)
+  WHERE rn = 1
+), vsd AS MATERIALIZED (
   SELECT {src}.vec_id, s.cid AS scid,
          CAST(SUM(CAST({src}.xq*s.n - s.sq AS HUGEINT)
                 * CAST({src}.xq*s.n - s.sq AS HUGEINT)) AS DOUBLE)
            / CAST(MAX(s.n)*MAX(s.n) AS DOUBLE) / 1e12 AS d2
   FROM {src} JOIN sup s ON {src}.dim = s.dim
   GROUP BY {src}.vec_id, s.cid
+), vec_top AS (
+  SELECT vec_id, scid AS tid
+  FROM (SELECT v.vec_id, v.scid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY v.d2 ASC, v.scid ASC) AS rn
+        FROM vsd v JOIN chrank ct ON v.scid = ct.cid, par2
+        WHERE ct.r <= par2.k2)
+  WHERE rn = 1
 ), vec_super AS (
   SELECT vec_id, scid
-  FROM (SELECT vec_id, scid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d2 ASC, scid ASC) AS rn
-        FROM vsd)
+  FROM (SELECT v.vec_id, v.scid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY v.d2 ASC, v.scid ASC) AS rn
+        FROM vsd v
+        JOIN vec_top vt ON vt.vec_id = v.vec_id
+        JOIN super_top st ON st.s_cid = v.scid AND st.tid = vt.tid)
   WHERE rn = 1
 ), vcd AS (
   SELECT {src}.vec_id, vs.scid, c.cid,
@@ -1492,14 +1588,16 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     The k-means loop trains on a bounded
     sample (every t-th vector, ~SEMDEDUP_TRAIN_TARGET rows), so
     training cost is O(sample·k·iters), not O(N·k·iters). EVERY member
-    (base and mutant alike) is then assigned through the TWO-LEVEL
-    router (_route_two_level): k1 = isqrt(k) super-centroids first,
-    then only that super-cell's children — N·2√k comparisons, not the
-    flat N·k that the sf1 sweep measured as this query's one residual
-    super-linear term (13.7x at 10x data). The routing is the standard
-    IVF approximation of the flat argmin; the oracle verifies the
-    IDENTICAL two-stage rule (_hier_route_cte), so the cluster
-    assignment — and hence the prune set — stays bit-exact.
+    (base and mutant alike) is then assigned through the routing
+    LADDER (_route_hier): k2 tops, then the top cell's supers, then
+    only that super-cell's children — N·3·k^(1/3) comparisons above
+    HIER3_MIN_K (N·2√k below, where the ladder provably reduces to
+    the two-level form), not the flat N·k that the sf1 sweep measured
+    as this query's one residual super-linear term (13.7x at 10x
+    data). The routing is the standard IVF approximation of the flat
+    argmin; the oracle verifies the IDENTICAL staged rule
+    (_hier_route_cte), so the cluster assignment — and hence the
+    prune set — stays bit-exact.
 
     Corpus: the planted-near-dup corpus (_q_corpus). The verify kernel
     is the exact integer-quantized cosine, so the DuckDB twin (which
@@ -1510,7 +1608,7 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     carr = _cent_arrays(cent)
     n = table(spark, sf_dir, "embeddings").count()
     k, _t = _semdedup_params(n)
-    k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
+    k1, k2 = _hier_levels(k)
 
     c = _q_corpus(spark, sf_dir).withColumn(
         "n2", dot_q(F.col("q"), F.col("q")))
@@ -1521,7 +1619,7 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
     # (the DEVNOTES multi-branch rule; measured 21s -> 14s at sf3).
     # The materialized frame is (id, cid): 16 bytes/row, never the
     # vectors.
-    alla = (_route_two_level(c, carr, k1)
+    alla = (_route_hier(c, carr, k1, k2)
             .select(F.col("id").alias("vec_id"), "cid")
             .localCheckpoint(eager=True))
 
@@ -1572,7 +1670,7 @@ def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
     COUNT(*) in a `par` CTE (exact integer arithmetic matching
     _semdedup_params) and every training CTE reads the sampled `ext`
     instead of the full `ex`."""
-    parts = [f"""WITH ex AS (
+    parts = [f"""WITH ex AS MATERIALIZED (
   SELECT vec_id, i.i AS dim, {_XQ.format(v='embedding')} AS xq
   FROM embeddings, generate_series(1, 64) i(i)
 ), par AS (
@@ -1581,9 +1679,9 @@ def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
                     // {SEMDEDUP_CLUSTER_CAP}) AS k,
          GREATEST(1, COUNT(*) // {SEMDEDUP_TRAIN_TARGET}) AS t
   FROM embeddings
-), ext AS (
+), ext AS MATERIALIZED (
   SELECT ex.* FROM ex, par WHERE ex.vec_id % par.t = 0
-), c0 AS (
+), c0 AS MATERIALIZED (
   SELECT vec_id AS cid, dim, CAST(1 AS BIGINT) AS n, xq AS sq
   FROM ext, par WHERE vec_id < par.k * par.t
 )"""]
@@ -1600,7 +1698,7 @@ def _semdedup_kmeans_cte_dyn(iters: int = 3) -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
         FROM s{i})
   WHERE rn = 1
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT a.cid, ext.dim, COUNT(*) AS n, CAST(SUM(ext.xq) AS BIGINT) AS sq
   FROM ext JOIN a{i} a USING (vec_id)
   GROUP BY a.cid, ext.dim
@@ -1613,7 +1711,7 @@ EMB_SEMDEDUP_SQL = _semdedup_kmeans_cte_dyn() + """
   SELECT vec_id + 100000 AS vec_id, dim,
          xq + CASE WHEN dim = 1 THEN 50000 ELSE 0 END AS xq
   FROM ex WHERE vec_id % 10 = 0
-), allex AS (
+), allex AS MATERIALIZED (
   SELECT * FROM ex UNION ALL SELECT * FROM mex
 )""" + _hier_route_cte("allex") + f"""
 , alla AS (
@@ -2019,13 +2117,13 @@ GROUP BY e.qid, h.n_hits
 
 def emb_hier_assign(spark: SparkSession, sf_dir: str,
                     iters: int = 3) -> DataFrame:
-    """Two-level (hierarchical) coarse quantization — the documented
-    escape for the flat N·k assign that remains emb_semdedup_prune's
-    one super-linear term: route each vector through k1 = isqrt(k)
-    SUPER-centroids first, then argmin only over the children of its
-    super-cell. Assign cost drops from N·k to N·(k1 + k/k1) ≈ N·2√k —
-    the inverted-multi-index / two-level-IVF shape every billion-vector
-    ANN system uses (FAISS IVF with IMI coarse layer).
+    """Hierarchical coarse quantization — the escape for the flat N·k
+    assign: route each vector down the (k2 tops → supers of the top
+    cell → children of the super cell) ladder. Assign cost drops from
+    N·k to N·(k2 + k1/k2 + k/k1) — N·3·k^(1/3) with the balanced
+    ladder above HIER3_MIN_K, N·2√k in the small-k two-level regime —
+    the inverted-multi-index / multi-level-IVF shape every
+    billion-vector ANN system uses (FAISS IVF with IMI coarse layer).
 
     Construction, all exact rational arithmetic so the DuckDB twin is
     bit-identical: children = the SemDeDup quantizer's k centroids
@@ -2041,16 +2139,16 @@ def emb_hier_assign(spark: SparkSession, sf_dir: str,
     Returns (vec_id, super_cid, cid, routed) where routed is the
     number of children scanned in stage 2 (the cost the hierarchy
     saves; Σrouted ≈ N·k/k1 vs N·k flat). Routing core shared with
-    emb_semdedup_prune's assign stage (_route_two_level)."""
+    emb_semdedup_prune's assign stage (_route_hier)."""
     n = table(spark, sf_dir, "embeddings").count()
     k, _t = _semdedup_params(n)
-    k1 = max(HIER_SUPER_FLOOR, math.isqrt(k))
+    k1, k2 = _hier_levels(k)
     carr = _cent_arrays(_semdedup_centroids(spark, sf_dir, iters))
     e = table(spark, sf_dir, "embeddings")
     c = (e.select(F.col("vec_id").alias("id"),
                   quantize(F.col("embedding")).alias("q"))
           .withColumn("n2", dot_q(F.col("q"), F.col("q"))))
-    return (_route_two_level(c, carr, k1)
+    return (_route_hier(c, carr, k1, k2)
             .select(F.col("id").alias("vec_id"),
                     F.col("scid").alias("super_cid"), "cid", "routed"))
 

@@ -270,3 +270,58 @@ def test_bq_scores_matches_python_reference(spark):
                 (a - b) ** 2 for a, b in zip(qv, cv))
             assert got_pfx[(qid, cid)] == sum(
                 (a - b) ** 2 for a, b in zip(qv[:5], cv[:5]))
+
+
+def test_hier_levels_ladder_rule():
+    """(k1, k2) derivation: exact integer cube root (no float trust at
+    perfect-cube boundaries), regime switch at HIER3_MIN_K, and the
+    small-k collapse k2 == k1 that reduces the ladder to the proven
+    two-level router."""
+    from postgres_es_cdc_spark.llm.similarity import (HIER3_MIN_K,
+                                                      HIER_SUPER_FLOOR,
+                                                      _hier_levels, _icbrt)
+    import math
+
+    for n in list(range(1, 2000)) + [x ** 3 for x in range(2, 60)] \
+            + [x ** 3 - 1 for x in range(2, 60)] + [10 ** 6, 10 ** 9]:
+        c = _icbrt(n)
+        assert c ** 3 <= n < (c + 1) ** 3, n
+
+    for k in range(8, HIER3_MIN_K):
+        k1, k2 = _hier_levels(k)
+        assert k1 == k2 == max(HIER_SUPER_FLOOR, math.isqrt(k))
+    for k in [HIER3_MIN_K, 938, 4096, 100_000]:
+        k1, k2 = _hier_levels(k)
+        assert k2 == _icbrt(k) and k1 == k2 * k2
+        assert k2 ** 3 <= k  # each routing stage scans <= ~k^(1/3) cells
+
+
+def test_route_hier_three_level_matches_two_level_choice(spark):
+    """On a corpus where the flat argmin is unambiguous, the k^(1/3)
+    ladder and the two-level route agree (both approximate the same
+    flat assign; with well-separated centroids all routes converge) —
+    and the ladder's routed column counts only the final cell scan."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.similarity import (_cent_arrays,
+                                                      _route_hier)
+
+    # 27 well-separated centroids on a grid: cid c at offset 10000*c
+    k = 27
+    dim = 4
+    cent = spark.createDataFrame(
+        [(c, d + 1, 1, 10_000 * (c + 1) + d) for c in range(k)
+         for d in range(dim)],
+        "cid long, dim long, n long, sq long")
+    carr = _cent_arrays(cent)
+    vecs = spark.createDataFrame(
+        [(v, [10_000 * (v % k + 1) + d + 7 for d in range(dim)])
+         for v in range(100)], "id long, q array<long>")
+
+    two = {r["id"]: (r["scid"], r["cid"])
+           for r in _route_hier(vecs, carr, 5, 5).collect()}
+    three = _route_hier(vecs, carr, 9, 3).collect()
+    assert len(three) == 100
+    for r in three:
+        assert r["cid"] == two[r["id"]][1] == r["id"] % k
+        assert r["routed"] <= k
