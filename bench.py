@@ -139,6 +139,8 @@ HEADLINE = [
     "docs_training_shards",
     "docs_winnowing_overlap",
     "events_hll_distinct_users",
+    # round-8 flagships
+    "graph_triangle_estimate",
 ]
 
 

@@ -127,6 +127,8 @@ REGISTRY: dict[str, QuerySpec] = {
         graph.graph_clustering_coefficient, graph.GRAPH_CLUSTERING_SQL),
     "graph_triangle_counts": QuerySpec(
         graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
+    "graph_triangle_estimate": QuerySpec(
+        graph.graph_triangle_estimate, graph.GRAPH_TRIANGLE_ESTIMATE_SQL),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),

@@ -84,3 +84,27 @@ def test_kcore_fixpoint_spark_matches_oracle_and_is_stable(spark, sf_dir):
     core = df.filter(F.col("in_core"))
     degs = [row.core_degree for row in core.collect()]
     assert all(d >= KCORE_K for d in degs)
+
+
+def test_triangle_estimate_envelope_and_determinism(spark, sf_dir):
+    """The DOULION estimator: deterministic (hash coin — two runs
+    bit-equal), oracle-exact, and its estimate lands within 4 stderr
+    of the true triangle count (a loose envelope: the independent-
+    triangle variance undercounts on shared-edge graphs, but the
+    fixture's estimate sits ~1σ off truth at both SFs)."""
+    from tests.oracle_harness import compare, duck_connection
+    from postgres_es_cdc_spark.operators.graph import (
+        GRAPH_TRIANGLE_ESTIMATE_SQL, _copurchase_forward_tri,
+        graph_triangle_estimate)
+
+    df = graph_triangle_estimate(spark, sf_dir)
+    r = compare("graph_triangle_estimate", df, duck_connection(sf_dir),
+                GRAPH_TRIANGLE_ESTIMATE_SQL)
+    assert r.ok, r.message()
+    row = df.collect()[0]
+    again = graph_triangle_estimate(spark, sf_dir).collect()[0]
+    assert row == again
+    _, tcnt = _copurchase_forward_tri(spark, sf_dir)
+    exact = tcnt.groupBy().sum("n_triangles").collect()[0][0] // 3
+    assert abs(row.est_triangles - exact) <= max(4 * row.stderr, 50), \
+        (row.est_triangles, exact, row.stderr)
