@@ -120,8 +120,19 @@ class TxnUpsertSink(UpsertSink):
         for name in self.schemas:
             self._merge(spark, name,
                         ready.filter(F.col("tableName") == name), batch_id)
+        # Downstream forwarding hook (e.g. the ES bulk executor): runs
+        # AFTER the state merges and BEFORE the pending-buffer commit,
+        # so a crash in between replays the batch — at-least-once with
+        # the keyed idempotent request shapes.
+        self._on_committed(ready, batch_id)
         # New versioned buffer + atomic manifest repoint (the write reads
         # the OLD buffer, which stays in place until the commit).
         new_dir = self._next_dir(self.PENDING, batch_id)
         still_pending.write.mode("overwrite").parquet(new_dir)
         self._commit(self.PENDING, new_dir)
+
+    def _on_committed(self, ready: DataFrame, batch_id: int) -> None:
+        """Per-batch hook over the committed (safe-to-apply) events —
+        default no-op; EsForwardingTxnSink renders and executes the ES
+        bulk plan here, closing the reference's WAL→ES contract as one
+        glued stream (utils.go:103-113 + es.go:47-144)."""

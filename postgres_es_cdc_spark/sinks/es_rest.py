@@ -189,3 +189,38 @@ def execute_es_requests(requests: DataFrame, base_url: str,
                         f"ES request failed: {resp.status} {r['path']}")
 
     requests.foreachPartition(run_partition)
+
+
+from postgres_es_cdc_spark.cdc.txn import TxnUpsertSink  # noqa: E402
+
+
+class EsForwardingTxnSink(TxnUpsertSink):
+    """The reference's ENTIRE observable contract as one glued stream:
+    WAL segments -> WalStreamApply decode -> transaction-atomic upsert
+    fold -> `_bulk` NDJSON rendered and EXECUTED against an
+    Elasticsearch endpoint, per micro-batch (utils.go:103-113 dispatch
+    + es.go:47-144 bodies, minus the one-blocking-RTT-per-event bound).
+
+    Implementation: a TxnUpsertSink whose `_on_committed` hook renders
+    `es_bulk_requests` over the batch's committed events and posts them
+    via `execute_es_requests`. The hook runs after the state merges and
+    before the pending-buffer commit, so a crash in between replays the
+    batch — at-least-once, safe because every request shape is keyed
+    and idempotent (index-by-id, putAll-by-id, delete-by-id).
+
+    Only committed transactions ever reach ES — the torn-state window
+    the reference leaves open (producer.go:163-164 discards the
+    Begin/Commit brackets) does not exist here."""
+
+    def __init__(self, base_dir, schemas, es_url, key="id",
+                 order_col="offset", txn_col="txn_id",
+                 max_actions=BULK_MAX_ACTIONS):
+        super().__init__(base_dir, schemas, key=key,
+                         order_col=order_col, txn_col=txn_col)
+        self.es_url = es_url
+        self.max_actions = max_actions
+
+    def _on_committed(self, ready, batch_id):
+        reqs = es_bulk_requests(ready, key=self.key,
+                                max_actions=self.max_actions)
+        execute_es_requests(reqs, self.es_url)

@@ -21,6 +21,13 @@ BASELINE.md's "measured CDC throughput" table.
 
 Usage: PYTHONPATH=. python tools/cdc_throughput.py [sf_dir] [n_segments]
 Prints one JSON line.
+
+With SPARK_GRAFT_ES=1 the stream runs the GLUED pipeline instead —
+EsForwardingTxnSink posts each batch's committed events as `_bulk`
+NDJSON over a real loopback socket into the stateful fake-ES store
+(sinks/es_fake.py), i.e. the reference's full WAL→Kafka→consumer→ES
+contract end-to-end; the JSON gains es_docs / es_bulk_requests
+fields and the ev/s numbers include the HTTP round-trips.
 """
 
 from __future__ import annotations
@@ -81,8 +88,20 @@ def main() -> None:
                      (1_700_000_000 + i, 1_700_000_000 + i))
 
         # -- stage 2: stream decode + txn fold into the upsert sink ----
-        sink = TxnUpsertSink(os.path.join(base, "state"),
-                             {"orders": schema})
+        use_es = os.environ.get("SPARK_GRAFT_ES") == "1"
+        store = shutdown = None
+        if use_es:
+            from postgres_es_cdc_spark.sinks.es_fake import (EsStore,
+                                                             serve_store)
+            from postgres_es_cdc_spark.sinks.es_rest import (
+                EsForwardingTxnSink)
+            store = EsStore()
+            url, shutdown = serve_store(store)
+            sink = EsForwardingTxnSink(os.path.join(base, "state"),
+                                       {"orders": schema}, es_url=url)
+        else:
+            sink = TxnUpsertSink(os.path.join(base, "state"),
+                                 {"orders": schema})
         applier = WalStreamApply(sink)
         t1 = time.time()
         stream = (spark.readStream.schema("offset long, data binary")
@@ -107,8 +126,16 @@ def main() -> None:
             "end_to_end_events_per_s": round(
                 n_events / (encode_s + stream_s), 1),
         }
+        if use_es:
+            out["glued_es"] = True
+            out["es_docs"] = sum(len(d) for d in store.indices.values())
+            out["es_bulk_requests"] = store.n_requests
+            out["es_actions"] = store.n_actions
+            assert out["es_docs"] == n_state, (out["es_docs"], n_state)
         print(json.dumps(out))
     finally:
+        if shutdown is not None:
+            shutdown()
         shutil.rmtree(base, ignore_errors=True)
 
 
