@@ -624,8 +624,8 @@ class JoinSink:
 
     Input shape: ONE stream carrying both tables tagged by a ``side``
     column — exactly the reference's WAL stream, which interleaves every
-    published table's changes in commit order (postgres.go:61-70 tails
-    one slot for the whole publication; SURVEY §2 A17's dispatch loop
+    published table's changes in commit order (producer.go:36-60 opens
+    one slot for the whole publication, utils.go:49 one topic partition; SURVEY §2 A17's dispatch loop
     demultiplexes). A Spark foreachBatch sees that multiplexed batch and
     splits it here.
 
