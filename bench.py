@@ -141,6 +141,7 @@ HEADLINE = [
     "events_hll_distinct_users",
     # round-8 flagships
     "graph_triangle_estimate",
+    "events_quantile_gap_sketch",
 ]
 
 
@@ -181,6 +182,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # Provenance: every artifact from this script is warm best-of-3
+        # per query; box load still varies run to run, so compare
+        # per-query minima ACROSS artifacts, never single totals
+        # (ADVICE r7 — the r6/r7 "regressions" were all box noise).
+        "mode": "warmup_then_best_of_3_per_query",
+        "runs_per_query": 3,
+        "recorded_unix": int(time.time()),
     }
     # Full per-query map -> file (the driver keeps only the tail of
     # stdout, and 80+ query entries overflow it — BENCH_r04/r05 were

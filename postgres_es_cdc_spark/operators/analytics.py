@@ -1451,3 +1451,484 @@ SELECT event_type, n_zero_buckets, sum_q, raw_estimate,
        {_HLL_EST_CASE_SQL}
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Portable mergeable QUANTILE sketch (log2 histogram, DDSketch-style)
+# ---------------------------------------------------------------------------
+
+QSK_SUB_BITS = 4                 # sub-buckets per octave = 16
+QSK_SUB = 1 << QSK_SUB_BITS
+QSK_PCTS = (50, 90, 99)
+
+
+def qsketch_registers(df: DataFrame, group_col: str,
+                      value_col: str) -> DataFrame:
+    """The quantile sketch itself: (group, bucket, cnt) histogram
+    registers over log2 buckets with 16 linear sub-buckets per octave
+    (the DDSketch recipe with a power-of-two gamma, so the bucket
+    index is PURE INTEGER BIT ARITHMETIC — floor-log2 via length(bin),
+    sub-bucket via a shift — identical on any engine, zero libm).
+
+    Values 0..15 get exact unit buckets (id = value); v >= 16 maps to
+    id = 16·e + sub where e = floor(log2 v) and sub = the 4 mantissa
+    bits below the leading 1 — so every bucket spans [lo, lo + 2^(e-4))
+    and the relative width is <= 1/16 (6.25%), the sketch's rank-query
+    error envelope.
+
+    Registers are a SUM-semilattice: any partition/batch of the input
+    folds to the same registers via groupBy-sum — Spark's map-side
+    partial_sum IS the sketch merge; the exchange carries O(groups ×
+    ~64·16) count rows, never the values. Negative inputs must be
+    filtered by the caller (rank sketch over magnitudes)."""
+    bucket = F.expr(
+        f"CASE WHEN {value_col} < {QSK_SUB} THEN CAST({value_col} AS BIGINT)"
+        f" ELSE (length(bin({value_col})) - 1) * {QSK_SUB}"
+        f" + CAST({value_col} AS BIGINT)"
+        f"   div shiftleft(CAST(1 AS BIGINT),"
+        f"         CAST(length(bin({value_col})) - 1 - {QSK_SUB_BITS}"
+        f"              AS INT))"
+        f" - {QSK_SUB} END")
+    return (df.select(group_col, bucket.alias("bucket"))
+              .groupBy(group_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def qsketch_bounds(bucket) -> tuple:
+    """(lo, hi) integer value bounds of a register id — the interval
+    the sketch guarantees contains every value it counted there."""
+    sub = bucket % QSK_SUB
+    width = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(bucket div {QSK_SUB} - {QSK_SUB_BITS} AS INT))")
+    lo = F.when(bucket < QSK_SUB, bucket.cast("long")) \
+          .otherwise((QSK_SUB + sub) * width)
+    hi = F.when(bucket < QSK_SUB, bucket.cast("long") + 1) \
+          .otherwise((QSK_SUB + sub) * width + width)
+    return lo, hi
+
+
+def events_quantile_gap_sketch(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-event-type latency percentiles (p50/p90/p99 of per-user
+    inter-event gaps, microseconds) answered from the portable quantile
+    sketch — the second mergeable sketch next to the HLL, same
+    discipline: integer-only registers both engines reproduce
+    bit-for-bit, map-side partial merge, exact companion as the error
+    statement. Unlike KLL's randomized compaction this sketch is
+    deterministic by construction (fixed log2 bucket map), so the
+    REGISTERS — not just the estimates — are portable and
+    hash-verifiable, the property that matters when sketches are
+    stored and merged across pipelines.
+
+    Rank query: rank = ceil(p·n/100) in integer arithmetic; the answer
+    is the register interval [q_lo, q_hi) containing the rank-th
+    smallest gap — counts are exact, so the interval provably contains
+    the true percentile (within_bucket is the tested tautology, like
+    the HLL accuracy booleans) and its relative width is <= 1/16.
+
+    Scale shape: one user-keyed shuffle for the lag window, then the
+    register fold (map-side combined); the quantile walk runs on the
+    register table (~#types × 1000 rows). The exact companion costs a
+    type-keyed sort at test SF and is the part you drop at 100 TB —
+    the sketch path never moves the raw gaps."""
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (e.select("user_id", "event_type", "ts_us", "event_id")
+             .withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+             .filter(F.col("gap").isNotNull())
+             .select("event_type", "gap")
+             .localCheckpoint(eager=True))
+    regs = qsketch_registers(gaps, "event_type", "gap")
+
+    n = gaps.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_gaps"))
+    pcts = spark.createDataFrame([(p,) for p in QSK_PCTS], "p long")
+    tgt = (n.crossJoin(F.broadcast(pcts))
+            .select("event_type", "p", "n_gaps",
+                    F.expr("(n_gaps * p + 99) div 100").alias("q_rank")))
+
+    cum = regs.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("event_type")
+                                 .orderBy("bucket")
+                                 .rowsBetween(Window.unboundedPreceding,
+                                              0)))
+    hit = (tgt.join(cum, "event_type")
+              .filter(F.col("cum") >= F.col("q_rank"))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("event_type", "p")
+                        .orderBy("bucket")))
+              .filter(F.col("_rn") == 1))
+    lo, hi = qsketch_bounds(F.col("bucket"))
+
+    exact = (gaps.withColumn("_rn", F.row_number().over(
+                 Window.partitionBy("event_type").orderBy("gap")))
+                 .select("event_type", F.col("_rn").alias("q_rank"),
+                         F.col("gap").alias("exact_gap_us")))
+    return (hit.select("event_type", "p", "n_gaps", "q_rank",
+                       lo.alias("q_lo"), hi.alias("q_hi"))
+               .join(exact, ["event_type", "q_rank"])
+               .select("event_type", "p", "n_gaps", "q_rank", "q_lo",
+                       "q_hi", "exact_gap_us",
+                       ((F.col("q_lo") <= F.col("exact_gap_us"))
+                        & (F.col("exact_gap_us") < F.col("q_hi")))
+                       .alias("within_bucket")))
+
+
+_QSK_GAPS_SQL = """gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap
+  FROM events
+  QUALIFY gap IS NOT NULL
+)"""
+
+_QSK_BUCKET_SQL = f"""CASE WHEN gap < {QSK_SUB} THEN gap
+         ELSE (length(bin(gap)) - 1) * {QSK_SUB}
+              + gap // (CAST(1 AS BIGINT)
+                        << CAST(length(bin(gap)) - 1 - {QSK_SUB_BITS}
+                                AS INT))
+              - {QSK_SUB} END"""
+
+EVENTS_QSKETCH_SQL = f"""
+WITH {_QSK_GAPS_SQL},
+regs AS (
+  SELECT event_type, {_QSK_BUCKET_SQL} AS bucket, COUNT(*) AS cnt
+  FROM gaps GROUP BY 1, 2
+),
+n AS (SELECT event_type, COUNT(*) AS n_gaps FROM gaps GROUP BY 1),
+tgt AS (
+  SELECT n.event_type, p.p, n.n_gaps,
+         (n.n_gaps * p.p + 99) // 100 AS q_rank
+  FROM n, (SELECT unnest([{", ".join(str(p) for p in QSK_PCTS)}]) AS p) p
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM regs
+),
+hit AS (
+  SELECT event_type, p, n_gaps, q_rank, bucket
+  FROM (SELECT t.event_type, t.p, t.n_gaps, t.q_rank, c.bucket,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type, t.p
+                                  ORDER BY c.bucket) AS rn
+        FROM tgt t JOIN cum c ON t.event_type = c.event_type
+        WHERE c.cum >= t.q_rank)
+  WHERE rn = 1
+),
+bounds AS (
+  SELECT event_type, p, n_gaps, q_rank,
+         CASE WHEN bucket < {QSK_SUB} THEN bucket
+              ELSE ({QSK_SUB} + bucket % {QSK_SUB})
+                   * (CAST(1 AS BIGINT)
+                      << CAST(bucket // {QSK_SUB} - {QSK_SUB_BITS}
+                              AS INT)) END AS q_lo,
+         CASE WHEN bucket < {QSK_SUB} THEN bucket + 1
+              ELSE ({QSK_SUB} + bucket % {QSK_SUB} + 1)
+                   * (CAST(1 AS BIGINT)
+                      << CAST(bucket // {QSK_SUB} - {QSK_SUB_BITS}
+                              AS INT)) END AS q_hi
+  FROM hit
+),
+exact AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap)
+           AS q_rank,
+         gap AS exact_gap_us
+  FROM gaps
+)
+SELECT b.event_type, b.p, CAST(b.n_gaps AS BIGINT) AS n_gaps,
+       CAST(b.q_rank AS BIGINT) AS q_rank,
+       CAST(b.q_lo AS BIGINT) AS q_lo, CAST(b.q_hi AS BIGINT) AS q_hi,
+       CAST(e.exact_gap_us AS BIGINT) AS exact_gap_us,
+       b.q_lo <= e.exact_gap_us AND e.exact_gap_us < b.q_hi
+         AS within_bucket
+FROM bounds b JOIN exact e
+  ON b.event_type = e.event_type AND b.q_rank = e.q_rank
+"""
+
+
+IVM_QSKETCH_SQL = f"""
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS gap
+  FROM events
+)
+SELECT event_type, {_QSK_BUCKET_SQL} AS bucket,
+       COUNT(*) AS cnt
+FROM vals GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Portable mergeable COUNT-MIN sketch (heavy-hitter frequency estimates)
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024   # counters per hash row
+CMS_D = 4      # independent hash rows (md5 salts)
+CMS_TOPK = 10
+
+
+def cms_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """The Count-Min sketch itself: (r, col, cnt) counter rows, r <
+    CMS_D hash rows of CMS_W columns; col = 60-bit md5 prefix of
+    (salt r || key) mod W. Deterministic (salted md5, no seeds) and a
+    SUM-semilattice — any partition/batch of the input folds to the
+    same counters via groupBy-sum, so the sketch merges across
+    pipelines/engines like the HLL registers and quantile buckets.
+
+    The classic guarantee holds per data set: for every key,
+    min_r counter[r][h_r(key)] >= true count (only overestimates),
+    and the overshoot is bounded by the colliding mass."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+    e = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", rows)
+    col = (F.conv(F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.lit("_"),
+                       F.col("k"))), 1, 15), 16, 10).cast("long")
+        % CMS_W)
+    return (e.select("r", col.alias("col"))
+             .groupBy("r", "col")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+CMS_COL_SQL = ("('0x' || substr(md5(CAST(r AS VARCHAR) || '_' || k), "
+               f"1, 15))::BIGINT % {CMS_W}")
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str,
+                             topk: int = CMS_TOPK) -> DataFrame:
+    """Heavy-hitter user frequencies answered from a portable Count-Min
+    sketch — the third mergeable sketch next to the HLL (distincts) and
+    the quantile histogram (ranks): CMS_D salted md5 hash rows of CMS_W
+    integer counters, point estimate = MIN over the rows' counters.
+    Registers are plain integers identical on any engine; counter
+    merge is map-side partial SUM.
+
+    Output: the exact top-k users by event count (fully tie-broken),
+    each with its exact count, the sketch estimate, and the
+    one-sided-error tautology cms_ge_exact (CMS only ever
+    overestimates) — the exact side is the error statement and is the
+    part a 100 TB deployment drops (candidates would come from a
+    per-partition pre-top instead).
+
+    Scale shape: the sketch build is one map-side-combined count into
+    CMS_D·CMS_W rows regardless of key cardinality; the point lookup
+    joins the bounded candidate set against the register table."""
+    e = table(spark, sf_dir, "events")
+    regs = cms_registers(e, "user_id")
+    exact = (e.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_exact"))
+              .orderBy(F.desc("n_exact"), F.asc("user_id"))
+              .limit(topk))
+    cand = exact.select(F.col("user_id").cast("string").alias("k"),
+                        "user_id", "n_exact")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+    probe = cand.select("user_id", "n_exact", "k", rows)
+    col = (F.conv(F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.lit("_"),
+                       F.col("k"))), 1, 15), 16, 10).cast("long")
+        % CMS_W)
+    est = (probe.select("user_id", "n_exact", "r", col.alias("col"))
+                .join(regs, ["r", "col"])
+                .groupBy("user_id", "n_exact")
+                .agg(F.min("cnt").alias("cms_estimate")))
+    return (est.select("user_id", "n_exact", "cms_estimate",
+                       (F.col("cms_estimate") >= F.col("n_exact"))
+                       .alias("cms_ge_exact"))
+               .orderBy(F.desc("n_exact"), F.asc("user_id")))
+
+
+EVENTS_CMS_SQL = f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+regs AS (
+  SELECT r, {CMS_COL_SQL} AS col, COUNT(*) AS cnt
+  FROM keys, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) d
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+  ORDER BY n_exact DESC, user_id ASC LIMIT {CMS_TOPK}
+),
+probe AS (
+  SELECT e.user_id, e.n_exact, d.r,
+         CAST(e.user_id AS VARCHAR) AS k
+  FROM exact e, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) d
+),
+est AS (
+  SELECT p.user_id, p.n_exact, MIN(g.cnt) AS cms_estimate
+  FROM (SELECT user_id, n_exact, r, {CMS_COL_SQL} AS col FROM probe) p
+  JOIN regs g ON g.r = p.r AND g.col = p.col
+  GROUP BY 1, 2
+)
+SELECT user_id, n_exact, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       cms_estimate >= n_exact AS cms_ge_exact
+FROM est
+ORDER BY n_exact DESC, user_id ASC
+"""
+
+
+def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over stored sketches: for every pair of event
+    types, the distinct-user UNION estimate from the max-merge of the
+    two types' register tables — the operation you run on WAREHOUSED
+    sketches without touching raw keys — and the INTERSECTION estimate
+    by inclusion-exclusion ((est_a + est_b) − est_union, fixed op
+    order). Exact companions state the error; the union estimate
+    inherits the single-sketch envelope (max-merge of registers IS the
+    sketch of the union — provable, and the reason HLL registers are
+    worth storing), while inclusion-exclusion error compounds — the
+    known caveat, stated by the exact columns every round.
+
+    Scale shape: registers build once per type (map-side partial max),
+    the pair stage merges |pairs|·256 register rows — raw user ids
+    never re-enter; exact companions are one distinct-pair aggregation
+    (the part a 100 TB deployment drops)."""
+    e = table(spark, sf_dir, "events")
+    regs = hll_registers(e, "event_type", "user_id")
+    types = regs.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("ta"))
+             .join(types.select(F.col("event_type").alias("tb")),
+                   F.col("ta") < F.col("tb")))
+    pk = F.concat_ws("|", "ta", "tb").alias("pair")
+
+    tagged = (pairs.join(regs, regs.event_type == pairs.ta)
+              .select(pk, "bucket", "m")
+              .unionByName(
+                  pairs.join(regs, regs.event_type == pairs.tb)
+                       .select(pk, "bucket", "m")))
+    ureg = tagged.groupBy("pair", "bucket").agg(F.max("m").alias("m"))
+    uest = (hll_estimate_from_registers(ureg, "pair")
+            .select("pair", F.col("hll_estimate").alias("hll_union")))
+    sest = (hll_estimate_from_registers(regs, "event_type")
+            .select("event_type", "hll_estimate"))
+
+    eu = e.select("event_type", "user_id")
+    ex = (pairs.join(eu, (eu.event_type == pairs.ta)
+                     | (eu.event_type == pairs.tb))
+          .groupBy("ta", "tb")
+          .agg(F.countDistinct("user_id").alias("n_exact_union")))
+    ea = eu.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"))
+    inter = (pairs
+             .join(eu.alias("x"), F.col("x.event_type") == F.col("ta"))
+             .select("ta", "tb", F.col("x.user_id").alias("u"))
+             .join(eu.alias("y"),
+                   (F.col("y.event_type") == F.col("tb"))
+                   & (F.col("y.user_id") == F.col("u")), "left_semi")
+             .groupBy("ta", "tb")
+             .agg(F.countDistinct("u").alias("n_exact_inter")))
+
+    out = (pairs.select("ta", "tb", pk)
+           .join(uest, "pair")
+           .join(sest.select(F.col("event_type").alias("ta"),
+                             F.col("hll_estimate").alias("est_a")), "ta")
+           .join(sest.select(F.col("event_type").alias("tb"),
+                             F.col("hll_estimate").alias("est_b")), "tb")
+           .join(ex, ["ta", "tb"])
+           .join(inter, ["ta", "tb"]))
+    return (out.select(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+        "n_exact_union", "n_exact_inter",
+        F.col("hll_union").alias("hll_union_estimate"),
+        ((F.col("est_a") + F.col("est_b")) - F.col("hll_union"))
+        .alias("hll_inter_estimate"))
+        .orderBy("type_a", "type_b"))
+
+
+EVENTS_HLL_OVERLAP_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> 8) = 0 THEN {HLL_RHO_CAP}
+                  ELSE LEAST(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1,
+                             {HLL_RHO_CAP}) END) AS m
+  FROM b GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+ureg AS (
+  SELECT p.ta, p.tb, r.bucket, MAX(r.m) AS m
+  FROM pairs p JOIN r ON r.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+allu AS (
+  SELECT p.ta, p.tb, g.bucket, COALESCE(u.m, 0) AS m
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS bucket) g
+  LEFT JOIN ureg u ON u.ta = p.ta AND u.tb = p.tb AND u.bucket = g.bucket
+),
+us AS (
+  SELECT ta, tb,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m)) AS BIGINT)
+           AS sum_q,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_buckets
+  FROM allu GROUP BY 1, 2
+),
+uest AS (
+  SELECT ta, tb, n_zero_buckets, sum_q,
+         CAST({_HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+           * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / CAST(sum_q AS DOUBLE)
+           AS raw_estimate
+  FROM us
+),
+ufin AS (
+  SELECT ta, tb, {_HLL_EST_CASE_SQL.replace("hll_estimate",
+                                            "hll_union")}
+  FROM uest
+),
+allb AS (
+  SELECT t.event_type, g.bucket, COALESCE(r.m, 0) AS m
+  FROM types t
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS bucket) g
+  LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
+),
+ss AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m)) AS BIGINT)
+           AS sum_q,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_buckets
+  FROM allb GROUP BY 1
+),
+sest0 AS (
+  SELECT event_type, n_zero_buckets, sum_q,
+         CAST({_HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+           * CAST({1 << HLL_RHO_CAP} AS DOUBLE) / CAST(sum_q AS DOUBLE)
+           AS raw_estimate
+  FROM ss
+),
+sest AS (SELECT event_type, {_HLL_EST_CASE_SQL} FROM sest0),
+exu AS (
+  SELECT p.ta, p.tb, COUNT(DISTINCT e.user_id) AS n_exact_union
+  FROM pairs p JOIN events e ON e.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2
+),
+exi AS (
+  SELECT p.ta, p.tb, COUNT(DISTINCT x.user_id) AS n_exact_inter
+  FROM pairs p
+  JOIN events x ON x.event_type = p.ta
+  WHERE EXISTS (SELECT 1 FROM events y
+                WHERE y.event_type = p.tb AND y.user_id = x.user_id)
+  GROUP BY 1, 2
+)
+SELECT u.ta AS type_a, u.tb AS type_b,
+       exu.n_exact_union, exi.n_exact_inter,
+       u.hll_union AS hll_union_estimate,
+       (sa.hll_estimate + sb.hll_estimate) - u.hll_union
+         AS hll_inter_estimate
+FROM ufin u
+JOIN sest sa ON sa.event_type = u.ta
+JOIN sest sb ON sb.event_type = u.tb
+JOIN exu ON exu.ta = u.ta AND exu.tb = u.tb
+JOIN exi ON exi.ta = u.ta AND exi.tb = u.tb
+ORDER BY type_a, type_b
+"""

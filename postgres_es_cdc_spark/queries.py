@@ -74,6 +74,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_anomaly_zscore": QuerySpec(analytics.events_anomaly_zscore, analytics.EVENTS_ANOMALY_SQL),
     "events_hll_distinct_users": QuerySpec(
         analytics.events_hll_distinct_users, analytics.EVENTS_HLL_SQL),
+    "events_quantile_gap_sketch": QuerySpec(
+        analytics.events_quantile_gap_sketch, analytics.EVENTS_QSKETCH_SQL),
     "docs_cluster_size_histogram": QuerySpec(dedup.docs_cluster_size_histogram, dedup.DOCS_CLUSTER_SIZE_HIST_SQL),
     "docs_ngram_coverage": QuerySpec(decontam.docs_ngram_coverage, decontam.DOCS_NGRAM_COVERAGE_SQL),
     "cdc_txn_size_histogram": QuerySpec(cdcq.cdc_txn_size_histogram, cdcq.CDC_TXN_SIZE_HIST_SQL),
@@ -99,6 +101,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_join_view_rollup": QuerySpec(
         ivm.ivm_join_view_rollup, ivm.IVM_JOIN_VIEW_SQL),
     "ivm_hll_rollup": QuerySpec(ivm.ivm_hll_rollup, analytics.IVM_HLL_SQL),
+    "ivm_qsketch_rollup": QuerySpec(
+        ivm.ivm_qsketch_rollup, analytics.IVM_QSKETCH_SQL),
+    "events_cms_heavy_hitters": QuerySpec(
+        analytics.events_cms_heavy_hitters, analytics.EVENTS_CMS_SQL),
+    "events_hll_type_overlap": QuerySpec(
+        analytics.events_hll_type_overlap,
+        analytics.EVENTS_HLL_OVERLAP_SQL),
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_winnowing_overlap": QuerySpec(
         dedup.docs_winnowing_overlap, dedup.DOCS_WINNOWING_SQL),

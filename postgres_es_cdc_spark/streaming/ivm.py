@@ -18,6 +18,7 @@ change the result (the batch==stream test pins this).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -639,17 +640,27 @@ class JoinSink:
     operator rather than a re-join. (Compaction of the delta log is a
     consumer policy — sources/compaction.py composes.)
 
-    Scale shape: both delta joins key on the join column; at cluster
-    scale the accumulated sides are bucketed by key so only the delta
-    side shuffles. State grows with retained keys, not stream length;
-    bounding retention is WatermarkAggSink's gate composed upstream.
+    Scale shape: both delta joins key on the join column, and the
+    accumulated sides are BUCKETED by key hash (``n_buckets`` subdirs
+    per delta-log entry, written with partitionBy): each batch reads
+    only the buckets its OWN delta touches — the manifest records every
+    log entry's bucket list, so the probe enumerates exact paths and
+    never lists untouched history. Per-batch read cost therefore
+    tracks (touched buckets / n_buckets) x |history| instead of
+    |history| — flat as history grows when deltas are key-local (the
+    common CDC shape), measured in SCALE.md. State grows with retained
+    keys, not stream length; bounding retention is WatermarkAggSink's
+    gate composed upstream.
     """
+
+    N_BUCKETS = 16
 
     def __init__(self, base_dir: str, key_col: str,
                  left_cols: list | None = None,
                  right_cols: list | None = None,
                  side_col: str = "side",
-                 left_tag: str = "L", right_tag: str = "R"):
+                 left_tag: str = "L", right_tag: str = "R",
+                 n_buckets: int = N_BUCKETS):
         # left_cols / right_cols: each side's payload columns within the
         # multiplexed batch (disjoint; the other side carries them as
         # null padding). None = no payload beyond the key.
@@ -660,6 +671,7 @@ class JoinSink:
         self.side_col = side_col
         self.left_tag = left_tag
         self.right_tag = right_tag
+        self.n_buckets = n_buckets
 
     def _manifest_path(self) -> str:
         return os.path.join(self.base_dir, "_join_manifest.json")
@@ -689,35 +701,94 @@ class JoinSink:
     def state_view(self, spark) -> DataFrame | None:
         return self._read_log(spark, self.meta()["view"])
 
+    def _bucket(self):
+        return F.pmod(F.xxhash64(F.col(self.key_col)),
+                      F.lit(self.n_buckets)).cast("int")
+
+    def _read_side(self, spark, entries: list, buckets: list):
+        """Accumulated-side scan restricted to the given buckets.
+
+        Key-LOCAL probe (the delta touches a minority of buckets): read
+        the exact (entry dir, _b=i) paths from the manifest's bucket
+        lists — no listing or footer reads of untouched history.
+        SCATTERED probe (most buckets touched — hash scatter makes this
+        the shape of any delta with more than a handful of keys): read
+        whole entry dirs instead; enumerating entries x buckets as
+        separate scan roots costs more in listing/footer overhead than
+        the pruning saves (measured 3x slower at 40-entry history), and
+        a whole-dir read is one root per entry. Entries recorded by a
+        pre-bucketing sink (plain strings) are always read whole."""
+        paths = []
+        local = 2 * len(buckets) < self.n_buckets
+        for e in entries:
+            if isinstance(e, str):           # legacy unbucketed entry
+                paths.append(e)
+            elif not e["buckets"]:
+                continue                     # empty delta entry
+            elif local:
+                paths.extend(os.path.join(e["dir"], f"_b={b}")
+                             for b in buckets if b in e["buckets"])
+            elif any(b in e["buckets"] for b in buckets):
+                paths.append(e["dir"])
+        if not paths:
+            return None
+        # recursiveFileLookup skips partition discovery: the whole-dir
+        # fallback passes multiple partitioned roots, which discovery
+        # would reject (CONFLICTING_DIRECTORY_STRUCTURES), and the _b
+        # column lives only in directory names, never in data files.
+        return (spark.read.option("recursiveFileLookup", "true")
+                     .parquet(*paths))
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         meta = self.meta()
         if batch_id <= meta["last_batch_id"]:
             return                      # committed replay: no-op
         side = F.col(self.side_col)
-        d_left = batch.filter(side == self.left_tag).select(
-            self.key_col, *self.left_cols)
-        d_right = batch.filter(side == self.right_tag).select(
-            self.key_col, *self.right_cols)
+        d_left = (batch.filter(side == self.left_tag)
+                       .select(self.key_col, *self.left_cols)
+                       .withColumn("_b", self._bucket())
+                       .localCheckpoint(eager=True))
+        d_right = (batch.filter(side == self.right_tag)
+                        .select(self.key_col, *self.right_cols)
+                        .withColumn("_b", self._bucket())
+                        .localCheckpoint(eager=True))
+        lb = sorted(r["_b"] for r in d_left.select("_b").distinct()
+                    .collect())
+        rb = sorted(r["_b"] for r in d_right.select("_b").distinct()
+                    .collect())
 
-        def _write(df: DataFrame, store: str) -> str:
+        def _write(df: DataFrame, store: str, bucketed: bool):
             new_dir = os.path.join(self.base_dir, f"{store}.b{batch_id}")
-            df.write.mode("overwrite").parquet(new_dir)
+            if bucketed:
+                # repartition BY _b first: otherwise every write task
+                # splits its rows across all buckets and an entry lands
+                # tasks x buckets small files (file-count overhead the
+                # whole-history probe pays forever); this way each
+                # bucket is exactly one file per entry.
+                (df.repartition(self.n_buckets, F.col("_b"))
+                   .write.mode("overwrite").partitionBy("_b")
+                   .parquet(new_dir))
+            else:
+                df.write.mode("overwrite").parquet(new_dir)
             return new_dir
 
-        old_l = self._read_log(spark, meta["left"])
-        old_r = self._read_log(spark, meta["right"])
+        # Each delta probes only the OTHER side's buckets it can match.
+        old_l = self._read_side(spark, meta["left"], rb)
+        old_r = self._read_side(spark, meta["right"], lb)
         k = self.key_col
-        d_view = d_left.join(d_right, k)
+        d_view = d_left.drop("_b").join(d_right.drop("_b"), k)
         if old_r is not None:
-            d_view = d_view.unionByName(d_left.join(old_r, k))
+            d_view = d_view.unionByName(d_left.drop("_b").join(old_r, k))
         if old_l is not None:
-            d_view = d_view.unionByName(old_l.join(d_right, k))
+            d_view = d_view.unionByName(old_l.join(d_right.drop("_b"), k))
 
         new_meta = {
-            "left": meta["left"] + [_write(d_left, "left")],
-            "right": meta["right"] + [_write(d_right, "right")],
-            "view": meta["view"] + [_write(d_view, "view")],
+            "left": meta["left"] + [
+                {"dir": _write(d_left, "left", True), "buckets": lb}],
+            "right": meta["right"] + [
+                {"dir": _write(d_right, "right", True), "buckets": rb}],
+            "view": meta["view"] + [_write(d_view, "view", False)],
             "last_batch_id": batch_id,
         }
         self._commit(new_meta)
@@ -864,3 +935,88 @@ def ivm_hll_rollup(spark, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(regs, "event_type").select(
         "event_type", "n_zero_buckets", "sum_q", "raw_estimate",
         "hll_estimate")
+
+
+class QSketchSink:
+    """foreachBatch sink maintaining the portable QUANTILE sketch per
+    group (operators/analytics.py:qsketch_registers) — log2-histogram
+    count registers keyed (group, bucket). Counts merge by SUM: an
+    associative+commutative fold, so batch boundaries provably cannot
+    change the registers — but unlike the HLL's max-merge SUM is NOT
+    idempotent, so replay protection is explicit: a last-applied
+    batch-id marker committed atomically beside the state makes a
+    redelivered micro-batch a no-op (the AggSink-family discipline).
+
+    Scale shape: per batch one map-side partial-count row per
+    (group, bucket); the exchange and the state both carry
+    O(|groups| × ~1000) integer rows regardless of stream length."""
+
+    def __init__(self, path: str, group_col: str, value_col: str):
+        self.path = path
+        self.group_col = group_col
+        self.value_col = value_col
+
+    def _marker(self) -> str:
+        return self.path + "._batch.json"
+
+    def _last_batch(self) -> int:
+        if os.path.exists(self._marker()):
+            with open(self._marker()) as f:
+                return json.load(f)["batch_id"]
+        return -1
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.operators.analytics import (
+            qsketch_registers)
+
+        if batch_id <= self._last_batch():
+            return  # replayed batch: counts must not double
+        spark = batch.sparkSession
+        regs = qsketch_registers(batch, self.group_col, self.value_col)
+        if os.path.exists(self.path):
+            regs = spark.read.parquet(self.path).unionByName(regs)
+        merged = regs.groupBy(self.group_col, "bucket").agg(
+            F.sum("cnt").alias("cnt"))
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        mtmp = self._marker() + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(mtmp, self._marker())
+
+    def registers(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def writer(self):
+        return self.apply_batch
+
+
+def ivm_qsketch_rollup(spark, sf_dir: str) -> DataFrame:
+    """QSketchSink's register algebra exposed as a driver-checkable
+    query: fold the events stream's value-histogram sketch (integer
+    cents through the portable log2/16 bucket map) per event type
+    through three %3-interleaved batches via per-batch partial counts +
+    sum-merge — the exact per-micro-batch code path — and return the
+    maintained REGISTERS themselves. The oracle is the one-shot
+    register table: equal because counts are associative+commutative
+    under sum, which this row proves on real data every round (replay
+    idempotence is the sink's batch-id guard, pinned in its test —
+    sum alone cannot provide it)."""
+    from postgres_es_cdc_spark.operators.analytics import (
+        qsketch_registers)
+
+    e = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+              .select("event_id", "event_type",
+                      F.round(F.col("value") * 100, 0).cast("long")
+                       .alias("cents")))
+    regs: DataFrame | None = None
+    for i in range(3):
+        part = qsketch_registers(
+            e.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            "event_type", "cents")
+        regs = part if regs is None else (
+            regs.unionByName(part).groupBy("event_type", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
+    return regs.select("event_type", "bucket", F.col("cnt").cast("long")
+                       .alias("cnt"))

@@ -205,3 +205,72 @@ def test_hll_registers_merge_as_max(spark):
     again = hll_sketch(u, "grp", "key").collect()[0]
     assert (whole.sum_q, whole.n_zero_buckets, whole.hll_estimate) == \
            (again.sum_q, again.n_zero_buckets, again.hll_estimate)
+
+
+def test_qsketch_registers_merge_as_sum_and_bounds():
+    """Quantile-sketch registers: the sketch of a union equals the
+    sum-merge of the parts' registers (mergeable across partitions/
+    batches), every counted value falls inside its bucket's [lo, hi),
+    and bucket relative width is <= 1/16 — the rank-query error
+    envelope."""
+    import tests.conftest  # noqa: F401 — session fixture module
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.operators.analytics import (
+        QSK_SUB, qsketch_bounds, qsketch_registers)
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder \
+        .master("local[4]").getOrCreate()
+    vals = ([0, 1, 15, 16, 17, 31, 32, 1000, 10**6, 10**12]
+            + [7 ** i % 99991 for i in range(500)])
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    whole = {(r.bucket): r.cnt
+             for r in qsketch_registers(df, "grp", "v").collect()}
+    parts = [df.filter(F.col("v") % 3 == i) for i in (2, 0, 1)]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    again = {(r.bucket): r.cnt
+             for r in qsketch_registers(u, "grp", "v").collect()}
+    assert whole == again and sum(whole.values()) == len(vals)
+
+    lo, hi = qsketch_bounds(F.col("bucket"))
+    b = (qsketch_registers(df, "grp", "v")
+         .select("bucket", lo.alias("lo"), hi.alias("hi")).collect())
+    bounds = {r.bucket: (r.lo, r.hi) for r in b}
+    for v in vals:
+        hit = [bk for bk, (l, h) in bounds.items() if l <= v < h]
+        assert len(hit) == 1, (v, hit)
+    for bk, (l, h) in bounds.items():
+        if bk >= QSK_SUB:
+            assert (h - l) * QSK_SUB <= l, (bk, l, h)  # rel width <= 1/16
+
+
+def test_cms_registers_merge_as_sum_and_overestimate(spark):
+    """Count-Min registers: union == sum-merge of parts (mergeable);
+    point estimates only ever OVERESTIMATE the true count; estimates
+    of the hot keys on a skewed stream land exactly (collision mass on
+    1024-column rows is tiny at this scale)."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.operators.analytics import cms_registers
+
+    rows = [("u%d" % (i % 50),) for i in range(2000)] + \
+           [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    whole = {(r.r, r.col): r.cnt
+             for r in cms_registers(df, "k").collect()}
+    parts = [df.filter(F.length("k") % 2 == i) for i in (1, 0)]
+    merged: dict = {}
+    for p in parts:
+        for r in cms_registers(p, "k").collect():
+            merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.cnt
+    assert whole == merged
+
+    # point query: min over the 4 rows' counters for key "hot"
+    import hashlib
+    est = min(
+        whole[(r, int(hashlib.md5(f"{r}_hot".encode()).hexdigest()[:15],
+                      16) % 1024)]
+        for r in range(4))
+    assert est >= 500

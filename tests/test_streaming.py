@@ -1076,9 +1076,12 @@ def test_join_sink_state_is_append_only(spark, tmp_path):
                     left_cols=["name"], right_cols=["qty"])
     sink.apply_batch(_join_batch(
         spark, [(1, "L", "a", None), (1, "R", None, 10)]), 0)
+    def _dirs(m):
+        return [e["dir"] if isinstance(e, dict) else e
+                for e in m["left"] + m["right"] + m["view"]]
+
     m0 = sink.meta()
-    stamp = {d: os.stat(d).st_mtime_ns for d in
-             m0["left"] + m0["right"] + m0["view"]}
+    stamp = {d: os.stat(d).st_mtime_ns for d in _dirs(m0)}
     sink.apply_batch(_join_batch(
         spark, [(2, "L", "b", None), (1, "R", None, 11)]), 1)
     m1 = sink.meta()
@@ -1183,3 +1186,74 @@ def test_hll_sink_stream_matches_batch_sketch(spark, tmp_path):
     # and the estimates are sane: ~600 distinct in a, 3 in b
     assert abs(got["a"][2] - 600) / 600 < 0.195
     assert abs(got["b"][2] - 3) < 1.0
+
+
+def test_qsketch_sink_stream_matches_batch_and_replay_noop(spark, tmp_path):
+    """QSketchSink through a driver-side batch fold: the maintained
+    registers equal the one-shot sketch of everything that arrived
+    (sum-merge associativity across batch boundaries), and a REPLAYED
+    batch id is a no-op — counts are not idempotent, so the sink's
+    batch-id marker is what keeps redelivery from double-counting."""
+    from postgres_es_cdc_spark.operators.analytics import (
+        qsketch_registers)
+    from postgres_es_cdc_spark.streaming.ivm import QSketchSink
+
+    schema = "grp string, v long"
+    batches = [
+        [("a", v) for v in (1, 17, 300, 5000)] + [("b", 2)],
+        [("a", v) for v in (17, 65000, 12)] + [("b", 1024)],
+        [("b", v) for v in (3, 3, 3)],
+    ]
+    sink = QSketchSink(str(tmp_path / "regs"), "grp", "v")
+    for bid, rows in enumerate(batches):
+        sink.apply_batch(spark.createDataFrame(rows, schema), bid)
+    sink.apply_batch(spark.createDataFrame(batches[1], schema), 1)  # replay
+
+    got = {(r.grp, r.bucket): r.cnt
+           for r in sink.registers(spark).collect()}
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    want = {(r.grp, r.bucket): r.cnt
+            for r in qsketch_registers(all_rows, "grp", "v").collect()}
+    assert got == want
+    assert sum(c for (g, _), c in got.items() if g == "a") == 7
+
+
+def test_join_sink_bucketed_probe_reads_only_touched_buckets(spark,
+                                                             tmp_path):
+    """The cluster-scale claim behind the bucketed delta logs: a batch
+    whose delta's key buckets don't intersect an accumulated entry's
+    buckets never reads it. Pinned structurally — manifest entries
+    record their bucket lists, and _read_side returns None for a
+    disjoint probe — and behaviorally with a two-bucket sink where
+    keys 0 and 1 hash to different buckets."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    sink = JoinSink(str(tmp_path / "join"), key_col="k",
+                    left_cols=["name"], right_cols=["qty"], n_buckets=4)
+    # find two keys in different buckets under xxhash64 % 4
+    probe = spark.createDataFrame([(i,) for i in range(16)], "k long") \
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(4)).alias("b")) \
+        .collect()
+    by_bucket: dict = {}
+    for r in probe:
+        by_bucket.setdefault(r.b, r.k)
+    (b1, k1), (b2, k2) = list(by_bucket.items())[:2]
+
+    sink.apply_batch(_join_batch(spark, [(k1, "L", "a", None)]), 0)
+    m = sink.meta()
+    assert m["left"][-1]["buckets"] == [b1]
+    # delta in bucket b2 only: the probe path set for batch 0's left
+    # entry must be empty
+    assert sink._read_side(spark, m["left"], [b2]) is None
+    assert sink._read_side(spark, m["left"], [b1]).count() == 1
+
+    # and the join is still correct across the bucket boundary
+    sink.apply_batch(_join_batch(spark, [(k1, "R", None, 10),
+                                         (k2, "L", "c", None)]), 1)
+    sink.apply_batch(_join_batch(spark, [(k2, "R", None, 20)]), 2)
+    got = sorted((r.k, r.name, r.qty)
+                 for r in sink.state_view(spark).collect())
+    assert got == sorted([(k1, "a", 10), (k2, "c", 20)])
