@@ -300,11 +300,23 @@ def graph_triangle_estimate(spark: SparkSession, sf_dir: str,
     s = (pden // pnum) ** 3
     ne = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
     nt = tri.agg(F.count(F.lit(1)).alias("n_tri_sampled"))
-    return (ne.crossJoin(nt)
+    # exact wedge count on the FULL graph is one cheap degree pass:
+    # W = sum deg(deg-1)/2; transitivity = 3T/W, estimated with T_est.
+    wedges = (edges.select(F.col("u").alias("node"))
+                   .unionAll(edges.select(F.col("v").alias("node")))
+                   .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+                   .agg(F.expr("sum((deg * (deg - 1)) div 2)")
+                        .cast("long").alias("n_wedges")))
+    return (ne.crossJoin(nt).crossJoin(wedges)
               .select("n_edges_sampled", "n_tri_sampled",
                       (F.col("n_tri_sampled") * s).alias("est_triangles"),
                       F.sqrt((F.col("n_tri_sampled") * (s * s - s))
-                             .cast("double")).alias("stderr")))
+                             .cast("double")).alias("stderr"),
+                      "n_wedges",
+                      (F.lit(3.0) * (F.col("n_tri_sampled") * s)
+                       .cast("double")
+                       / F.col("n_wedges").cast("double"))
+                      .alias("transitivity_est")))
 
 
 GRAPH_TRIANGLE_ESTIMATE_SQL = f"""
@@ -338,15 +350,26 @@ WITH pairs0 AS (
    AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
   JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
 ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri_sampled FROM tri),
-ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_sampled FROM pairs)
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_sampled FROM pairs),
+wedges AS (
+  SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM (SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM pairs0
+          UNION ALL SELECT v AS node FROM pairs0)
+        GROUP BY node)
+)
 SELECT ne.n_edges_sampled, cnt.n_tri_sampled,
        CAST(cnt.n_tri_sampled * {(DOULION_PDEN // DOULION_PNUM) ** 3}
             AS BIGINT) AS est_triangles,
        SQRT(CAST(cnt.n_tri_sampled
             * {(DOULION_PDEN // DOULION_PNUM) ** 6
                - (DOULION_PDEN // DOULION_PNUM) ** 3}
-            AS DOUBLE)) AS stderr
-FROM ne, cnt
+            AS DOUBLE)) AS stderr,
+       wedges.n_wedges,
+       3.0 * CAST(cnt.n_tri_sampled
+                  * {(DOULION_PDEN // DOULION_PNUM) ** 3} AS DOUBLE)
+           / CAST(wedges.n_wedges AS DOUBLE) AS transitivity_est
+FROM ne, cnt, wedges
 """
 
 
@@ -669,9 +692,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
     removed keys' buckets. Earlier shape (re-aggregate surviving |E|
     per round over stacked broadcast filters) measured 5.2x per 3x
     decade at sf3; this one does O(|E|) shuffle work once."""
-    edges = _edges(spark, sf_dir)
-    base = edges.localCheckpoint(eager=False)
-    base.count()
+    base = _edges(spark, sf_dir)  # session-memoized, already checkpointed
     deg = (base.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                .localCheckpoint(eager=True))
     while True:
@@ -687,7 +708,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
                                   - F.coalesce("dec", F.lit(0)))
                           .alias("deg"))
                   .localCheckpoint(eager=True))
-    nodes = edges.select("src").distinct()
+    nodes = base.select("src").distinct()
     cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")
     return (nodes.join(deg, "src", "left")
                  .select(F.col("src").alias("node"),
