@@ -155,10 +155,11 @@ PICKS = {
         "bucket-grouped pass emits only newxold and newxnew pairs — "
         "oldxold never materializes.",
     "emb_hier_assign":
-        "Two-level assign: both routing stages are broadcast array "
-        "passes (k1-row and cell-children build sides); the per-vector "
-        "fan-out is k1 + k/k1 rows, never k — the flat-assign escape, "
-        "measured in SCALE.md.",
+        "Routing-ladder assign (Arrow numpy kernel): the centroid "
+        "table rides the task closure; per vector the ladder scans "
+        "k2 tops + the top cell's supers + the super cell's children — "
+        "N*3*k^(1/3) dots above HIER3_MIN_K, N*2*sqrt(k) below, never "
+        "the flat N*k; int64 GEMM blocks, exact op-order distances.",
     "docs_dsir_weights":
         "DSIR: two hashed-bucket word-count MapReduces fold to a "
         "<=1024-row feature table that BROADCASTS into the per-token "
@@ -169,12 +170,11 @@ PICKS = {
         "cannot emit deg^2 pairs; support filtering happens inside the "
         "partial-aggregable pair count; final ranking is TakeOrdered.",
     "graph_kcore_fixpoint":
-        "Convergence-detected peel: per round one partial-aggregable "
-        "degree count into a |V|-sized eager-checkpointed table that "
-        "feeds the zero-nodes-below-k convergence test and BOTH "
-        "broadcast endpoint filters; the |E|-sized edge set is never "
-        "rewritten — peels stack as lazy map-side broadcast joins over "
-        "the once-materialized base (lineage cut every 8 rounds).",
+        "Incremental-degree peel: the full |E| degree aggregation runs "
+        "ONCE; each round subtracts the removed endpoints' counts — a "
+        "map-side broadcast probe of the memoized base whose shuffle "
+        "is sized by the removed set — and updates the |V|-sized "
+        "checkpointed degree table, which IS the final core degree.",
     "ivm_watermark_rollup":
         "Watermark gate is a scan-side filter against one broadcast "
         "scalar; retained rows partial-aggregate into tumbling windows "
@@ -215,17 +215,30 @@ PICKS = {
         "checkpointed before fan-out.",
     "docs_winnowing_overlap":
         "Positional gram hashes and windowed minima are per-row array "
-        "transforms with checkpoint barriers between stages "
-        "(interpreted HOFs + ProjectCollapse would otherwise recompute "
-        "the upstream expression per array element — O(len^2)); the "
-        "posting-list pair join is document-frequency-capped, cap "
-        "mirrored in the oracle.",
+        "transforms with checkpoint barriers between stages, fanned to "
+        "session parallelism before the tokenize; exact-duplicate "
+        "fingerprint sets collapse to representatives (multiplicity "
+        "column) BEFORE the df-capped posting pair join, and only the "
+        "top-k-reachable n_shared tiers expand back to doc grain — "
+        "pair work bounded by distinct content, not clique^2.",
     "docs_training_shards":
         "The 100 TB export pass: one hash-partition shuffle on the "
         "shard key + one window per shard; membership and order are "
         "decorrelated pure hashes, so the plan is "
         "repartition+sortWithinPartitions at write time; the checksum "
         "pins the full permutation.",
+    "graph_triangle_estimate":
+        "DOULION: the hash-coin edge sample is a map-side filter over "
+        "the checkpointed edge table (no shuffle); the forward engine "
+        "then runs on the p-fraction subgraph (~p^2 of the exact "
+        "intersection work); three 1-row aggregates cross-join into "
+        "the single output row.",
+    "events_quantile_gap_sketch":
+        "One user-keyed shuffle for the lag window; the register fold "
+        "is a map-side-combined count per (type, log2-bucket); the "
+        "rank walk and bounds run on the ~types x 1000-row register "
+        "table; only the exact companion sorts gaps (dropped at "
+        "100 TB).",
     "multimodal_video_scene_cuts":
         "Arrow-batched mapInPandas pipelined into the scan; frame "
         "matrices (numpy diff) never leave the executor — the shuffle "
