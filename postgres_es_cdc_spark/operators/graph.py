@@ -140,14 +140,29 @@ FROM r{ITERS}
 """
 
 
+_COPURCHASE_CACHE: dict = register({})
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-purchase edges (u < v), checkpointed."""
-    l = table(spark, sf_dir, "lineitem")
-    a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
-    return (a.join(b, "l_orderkey")
-             .filter(F.col("u") < F.col("v"))
-             .select("u", "v").distinct().localCheckpoint(eager=True))
+    """Distinct undirected co-purchase edges (u < v), session-memoized:
+    the lineitem self-join + distinct is the expensive loop-invariant
+    stage shared by triangle counts, the clustering coefficient, and
+    the DOULION estimator (it dominated each query's isolated runtime
+    before the memo — ~10s of a 13s sf1 run was edge derivation). At
+    100 TB this is the co-purchase edge table you materialize once,
+    bucketed by u."""
+    key = (spark.sparkContext.applicationId, sf_dir, "copurchase")
+    hit = _COPURCHASE_CACHE.get(key)
+    if hit is None:
+        l = table(spark, sf_dir, "lineitem")
+        a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+        hit = (a.join(b, "l_orderkey")
+                .filter(F.col("u") < F.col("v"))
+                .select("u", "v").distinct()
+                .localCheckpoint(eager=True))
+        _COPURCHASE_CACHE[key] = hit
+    return hit
 
 
 def _copurchase_forward_tri(spark: SparkSession, sf_dir: str):

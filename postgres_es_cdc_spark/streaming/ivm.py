@@ -641,26 +641,32 @@ class JoinSink:
     consumer policy — sources/compaction.py composes.)
 
     Scale shape: both delta joins key on the join column, and the
-    accumulated sides are BUCKETED by key hash (``n_buckets`` subdirs
-    per delta-log entry, written with partitionBy): each batch reads
-    only the buckets its OWN delta touches — the manifest records every
-    log entry's bucket list, so the probe enumerates exact paths and
-    never lists untouched history. Per-batch read cost therefore
-    tracks (touched buckets / n_buckets) x |history| instead of
-    |history| — flat as history grows when deltas are key-local (the
-    common CDC shape), measured in SCALE.md. State grows with retained
-    keys, not stream length; bounding retention is WatermarkAggSink's
-    gate composed upstream.
+    accumulated sides can be BUCKETED by key hash (``n_buckets`` > 1:
+    partitionBy subdirs per delta-log entry, one file per bucket):
+    each batch reads only the buckets its OWN delta touches — the
+    manifest records every log entry's bucket list, so a key-local
+    probe enumerates exact paths and never lists untouched history,
+    while a scattered probe falls back to whole-entry roots (entries ×
+    buckets scan roots cost more in listing overhead than pruning
+    saves — measured). Bucketing is OPT-IN (default n_buckets=1, the
+    lean layout): the partitionBy repartition is a per-batch shuffle
+    tax that only pays off once entries are large enough that pruned
+    data reads dominate listing — the cluster regime, SCALE.md round 8.
+    Bucket bookkeeping costs zero extra Spark jobs (bucket lists come
+    from the written partition directory names; deltas re-read from
+    their own files). State grows with retained keys, not stream
+    length; bounding retention is WatermarkAggSink's gate composed
+    upstream.
     """
 
-    N_BUCKETS = 16
+    N_BUCKETS = 16  # the cluster-scale bucketed layout (opt-in)
 
     def __init__(self, base_dir: str, key_col: str,
                  left_cols: list | None = None,
                  right_cols: list | None = None,
                  side_col: str = "side",
                  left_tag: str = "L", right_tag: str = "R",
-                 n_buckets: int = N_BUCKETS):
+                 n_buckets: int = 1):
         # left_cols / right_cols: each side's payload columns within the
         # multiplexed batch (disjoint; the other side carries them as
         # null padding). None = no payload beyond the key.
@@ -719,12 +725,16 @@ class JoinSink:
         a whole-dir read is one root per entry. Entries recorded by a
         pre-bucketing sink (plain strings) are always read whole."""
         paths = []
-        local = 2 * len(buckets) < self.n_buckets
+        everything = buckets is None
+        local = (not everything
+                 and 2 * len(buckets) < self.n_buckets)
         for e in entries:
-            if isinstance(e, str):           # legacy unbucketed entry
+            if isinstance(e, str):           # unbucketed entry
                 paths.append(e)
             elif not e["buckets"]:
                 continue                     # empty delta entry
+            elif everything:
+                paths.append(e["dir"])
             elif local:
                 paths.extend(os.path.join(e["dir"], f"_b={b}")
                              for b in buckets if b in e["buckets"])
@@ -744,19 +754,15 @@ class JoinSink:
         meta = self.meta()
         if batch_id <= meta["last_batch_id"]:
             return                      # committed replay: no-op
+        bkt = self.n_buckets > 1
         side = F.col(self.side_col)
-        d_left = (batch.filter(side == self.left_tag)
-                       .select(self.key_col, *self.left_cols)
-                       .withColumn("_b", self._bucket())
-                       .localCheckpoint(eager=True))
-        d_right = (batch.filter(side == self.right_tag)
-                        .select(self.key_col, *self.right_cols)
-                        .withColumn("_b", self._bucket())
-                        .localCheckpoint(eager=True))
-        lb = sorted(r["_b"] for r in d_left.select("_b").distinct()
-                    .collect())
-        rb = sorted(r["_b"] for r in d_right.select("_b").distinct()
-                    .collect())
+        d_left = batch.filter(side == self.left_tag).select(
+            self.key_col, *self.left_cols)
+        d_right = batch.filter(side == self.right_tag).select(
+            self.key_col, *self.right_cols)
+        if bkt:
+            d_left = d_left.withColumn("_b", self._bucket())
+            d_right = d_right.withColumn("_b", self._bucket())
 
         def _write(df: DataFrame, store: str, bucketed: bool):
             new_dir = os.path.join(self.base_dir, f"{store}.b{batch_id}")
@@ -773,21 +779,46 @@ class JoinSink:
                 df.write.mode("overwrite").parquet(new_dir)
             return new_dir
 
-        # Each delta probes only the OTHER side's buckets it can match.
-        old_l = self._read_side(spark, meta["left"], rb)
-        old_r = self._read_side(spark, meta["right"], lb)
+        # Land the delta logs FIRST, then derive each entry's bucket
+        # list from the partition directory names and re-read the
+        # deltas from their own files — zero extra Spark jobs for the
+        # bookkeeping (no collects, no checkpoints; per-batch job count
+        # is identical to the unbucketed layout: three writes). On a
+        # remote FS the listdir becomes one FileSystem.listStatus.
+        ldir = _write(d_left, "left", bkt)
+        rdir = _write(d_right, "right", bkt)
+
+        def _buckets_of(d: str) -> list:
+            return sorted(int(f.split("=", 1)[1]) for f in os.listdir(d)
+                          if f.startswith("_b="))
+
+        if bkt:
+            lb, rb = _buckets_of(ldir), _buckets_of(rdir)
+            dl = (spark.read.option("recursiveFileLookup", "true")
+                       .parquet(ldir) if lb
+                  else d_left.drop("_b"))
+            dr = (spark.read.option("recursiveFileLookup", "true")
+                       .parquet(rdir) if rb
+                  else d_right.drop("_b"))
+        else:
+            dl, dr = d_left, d_right
+
+        # Each delta probes only the OTHER side's buckets it can match
+        # (unbucketed entries read whole — _read_side handles both).
+        old_l = self._read_side(spark, meta["left"], rb if bkt else None)
+        old_r = self._read_side(spark, meta["right"], lb if bkt else None)
         k = self.key_col
-        d_view = d_left.drop("_b").join(d_right.drop("_b"), k)
+        d_view = dl.join(dr, k)
         if old_r is not None:
-            d_view = d_view.unionByName(d_left.drop("_b").join(old_r, k))
+            d_view = d_view.unionByName(dl.join(old_r, k))
         if old_l is not None:
-            d_view = d_view.unionByName(old_l.join(d_right.drop("_b"), k))
+            d_view = d_view.unionByName(old_l.join(dr, k))
 
         new_meta = {
             "left": meta["left"] + [
-                {"dir": _write(d_left, "left", True), "buckets": lb}],
+                {"dir": ldir, "buckets": lb} if bkt else ldir],
             "right": meta["right"] + [
-                {"dir": _write(d_right, "right", True), "buckets": rb}],
+                {"dir": rdir, "buckets": rb} if bkt else rdir],
             "view": meta["view"] + [_write(d_view, "view", False)],
             "last_batch_id": batch_id,
         }

@@ -1021,8 +1021,11 @@ def test_join_sink_matches_oneshot_join_any_batch_order(spark, tmp_path):
     want = sorted([(1, "a", 10), (2, "b", 20), (3, "c", 30),
                    (6, "f", 60), (6, "f", 61)])
     for pi, perm in enumerate(itertools.permutations(range(3))):
+        # odd permutations exercise the opt-in bucketed layout so the
+        # delta-join algebra is pinned under BOTH state formats
         sink = JoinSink(str(tmp_path / f"join{pi}"), key_col="k",
-                        left_cols=["name"], right_cols=["qty"])
+                        left_cols=["name"], right_cols=["qty"],
+                        n_buckets=4 if pi % 2 else 1)
         for i, bi in enumerate(perm):
             sink.apply_batch(_join_batch(spark, batches[bi]), i)
         got = sorted((r.k, r.name, r.qty)
