@@ -142,6 +142,7 @@ HEADLINE = [
     # round-8 flagships
     "graph_triangle_estimate",
     "events_quantile_gap_sketch",
+    "docs_duplicate_span_removal",
 ]
 
 

@@ -1864,3 +1864,117 @@ JOIN nf nb ON nb.doc_id = doc_b
 ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
 LIMIT {WINNOW_TOP}
 """
+
+
+# Exact duplicate-SPAN removal (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL'22 — the ExactSubstr
+# recipe): any W-token span occurring more than once in the corpus is
+# removed from every document; unlike doc-level dedup this surgically
+# cuts boilerplate/licenses/templates while keeping the unique
+# remainder.
+SPAN_W = 12
+
+
+def docs_duplicate_span_removal(spark: SparkSession,
+                                sf_dir: str,
+                                w: int = SPAN_W) -> DataFrame:
+    """Per-document duplicate-span removal accounting: positions
+    covered by any W-token span that occurs >= 2 times corpus-wide are
+    marked removed; returns (doc_id, n_tokens, n_removed, keep_ratio).
+    Corpus: documents ∪ mutants, so cross-doc duplicated spans exist at
+    every sf (a doc and its last-token-dropped mutant share their whole
+    prefix); self-repeats inside one document count too — exactly the
+    ExactSubstr rule.
+
+    Engine discipline: positional W-gram hashes are one per-row array
+    transform (checkpoint barrier after tokenize — the interpreted-HOF
+    lesson); the only exploded relation is (doc, pos, gram); duplicate
+    grams come from one partial-aggregable count; removed-token counts
+    use the INTERVAL-UNION window (running max of span ends over the
+    pos order — overlap-safe without exploding W rows per occurrence).
+    All integers except the final keep_ratio division.
+
+    Scale: corpus-linear; the gram count is the only corpus-wide
+    shuffle and carries (hash, count), never text. At 100 TB this runs
+    per shard after a global gram-count broadcast-threshold pass (the
+    df side-channel the LSH family already uses)."""
+    from postgres_es_cdc_spark.catalog import scan_parallel
+
+    c = scan_parallel(spark,
+                      mutated_corpus(spark, sf_dir).select("doc_id", "text"))
+    tk = (c.select("doc_id", tokens(F.col("text")).alias("toks"))
+           .localCheckpoint(eager=False))
+    n = F.size(F.col("toks"))
+    nt = tk.select("doc_id", n.cast("long").alias("n_tokens")) \
+           .localCheckpoint(eager=True)
+    grams = F.when(n >= w, F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            h32(F.array_join(F.slice(F.col("toks"), i, w), " "))
+             .alias("g"))
+    )).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    occ = (tk.select("doc_id", F.explode(grams).alias("o"))
+             .select("doc_id", F.col("o.pos").alias("pos"),
+                     F.col("o.g").alias("g"))
+             .localCheckpoint(eager=True))
+    dupg = (occ.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+               .filter(F.col("cnt") >= 2).select("g"))
+    hits = occ.join(dupg, "g").select(
+        "doc_id", "pos", (F.col("pos") + w - 1).alias("end"))
+    prev_end = F.max("end").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("end") - F.greatest(F.col("pos") - 1,
+                                  F.coalesce(prev_end, F.lit(0))))
+    removed = (hits.withColumn("_c", contrib)
+                   .groupBy("doc_id")
+                   .agg(F.sum("_c").cast("long").alias("n_removed")))
+    nr = F.coalesce("n_removed", F.lit(0))
+    return (nt.join(removed, "doc_id", "left")
+              .select("doc_id", "n_tokens", nr.alias("n_removed"),
+                      ((F.col("n_tokens") - nr).cast("double")
+                       / F.col("n_tokens").cast("double"))
+                      .alias("keep_ratio")))
+
+
+DOCS_SPAN_REMOVAL_SQL = f"""
+WITH corpus AS ({_MUTATED_SQL}),
+t AS (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM corpus),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+occ AS (
+  SELECT doc_id, o.pos AS pos, o.g AS g FROM (
+    SELECT doc_id, unnest(os) AS o FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {SPAN_W} THEN list_transform(
+                    generate_series(1, len(toks) - {SPAN_W} + 1),
+                    i -> struct_pack(pos := i,
+                         g := ('0x' || substr(md5(array_to_string(
+                                list_slice(toks, i, i + {SPAN_W} - 1), ' ')),
+                              1, 8))::BIGINT))
+                  ELSE [] END AS os
+      FROM t))
+),
+dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT occ.doc_id, occ.pos, occ.pos + {SPAN_W} - 1 AS e
+  FROM occ JOIN dupg ON occ.g = dupg.g
+),
+contrib AS (
+  SELECT doc_id,
+         GREATEST(0, e - GREATEST(pos - 1,
+             COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0))) AS c
+  FROM hits
+),
+removed AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_removed
+            FROM contrib GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       CAST(nt.n_tokens - COALESCE(r.n_removed, 0) AS DOUBLE)
+         / CAST(nt.n_tokens AS DOUBLE) AS keep_ratio
+FROM nt LEFT JOIN removed r ON nt.doc_id = r.doc_id
+"""

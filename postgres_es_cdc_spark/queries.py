@@ -111,6 +111,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_ngram_jaccard_pairs": QuerySpec(dedup.docs_ngram_jaccard_pairs, dedup.DOCS_NGRAM_JACCARD_SQL),
     "docs_winnowing_overlap": QuerySpec(
         dedup.docs_winnowing_overlap, dedup.DOCS_WINNOWING_SQL),
+    "docs_duplicate_span_removal": QuerySpec(
+        dedup.docs_duplicate_span_removal, dedup.DOCS_SPAN_REMOVAL_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
     # semantics pinned in tests/test_dedup.py.
