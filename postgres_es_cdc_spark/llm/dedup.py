@@ -1717,6 +1717,19 @@ def winnow_fingerprints(c: DataFrame, w: int = WINNOW_W) -> DataFrame:
     return g.select("doc_id", fps.alias("fps")).localCheckpoint(eager=True)
 
 
+def _winnow_groups(f: DataFrame) -> DataFrame:
+    """Representative collapse: group docs by their (sorted) fingerprint
+    SET — gid = min doc_id, m = clique multiplicity. One shuffle on the
+    set key; eager checkpoint (the frame fans out to members/postings).
+    Shared by the one-shot overlap query and the incremental store."""
+    wk = Window.partitionBy("_k")
+    return (f.select("doc_id", F.array_sort("fps").alias("_k"),
+                     F.size("fps").cast("long").alias("n_fp"))
+             .withColumn("gid", F.min("doc_id").over(wk))
+             .withColumn("m", F.count(F.lit(1)).over(wk))
+             .localCheckpoint(eager=True))
+
+
 def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
                            w: int = WINNOW_W, top: int = WINNOW_TOP,
                            cap: int = PAIR_BUCKET_CAP) -> DataFrame:
@@ -1761,12 +1774,7 @@ def docs_winnowing_overlap(spark: SparkSession, sf_dir: str,
     size never enters a join; everything before the posting join is
     map-side plus one shuffle on the fingerprint-set key."""
     f = winnow_fingerprints(mutated_corpus(spark, sf_dir), w)
-    wk = Window.partitionBy("_k")
-    g = (f.select("doc_id", F.array_sort("fps").alias("_k"),
-                  F.size("fps").cast("long").alias("n_fp"))
-          .withColumn("gid", F.min("doc_id").over(wk))
-          .withColumn("m", F.count(F.lit(1)).over(wk))
-          .localCheckpoint(eager=True))
+    g = _winnow_groups(f)
     members = g.select("doc_id", "gid")
     groups = g.select("gid", "_k", "n_fp", "m").dropDuplicates(["gid"])
     post = groups.select("gid", "m", "n_fp", F.explode("_k").alias("fp"))
@@ -1978,3 +1986,135 @@ SELECT nt.doc_id, nt.n_tokens,
          / CAST(nt.n_tokens AS DOUBLE) AS keep_ratio
 FROM nt LEFT JOIN removed r ON nt.doc_id = r.doc_id
 """
+
+
+def fingerprint_store(spark: SparkSession, sf_dir: str,
+                      w: int = WINNOW_W) -> tuple:
+    """The persisted side of INCREMENTAL winnowing, at REPRESENTATIVE
+    grain (the dense-clique discipline of the one-shot query, baked
+    into the store): (members, postings) where members = (doc_id, gid)
+    and postings = (gid, m, n_fp, fp) — exact-duplicate fingerprint
+    sets stored once with their multiplicity, so a probe's pair work
+    is bounded by DISTINCT content, never clique². Text never needs
+    re-reading to probe a new batch (the winnowing twin of
+    signature_store). All-int columns, so save/load round-trips
+    parquet bit-exactly."""
+    g = _winnow_groups(winnow_fingerprints(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), w))
+    members = g.select("doc_id", "gid")
+    postings = (g.dropDuplicates(["gid"])
+                 .select("gid", "m", "n_fp", F.explode("_k").alias("fp")))
+    return members, postings
+
+
+def save_fingerprint_store(store: tuple, path: str) -> None:
+    members, postings = store
+    members.write.mode("overwrite").parquet(path + "/members")
+    postings.write.mode("overwrite").parquet(path + "/postings")
+
+
+def load_fingerprint_store(spark: SparkSession, path: str) -> tuple:
+    return (spark.read.parquet(path + "/members")
+                 .select("doc_id", "gid"),
+            spark.read.parquet(path + "/postings")
+                 .select("gid", "m", "n_fp", "fp"))
+
+
+def docs_incremental_winnow_overlap(spark: SparkSession, sf_dir: str,
+                                    store: DataFrame | None = None,
+                                    w: int = WINNOW_W,
+                                    top: int = WINNOW_TOP,
+                                    cap: int = PAIR_BUCKET_CAP
+                                    ) -> DataFrame:
+    """Incremental exact-substring overlap: the NEW batch's winnowed
+    fingerprints probe the PERSISTED posting store — old×old pairs (the
+    quadratic bulk of a full recompute) never materialize, and the old
+    corpus's text is never re-read. The production shape of continuous
+    contamination/plagiarism screening, completing the incremental
+    family (LSH near-dup: docs_incremental_lsh_pairs; exact-substring:
+    THIS).
+
+    The "new batch" is the mutant half (doc_id >= 1e6); fingerprints
+    are computed batch-only. The document-frequency cap is taken over
+    store ∪ batch — the full-corpus df, so a degenerate fingerprint is
+    dropped under exactly the rule the one-shot query applies. Pair
+    generation joins full-side postings against BATCH-side postings
+    with doc_a < doc_b; because every new id sorts above every old id,
+    pairs touching the batch are exactly those with doc_b >= 1e6 —
+    which is also how the oracle restricts the full recompute, proving
+    incremental == full-restricted bit-for-bit. Per-batch cost is
+    O(batch·postings + matched buckets), independent of corpus size.
+
+    Output mirrors docs_winnowing_overlap: top pairs by shared
+    fingerprints with overlap_ratio = shared/min(|fps|). Both sides use
+    the REPRESENTATIVE collapse (store is rep-grain; the batch groups
+    in-flight): pair work is bounded by distinct content on both sides
+    — the fixture's 30-member cliques cost one row, not 900 — and doc
+    pairs expand arithmetically from the top-k-reachable tiers only.
+    Batch gids all sort above store gids (>= 1e6), so a.gid < b.gid
+    against batch-side postings enumerates exactly store×batch and
+    batch×batch pairs; store×store never materializes."""
+    if store is None:
+        store = fingerprint_store(spark, sf_dir, w)
+    store_members, store_post = store
+    bg = _winnow_groups(winnow_fingerprints(
+        mutated_corpus(spark, sf_dir).filter(F.col("doc_id") >= 1000000),
+        w))
+    batch_members = bg.select("doc_id", "gid")
+    batch_post = (bg.dropDuplicates(["gid"])
+                    .select("gid", "m", "n_fp",
+                            F.explode("_k").alias("fp")))
+    allp = store_post.unionByName(batch_post).localCheckpoint(eager=True)
+    kept = (allp.withColumn("dfreq", F.sum("m").over(
+                Window.partitionBy("fp")))
+                .filter(F.col("dfreq") <= cap).drop("dfreq"))
+    kept_b = kept.filter(F.col("gid") >= 1000000)
+    cross = (kept.select(F.col("gid").alias("g1"), F.col("m").alias("m1"),
+                         F.col("n_fp").alias("n1"), "fp")
+             .join(kept_b.select(F.col("gid").alias("g2"),
+                                 F.col("m").alias("m2"),
+                                 F.col("n_fp").alias("n2"), "fp"), "fp")
+             .filter(F.col("g1") < F.col("g2"))
+             .groupBy("g1", "g2", "m1", "m2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .select("g1", "g2", "n1", "n2", "n_shared",
+                     (F.col("m1") * F.col("m2")).alias("weight")))
+    within = (kept_b.groupBy("gid", "m", "n_fp")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("m") >= 2)
+              .select(F.col("gid").alias("g1"), F.col("gid").alias("g2"),
+                      F.col("n_fp").alias("n1"), F.col("n_fp").alias("n2"),
+                      "n_shared",
+                      (F.col("m") * (F.col("m") - 1) / 2)
+                      .cast("long").alias("weight")))
+    rep = cross.unionByName(within).localCheckpoint(eager=True)
+    tiers = (rep.groupBy("n_shared")
+                .agg(F.sum("weight").alias("tw"))
+                .withColumn("before", F.coalesce(F.sum("tw").over(
+                    Window.orderBy(F.desc("n_shared"))
+                          .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+                .filter(F.col("before") < top)
+                .select("n_shared"))
+    rk = rep.join(F.broadcast(tiers), "n_shared")
+    members = store_members.unionByName(batch_members)
+    exp = (F.broadcast(rk)
+             .join(members.select(F.col("gid").alias("g1"),
+                                   F.col("doc_id").alias("da")), "g1")
+             .join(members.select(F.col("gid").alias("g2"),
+                                   F.col("doc_id").alias("db")), "g2")
+             .filter((F.col("g1") != F.col("g2"))
+                     | (F.col("da") < F.col("db"))))
+    ratio = (F.col("n_shared").cast("double")
+             / F.least(F.col("n1"), F.col("n2")).cast("double"))
+    return (exp.select(F.least("da", "db").alias("doc_a"),
+                       F.greatest("da", "db").alias("doc_b"),
+                       "n_shared", ratio.alias("overlap_ratio"))
+            .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(top))
+
+
+DOCS_INC_WINNOW_SQL = DOCS_WINNOWING_SQL.replace(
+    "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id",
+    "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "AND b.doc_id >= 1000000")

@@ -113,6 +113,8 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup.docs_winnowing_overlap, dedup.DOCS_WINNOWING_SQL),
     "docs_duplicate_span_removal": QuerySpec(
         dedup.docs_duplicate_span_removal, dedup.DOCS_SPAN_REMOVAL_SQL),
+    "docs_incremental_winnow_overlap": QuerySpec(
+        dedup.docs_incremental_winnow_overlap, dedup.DOCS_INC_WINNOW_SQL),
     "docs_simhash": QuerySpec(dedup.docs_simhash, dedup.DOCS_SIMHASH_SQL),
     # iterative label propagation over the LSH pair graph — rows-only;
     # semantics pinned in tests/test_dedup.py.

@@ -306,3 +306,28 @@ def test_winnowing_shared_substring_guarantee(spark):
         "disjoint vocabularies must not share fingerprints"
     # Density sanity: every doc with >= 1 gram has >= 1 fingerprint.
     assert all(len(v) >= 1 for v in f.values())
+
+
+def test_fingerprint_store_roundtrip_and_incremental_probe(spark, sf_dir,
+                                                           tmp_path):
+    """The winnowing fingerprint store round-trips parquet bit-exactly
+    (all-int columns) and probing it with the batch gives the same top
+    pairs as the in-session store — the across-sessions contract of
+    incremental exact-substring screening."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_incremental_winnow_overlap, fingerprint_store,
+        load_fingerprint_store, save_fingerprint_store)
+
+    store = fingerprint_store(spark, sf_dir)
+    path = str(tmp_path / "fp_store")
+    save_fingerprint_store(store, path)
+    loaded = load_fingerprint_store(spark, path)
+    for built, rt in zip(store, loaded):
+        assert sorted(built.collect()) == sorted(rt.collect())
+
+    direct = docs_incremental_winnow_overlap(spark, sf_dir).collect()
+    via_store = docs_incremental_winnow_overlap(
+        spark, sf_dir, store=loaded).collect()
+    assert direct == via_store and len(direct) > 0
+    # every pair touches the batch (the incremental guarantee)
+    assert all(r.doc_b >= 1_000_000 for r in direct)
