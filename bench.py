@@ -143,6 +143,9 @@ HEADLINE = [
     "graph_triangle_estimate",
     "events_quantile_gap_sketch",
     "docs_duplicate_span_removal",
+    # round-9 flagships
+    "ivm_join_view_compacted_rollup",
+    "graph_local_clustering_estimate",
 ]
 
 

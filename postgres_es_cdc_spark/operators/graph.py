@@ -388,6 +388,126 @@ FROM ne, cnt, wedges
 """
 
 
+LOCAL_TRI_PNUM = 1
+LOCAL_TRI_PDEN = 2
+
+
+def graph_local_clustering_estimate(
+        spark: SparkSession, sf_dir: str,
+        pnum: int = LOCAL_TRI_PNUM,
+        pden: int = LOCAL_TRI_PDEN) -> DataFrame:
+    """Approximate PER-NODE triangle counts and local clustering
+    coefficient via DOULION edge sampling — the 100× path for the LOCAL
+    statistic, where graph_triangle_estimate only covers the global
+    count and the exact engine's O(m^1.5) is the bench's heaviest graph
+    curve. Sample edges with p = pnum/pden (derandomized hash coin,
+    graph_triangle_estimate's discipline — the oracle CTE repeats the
+    coin verbatim, so both engines count the IDENTICAL subgraph and
+    every output bit matches), run the same forward engine on the
+    sample, scale per-node counts by 1/p³. Intersection work drops
+    ~p²·m^1.5; the only full-graph pass is the exact degree table (one
+    map-side-combinable agg).
+
+    p defaults to 1/2 (not the global estimator's 1/4): per-node
+    counts are small, so the local statistic needs more sample mass
+    per node for a useful point estimate — at p=1/2 the heavy
+    intersection stage still runs at ~1/4 the exact cost.
+
+    Guards: output covers every FULL-graph node with deg ≥ 2 (the
+    denominator floor — cc undefined below it; sampled-zero nodes
+    report 0, never NULL), and cc_est is clamped to [0, 1] with
+    least() — a lucky node can sample more scaled triangles than its
+    true wedge count, and a clamped coefficient keeps the estimate
+    inside the statistic's range (the clamp is in the oracle too).
+
+    Exactness: est_triangles is integer-scaled (t·(1/p)³ exact);
+    cc_est is one int→double division + one least() against 1.0 —
+    identical IEEE sequence in DuckDB. The exact row
+    (graph_clustering_coefficient) is retained; this is its scale
+    sibling."""
+    from postgres_es_cdc_spark.llm.text import h32
+
+    if pden % pnum:
+        raise ValueError("pnum must divide pden (integer 1/p)")
+    edges = _copurchase_edges(spark, sf_dir)
+    keep = (h32(F.concat_ws("_", F.col("u"), F.col("v"))) % pden) < pnum
+    se = edges.filter(keep).localCheckpoint(eager=True)
+    _sdeg, stcnt, _tri = _forward_tri(se)
+    deg = (edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    s = (pden // pnum) ** 3
+    out = (deg.filter(F.col("deg") >= 2)
+              .join(stcnt, "node", "left")
+              .select(
+                  F.col("node").alias("partkey"), "deg",
+                  F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+                   .alias("n_tri_sampled")))
+    est = (F.col("n_tri_sampled") * s).cast("long")
+    cc = F.least(
+        F.lit(1.0),
+        (est * 2).cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"))
+    return (out.withColumn("est_triangles", est)
+               .withColumn("cc_est", cc))
+
+
+GRAPH_LOCAL_CLUSTERING_EST_SQL = f"""
+WITH pairs0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), pairs AS (
+  SELECT u, v FROM pairs0
+  WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_'
+                            || CAST(v AS VARCHAR)), 1, 8))::BIGINT
+        % {LOCAL_TRI_PDEN} < {LOCAL_TRI_PNUM}
+), sdeg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+), ori AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN dv.deg ELSE du.deg END AS ddst
+  FROM pairs
+  JOIN sdeg du ON du.node = pairs.u
+  JOIN sdeg dv ON dv.node = pairs.v
+), tri AS (
+  SELECT e1.src AS s, e1.dst AS v1, e2.dst AS v2
+  FROM ori e1
+  JOIN ori e2 ON e1.src = e2.src
+   AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), stcnt AS (
+  SELECT node, COUNT(*) AS n_tri_sampled
+  FROM (SELECT s AS node FROM tri
+        UNION ALL SELECT v1 AS node FROM tri
+        UNION ALL SELECT v2 AS node FROM tri)
+  GROUP BY node
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs0 UNION ALL SELECT v AS node FROM pairs0)
+  GROUP BY node
+)
+SELECT deg.node AS partkey, deg.deg,
+       CAST(COALESCE(stcnt.n_tri_sampled, 0) AS BIGINT) AS n_tri_sampled,
+       CAST(COALESCE(stcnt.n_tri_sampled, 0)
+            * {(LOCAL_TRI_PDEN // LOCAL_TRI_PNUM) ** 3} AS BIGINT)
+         AS est_triangles,
+       LEAST(1.0,
+             CAST(COALESCE(stcnt.n_tri_sampled, 0)
+                  * {(LOCAL_TRI_PDEN // LOCAL_TRI_PNUM) ** 3}
+                  * 2 AS DOUBLE)
+             / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)) AS cc_est
+FROM deg LEFT JOIN stcnt ON stcnt.node = deg.node
+WHERE deg.deg >= 2
+"""
+
+
 BFS_ITERS = 4
 
 

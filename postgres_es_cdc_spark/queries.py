@@ -100,6 +100,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_session_rollup": QuerySpec(ivm.ivm_session_rollup, ivm.IVM_SESSION_ROLLUP_SQL),
     "ivm_join_view_rollup": QuerySpec(
         ivm.ivm_join_view_rollup, ivm.IVM_JOIN_VIEW_SQL),
+    # same fold with mid-stream delta-log compaction + vacuum (r9)
+    "ivm_join_view_compacted_rollup": QuerySpec(
+        ivm.ivm_join_view_compacted_rollup, ivm.IVM_JOIN_VIEW_SQL),
     "ivm_hll_rollup": QuerySpec(ivm.ivm_hll_rollup, analytics.IVM_HLL_SQL),
     "ivm_qsketch_rollup": QuerySpec(
         ivm.ivm_qsketch_rollup, analytics.IVM_QSKETCH_SQL),
@@ -142,6 +145,10 @@ REGISTRY: dict[str, QuerySpec] = {
         graph.graph_triangle_counts, graph.GRAPH_TRIANGLES_SQL),
     "graph_triangle_estimate": QuerySpec(
         graph.graph_triangle_estimate, graph.GRAPH_TRIANGLE_ESTIMATE_SQL),
+    # per-node DOULION: local triangles + clamped cc estimate (r9)
+    "graph_local_clustering_estimate": QuerySpec(
+        graph.graph_local_clustering_estimate,
+        graph.GRAPH_LOCAL_CLUSTERING_EST_SQL),
     # --- LLM data pipeline: multimodal columns ---
     "multimodal_meta_stats": QuerySpec(multimodal.multimodal_meta_stats, multimodal.MULTIMODAL_META_SQL),
     "multimodal_transform_stats": QuerySpec(multimodal.multimodal_transform_stats, multimodal.MULTIMODAL_TRANSFORM_SQL),

@@ -25,18 +25,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _SnapshotState:
+    """The single-snapshot commit discipline shared by the
+    merge-per-batch sinks (AggSink, TopKSink, HLLSink, QSketchSink):
+    state is ONE parquet dir per committed version, repointed — together
+    with the last applied batch id — by a manifest written in a single
+    os.replace.
+
+    Guarantees, identical to WatermarkAggSink/SessionSink's inline
+    protocol: (1) a crash at any point leaves the previously committed
+    snapshot current (new version dirs are invisible until the manifest
+    repoints — torn writes can't corrupt state the way an in-place
+    overwrite of the live dir could); (2) a redelivered micro-batch is
+    a no-op via the batch-id gate (foreachBatch is at-least-once, and
+    SUM-style merges are not idempotent); (3) the superseded version is
+    deleted AFTER the commit, so state occupies at most two versions
+    ever — the compaction story for this sink family is structural:
+    every batch's merge IS the compaction (state never grows with
+    history, only with |groups|)."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def _manifest(self) -> str:
+        return self.base + "._state.json"
+
+    def meta(self) -> dict:
+        if os.path.exists(self._manifest()):
+            with open(self._manifest()) as f:
+                return json.load(f)
+        return {"current": None, "last_batch_id": -1}
+
+    def applied(self, batch_id: int) -> bool:
+        return batch_id <= self.meta()["last_batch_id"]
+
+    def read(self, spark) -> DataFrame | None:
+        cur = self.meta()["current"]
+        return spark.read.parquet(cur) if cur else None
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        meta = self.meta()
+        new_dir = f"{self.base}.v{batch_id}"
+        if new_dir == meta["current"]:
+            new_dir += "r"
+        df.write.mode("overwrite").parquet(new_dir)
+        tmp = self._manifest() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"current": new_dir, "last_batch_id": batch_id}, f)
+        os.replace(tmp, self._manifest())
+        old = meta["current"]
+        if old and old != new_dir and os.path.isdir(old):
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
+
+
 class AggSink:
     """foreachBatch sink maintaining SUM/COUNT/MIN/MAX per group key.
 
     Values are aggregated as exact integers (caller quantizes doubles
     first if needed) so replay-divergence can't hide in float
-    reassociation.
+    reassociation. State commits through _SnapshotState: versioned dir
+    + atomic manifest + batch-id replay gate (SUM/COUNT are not
+    idempotent — without the gate an at-least-once redelivery would
+    double-count).
     """
 
     def __init__(self, path: str, group_col: str, value_col: str):
         self.path = path
         self.group_col = group_col
         self.value_col = value_col
+        self._st = _SnapshotState(path)
 
     def _partial(self, df: DataFrame) -> DataFrame:
         g, v = self.group_col, self.value_col
@@ -56,13 +114,16 @@ class AggSink:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self._st.applied(batch_id):
+            return                      # committed replay: no double count
         parts = self._partial(batch)
-        if os.path.exists(self.path):
-            parts = spark.read.parquet(self.path).unionByName(parts)
-        merged = self._merge(parts, self.group_col)
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        prior = self._st.read(spark)
+        if prior is not None:
+            parts = prior.unionByName(parts)
+        self._st.commit(self._merge(parts, self.group_col), batch_id)
+
+    def state(self, spark) -> DataFrame | None:
+        return self._st.read(spark)
 
     def writer(self):
         return self.apply_batch
@@ -368,6 +429,7 @@ class TopKSink:
         self.order_col = order_col
         self.tie_col = tie_col
         self.k = k
+        self._st = _SnapshotState(path)
 
     def _topk(self, df: DataFrame) -> DataFrame:
         # The semilattice is over SETS keyed by (group, tie): a replayed
@@ -383,13 +445,16 @@ class TopKSink:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self._st.applied(batch_id):
+            return          # merge is idempotent, but skipping is free
         parts = self._topk(batch)
-        if os.path.exists(self.path):
-            parts = spark.read.parquet(self.path).unionByName(parts)
-        merged = self._topk(parts)
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        prior = self._st.read(spark)
+        if prior is not None:
+            parts = prior.unionByName(parts)
+        self._st.commit(self._topk(parts), batch_id)
+
+    def state(self, spark) -> DataFrame | None:
+        return self._st.read(spark)
 
     def writer(self):
         return self.apply_batch
@@ -635,10 +700,24 @@ class JoinSink:
     store and repoint the manifest in ONE os.replace. A crash before
     commit leaves orphan dirs the manifest never references (harmless);
     a checkpoint replay of a committed batch id is a no-op. No state dir
-    is ever rewritten, so per-batch cost is O(|delta| + matched output),
-    independent of history length — the property that makes this an IVM
-    operator rather than a re-join. (Compaction of the delta log is a
-    consumer policy — sources/compaction.py composes.)
+    is ever rewritten, so per-batch cost is O(|delta| + matched output)
+    in ROWS, independent of history length — the property that makes
+    this an IVM operator rather than a re-join.
+
+    Compaction: per-batch cost in rows is history-free, but the LOG is
+    one dir per store per batch forever — listing + parquet-footer
+    overhead grows O(entries) with uptime (a day of 5-minute
+    micro-batches is 288 entries/store; measured 1.75 → 2.63 s/probe at
+    10× history, SCALE.md round 8). ``compact_after=N`` folds each log
+    into ONE snapshot dir per store (bucket layout preserved) whenever
+    any log exceeds N entries — the same call Delta's OPTIMIZE/
+    checkpoint makes. The fold is a pure bag-union rewrite (every store
+    is an append-only bag, so snapshot == union of entries, no merge
+    semantics to get wrong), committed by the SAME single-os.replace
+    manifest repoint; superseded dirs are TOMBSTONED in the manifest,
+    never deleted in the commit path — a crash at any point leaves
+    either the old log or the complete snapshot current, and vacuum()
+    reclaims tombstones as a separate, restartable step.
 
     Scale shape: both delta joins key on the join column, and the
     accumulated sides can be BUCKETED by key hash (``n_buckets`` > 1:
@@ -666,10 +745,14 @@ class JoinSink:
                  right_cols: list | None = None,
                  side_col: str = "side",
                  left_tag: str = "L", right_tag: str = "R",
-                 n_buckets: int = 1):
+                 n_buckets: int = 1,
+                 compact_after: int | None = None):
         # left_cols / right_cols: each side's payload columns within the
         # multiplexed batch (disjoint; the other side carries them as
         # null padding). None = no payload beyond the key.
+        # compact_after: fold each delta log to one snapshot dir when it
+        # exceeds this many entries (None = never; consumer may still
+        # call compact() explicitly).
         self.base_dir = base_dir
         self.key_col = key_col
         self.left_cols = list(left_cols or [])
@@ -678,6 +761,7 @@ class JoinSink:
         self.left_tag = left_tag
         self.right_tag = right_tag
         self.n_buckets = n_buckets
+        self.compact_after = compact_after
 
     def _manifest_path(self) -> str:
         return os.path.join(self.base_dir, "_join_manifest.json")
@@ -814,15 +898,105 @@ class JoinSink:
         if old_l is not None:
             d_view = d_view.unionByName(old_l.join(dr, k))
 
-        new_meta = {
+        new_meta = dict(meta)
+        new_meta.update({
             "left": meta["left"] + [
                 {"dir": ldir, "buckets": lb} if bkt else ldir],
             "right": meta["right"] + [
                 {"dir": rdir, "buckets": rb} if bkt else rdir],
             "view": meta["view"] + [_write(d_view, "view", False)],
             "last_batch_id": batch_id,
-        }
+        })
         self._commit(new_meta)
+        if self.compact_after is not None and max(
+                len(new_meta[s]) for s in ("left", "right", "view")
+        ) > self.compact_after:
+            self.compact(spark)
+
+    @staticmethod
+    def _entry_dir(e) -> str:
+        return e if isinstance(e, str) else e["dir"]
+
+    def compact(self, spark) -> dict:
+        """Fold each delta log into ONE snapshot entry (class docstring,
+        Compaction). Every store is an append-only BAG — the snapshot is
+        exactly the bag union of its entries, so the fold is a rewrite,
+        not a merge, and the maintained view is unchanged by
+        construction (pinned by the compact-mid-stream == uncompacted
+        equivalence test).
+
+        Crash safety: snapshot dirs land first under a generation name
+        the manifest doesn't reference; the manifest then repoints all
+        three stores AND tombstones the superseded dirs in one
+        os.replace. A crash before the repoint leaves the old log
+        current (orphan snapshot dirs are invisible and overwritten by
+        the next attempt); after it, the snapshot is current and the old
+        dirs await vacuum(). last_batch_id is carried through, so the
+        replay gate survives compaction."""
+        meta = self.meta()
+        stores = ("left", "right", "view")
+        if max(len(meta[s]) for s in stores) <= 1:
+            return {"compacted": False, "entries": {
+                s: len(meta[s]) for s in stores}}
+        gen = meta.get("compact_gen", 0) + 1
+        bkt = self.n_buckets > 1
+        new_meta = dict(meta)
+        new_meta["compact_gen"] = gen
+        dead = []
+        for store in stores:
+            entries = meta[store]
+            if not entries:
+                continue
+            bucketed = bkt and store != "view"
+            parts = []
+            for e in entries:
+                if isinstance(e, str):
+                    d = spark.read.parquet(e)
+                    if bucketed:      # pre-bucketing entry: assign now
+                        d = d.withColumn("_b", self._bucket())
+                    parts.append(d)
+                elif e["buckets"]:    # empty deltas have no files to read
+                    # one root per read: partition discovery restores _b
+                    parts.append(spark.read.parquet(e["dir"]))
+            cdir = os.path.join(self.base_dir, f"{store}.c{gen}")
+            if not parts:
+                new_meta[store] = []
+                dead.extend(self._entry_dir(e) for e in entries)
+                continue
+            snap = parts[0]
+            for p in parts[1:]:
+                snap = snap.unionByName(p)
+            if bucketed:
+                (snap.repartition(self.n_buckets, F.col("_b"))
+                     .write.mode("overwrite").partitionBy("_b")
+                     .parquet(cdir))
+                buckets = sorted(
+                    int(f.split("=", 1)[1]) for f in os.listdir(cdir)
+                    if f.startswith("_b="))
+                new_meta[store] = [{"dir": cdir, "buckets": buckets}]
+            else:
+                snap.write.mode("overwrite").parquet(cdir)
+                new_meta[store] = [cdir]
+            dead.extend(self._entry_dir(e) for e in entries)
+        new_meta["tombstones"] = meta.get("tombstones", []) + dead
+        self._commit(new_meta)
+        return {"compacted": True, "gen": gen, "folded": len(dead)}
+
+    def vacuum(self) -> int:
+        """Delete tombstoned dirs and clear the tombstone list. Separate
+        from the compaction commit so a crash can never orphan LIVE data
+        — worst case re-vacuum re-deletes already-gone dirs (rmtree
+        ignore_errors makes that a no-op)."""
+        import shutil
+        meta = self.meta()
+        dead = meta.get("tombstones", [])
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        if dead:
+            meta = dict(meta)
+            meta["tombstones"] = []
+            self._commit(meta)
+        return len(dead)
 
     def writer(self):
         return self.apply_batch
@@ -893,6 +1067,64 @@ GROUP BY 1
 """
 
 
+def ivm_join_view_compacted_rollup(spark, sf_dir: str) -> DataFrame:
+    """ivm_join_view_rollup's fold with delta-log COMPACTION firing
+    mid-stream (compact_after=1: the snapshot fold runs after every
+    batch past the first, plus vacuum reclaiming tombstones between
+    batches) — proving on real data that compaction + vacuum preserve
+    the maintained view exactly. The oracle is the SAME one-shot join +
+    GROUP BY: compaction is a bag-union rewrite of append-only stores,
+    so the view is unchanged by construction (JoinSink.compact
+    docstring); this row is the driver-checked witness.
+
+    Scale shape: this is the operational fix for the one unbounded
+    resource in the delta-log design — manifest entries (and with them
+    listing + parquet-footer costs) grow O(batches) with uptime without
+    it, stay ≤ compact_after+1 with it."""
+    import shutil
+    import tempfile
+
+    from postgres_es_cdc_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"))
+    items = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+         .alias("price_cents"))
+
+    base = tempfile.mkdtemp(prefix="join_ivm_c_")
+    try:
+        sink = JoinSink(base, key_col="k", left_cols=["priority"],
+                        right_cols=["ln", "price_cents"],
+                        compact_after=1)
+        for i in range(3):
+            b = (orders.filter(F.col("k") % 3 == i)
+                 .select("k", F.lit("L").alias("side"), "priority",
+                         F.lit(None).cast("int").alias("ln"),
+                         F.lit(None).cast("long").alias("price_cents"))
+                 .unionByName(
+                     items.filter((F.col("k") + F.col("ln")) % 3 == i)
+                     .select("k", F.lit("R").alias("side"),
+                             F.lit(None).cast("string").alias("priority"),
+                             "ln", "price_cents")))
+            sink.apply_batch(b, i)
+            sink.vacuum()
+        m = sink.meta()
+        assert max(len(m[s]) for s in ("left", "right", "view")) <= 2, \
+            "compaction failed to bound the delta log"
+        view = sink.state_view(spark)
+        out = (view.groupBy("priority")
+                   .agg(F.count(F.lit(1)).alias("n_items"),
+                        F.countDistinct("k").alias("n_orders"),
+                        F.sum("price_cents").alias("sum_price_cents"))
+                   .localCheckpoint())      # outlive the tmpdir
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 class HLLSink:
     """foreachBatch sink maintaining a PORTABLE HyperLogLog sketch per
     group — the approximate member of the IVM family. State is the
@@ -916,26 +1148,30 @@ class HLLSink:
         self.path = path
         self.group_col = group_col
         self.key_col = key_col
+        self._st = _SnapshotState(path)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_es_cdc_spark.operators.analytics import hll_registers
 
         spark = batch.sparkSession
+        if self._st.applied(batch_id):
+            return          # max-merge is idempotent; skipping is free
         regs = hll_registers(batch, self.group_col, self.key_col)
-        if os.path.exists(self.path):
-            regs = spark.read.parquet(self.path).unionByName(regs)
-        merged = regs.groupBy(self.group_col, "bucket").agg(
-            F.max("m").alias("m"))
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        prior = self._st.read(spark)
+        if prior is not None:
+            regs = prior.unionByName(regs)
+        self._st.commit(regs.groupBy(self.group_col, "bucket").agg(
+            F.max("m").alias("m")), batch_id)
+
+    def state(self, spark) -> DataFrame | None:
+        return self._st.read(spark)
 
     def estimate(self, spark) -> DataFrame:
         from postgres_es_cdc_spark.operators.analytics import (
             hll_estimate_from_registers)
 
         return hll_estimate_from_registers(
-            spark.read.parquet(self.path), self.group_col)
+            self._st.read(spark), self.group_col)
 
     def writer(self):
         return self.apply_batch
@@ -974,9 +1210,10 @@ class QSketchSink:
     count registers keyed (group, bucket). Counts merge by SUM: an
     associative+commutative fold, so batch boundaries provably cannot
     change the registers — but unlike the HLL's max-merge SUM is NOT
-    idempotent, so replay protection is explicit: a last-applied
-    batch-id marker committed atomically beside the state makes a
-    redelivered micro-batch a no-op (the AggSink-family discipline).
+    idempotent, so replay protection is explicit: the _SnapshotState
+    manifest commits the last-applied batch id atomically WITH the
+    state repoint, making a redelivered micro-batch a no-op (the
+    AggSink-family discipline).
 
     Scale shape: per batch one map-side partial-count row per
     (group, bucket); the exchange and the state both carry
@@ -986,38 +1223,24 @@ class QSketchSink:
         self.path = path
         self.group_col = group_col
         self.value_col = value_col
-
-    def _marker(self) -> str:
-        return self.path + "._batch.json"
-
-    def _last_batch(self) -> int:
-        if os.path.exists(self._marker()):
-            with open(self._marker()) as f:
-                return json.load(f)["batch_id"]
-        return -1
+        self._st = _SnapshotState(path)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_es_cdc_spark.operators.analytics import (
             qsketch_registers)
 
-        if batch_id <= self._last_batch():
+        if self._st.applied(batch_id):
             return  # replayed batch: counts must not double
         spark = batch.sparkSession
         regs = qsketch_registers(batch, self.group_col, self.value_col)
-        if os.path.exists(self.path):
-            regs = spark.read.parquet(self.path).unionByName(regs)
-        merged = regs.groupBy(self.group_col, "bucket").agg(
-            F.sum("cnt").alias("cnt"))
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        mtmp = self._marker() + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(mtmp, self._marker())
+        prior = self._st.read(spark)
+        if prior is not None:
+            regs = prior.unionByName(regs)
+        self._st.commit(regs.groupBy(self.group_col, "bucket").agg(
+            F.sum("cnt").alias("cnt")), batch_id)
 
     def registers(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return self._st.read(spark)
 
     def writer(self):
         return self.apply_batch

@@ -108,3 +108,32 @@ def test_triangle_estimate_envelope_and_determinism(spark, sf_dir):
     exact = tcnt.groupBy().sum("n_triangles").collect()[0][0] // 3
     assert abs(row.est_triangles - exact) <= max(4 * row.stderr, 50), \
         (row.est_triangles, exact, row.stderr)
+
+
+def test_local_clustering_estimate_oracle_exact_and_calibrated(
+        spark, sf_dir):
+    """The per-node DOULION variant: oracle-exact (same hash-coin
+    subgraph both engines), covers exactly the deg>=2 node set of the
+    exact row, cc_est clamped to [0,1], and the SUM of per-node
+    estimates is the global estimator's 3T-scaled mass within a loose
+    envelope of the exact per-node total (unbiasedness sanity, not a
+    tight bound — p=1/2 keeps the fixture noise workable)."""
+    from tests.oracle_harness import compare, duck_connection
+    from postgres_es_cdc_spark.operators.graph import (
+        GRAPH_LOCAL_CLUSTERING_EST_SQL, graph_clustering_coefficient,
+        graph_local_clustering_estimate)
+
+    df = graph_local_clustering_estimate(spark, sf_dir)
+    r = compare("graph_local_clustering_estimate", df,
+                duck_connection(sf_dir), GRAPH_LOCAL_CLUSTERING_EST_SQL)
+    assert r.ok, r.message()
+
+    exact = graph_clustering_coefficient(spark, sf_dir)
+    rows = df.collect()
+    assert {x.partkey for x in rows} == {x.partkey for x in
+                                         exact.collect()}
+    assert all(0.0 <= x.cc_est <= 1.0 for x in rows)
+    est_total = sum(x.est_triangles for x in rows)
+    true_total = sum(x.n_triangles for x in exact.collect())
+    assert est_total == 0 or true_total == 0 or \
+        0.25 < est_total / true_total < 4.0, (est_total, true_total)

@@ -679,7 +679,7 @@ def test_topk_sink_stream_matches_batch_topk(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {(r.grp, r.v, r.rid)
-           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+           for r in sink.state(spark).collect()}
     allrows = spark.createDataFrame(
         sum(rows_by_batch.values(), []), "grp string, rid long, v long")
     w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("rid"))
@@ -691,7 +691,7 @@ def test_topk_sink_stream_matches_batch_topk(spark, tmp_path):
     sink.apply_batch(spark.createDataFrame(rows_by_batch[1],
                      "grp string, rid long, v long"), 1)
     again = {(r.grp, r.v, r.rid)
-             for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+             for r in sink.state(spark).collect()}
     assert again == want
 
 

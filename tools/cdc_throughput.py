@@ -103,10 +103,22 @@ def main() -> None:
             sink = TxnUpsertSink(os.path.join(base, "state"),
                                  {"orders": schema})
         applier = WalStreamApply(sink)
+
+        # Per-batch wall clock: the soak invariant is a FLAT curve over
+        # batch index — any history-proportional term in the sink shows
+        # up as last-10 >> first-10 (the manifest-commit fold is
+        # O(batch + state), and state saturates at the key universe).
+        batch_s: list = []
+
+        def timed_apply(df, bid):
+            t = time.time()
+            applier.apply(df, bid)
+            batch_s.append(round(time.time() - t, 3))
+
         t1 = time.time()
         stream = (spark.readStream.schema("offset long, data binary")
                   .option("maxFilesPerTrigger", 1).parquet(seg_dir))
-        q = (stream.writeStream.foreachBatch(applier.apply)
+        q = (stream.writeStream.foreachBatch(timed_apply)
              .option("checkpointLocation", os.path.join(base, "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
@@ -126,6 +138,14 @@ def main() -> None:
             "end_to_end_events_per_s": round(
                 n_events / (encode_s + stream_s), 1),
         }
+        if len(batch_s) >= 20:   # soak runs: report the flatness curve
+            k = 10
+            first = sum(batch_s[:k]) / k
+            last = sum(batch_s[-k:]) / k
+            out["n_batches"] = len(batch_s)
+            out["first10_avg_s"] = round(first, 3)
+            out["last10_avg_s"] = round(last, 3)
+            out["flatness_last_over_first"] = round(last / first, 2)
         if use_es:
             out["glued_es"] = True
             out["es_docs"] = sum(len(d) for d in store.indices.values())

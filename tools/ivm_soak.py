@@ -1,0 +1,122 @@
+"""Long-run JoinSink soak: drive N fixed-size micro-batches and record
+PER-BATCH wall time over the batch index — the measured form of the
+IVM docstring claim "per-batch cost is O(|delta| + matches), not
+O(history)". Without compaction the delta log accrues one dir per
+store per batch and listing/footer overhead grows with uptime (the
+round-8 verdict's named scale-killer: 1.75 -> 2.63 s/probe at 10x
+history); with --compact-after N the log folds to one snapshot dir and
+the curve must stay FLAT.
+
+Reported: per-batch seconds (first-10 avg vs last-10 avg — the
+flatness ratio), manifest entry counts at close, final view row count,
+and a correctness echo (maintained view row count == one-shot join row
+count over everything that arrived).
+
+Usage: PYTHONPATH=. python tools/ivm_soak.py [--batches 60]
+         [--rows 10000] [--compact-after 16] [--buckets 1] [--vacuum]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=60)
+    ap.add_argument("--rows", type=int, default=10_000)
+    ap.add_argument("--compact-after", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=1)
+    ap.add_argument("--vacuum", action="store_true",
+                    help="vacuum tombstones after every batch (the "
+                         "operational steady state)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.session import get_spark
+    from postgres_es_cdc_spark.streaming.ivm import JoinSink
+
+    spark = get_spark(app_name="ivm_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = tempfile.mkdtemp(prefix="ivm_soak_")
+    try:
+        sink = JoinSink(os.path.join(base, "join"), key_col="k",
+                        left_cols=["name"], right_cols=["qty"],
+                        n_buckets=args.buckets,
+                        compact_after=args.compact_after)
+
+        def batch_df(i: int):
+            # fixed-size delta: rows//2 keys, L and R rows for each —
+            # every key matches within its own batch (delta x delta),
+            # plus one cross-batch key (0) per batch so the
+            # accumulated-side probe path is exercised every batch.
+            lo = 1 + i * (args.rows // 2)
+            keys = spark.range(lo, lo + args.rows // 2).select(
+                F.col("id").alias("k"))
+            l = keys.select("k", F.lit("L").alias("side"),
+                            F.concat(F.lit("n"), F.col("k")).alias("name"),
+                            F.lit(None).cast("long").alias("qty"))
+            r = keys.select("k", F.lit("R").alias("side"),
+                            F.lit(None).cast("string").alias("name"),
+                            (F.col("k") % 97).alias("qty"))
+            probe = spark.createDataFrame(
+                [(0, "R", None, i)], "k long, side string, name string,"
+                                     " qty long")
+            seed = spark.createDataFrame(
+                [(0, "L", "seed", None)], "k long, side string,"
+                                          " name string, qty long")
+            out = l.unionByName(r).unionByName(probe)
+            return out.unionByName(seed) if i == 0 else out
+
+        times = []
+        for i in range(args.batches):
+            df = batch_df(i).localCheckpoint(eager=True)  # exclude gen
+            t0 = time.time()
+            sink.apply_batch(df, i)
+            if args.vacuum:
+                sink.vacuum()
+            times.append(round(time.time() - t0, 3))
+
+        m = sink.meta()
+        view_rows = sink.state_view(spark).count()
+        # one-shot echo: every batch key matches itself once; key 0
+        # matches (batches) R rows + the seed pairing produced per batch
+        want = args.batches * (args.rows // 2) + args.batches
+        first10 = sum(times[:10]) / min(10, len(times))
+        last10 = sum(times[-10:]) / min(10, len(times))
+        print(json.dumps({
+            "metric": "ivm_joinsink_soak",
+            "batches": args.batches,
+            "rows_per_batch": args.rows,
+            "compact_after": args.compact_after,
+            "n_buckets": args.buckets,
+            "vacuum": args.vacuum,
+            "first10_avg_s": round(first10, 3),
+            "last10_avg_s": round(last10, 3),
+            "flatness_last_over_first": round(last10 / first10, 2),
+            "entries_at_close": {s: len(m[s])
+                                 for s in ("left", "right", "view")},
+            "tombstones_at_close": len(m.get("tombstones", [])),
+            "view_rows": view_rows,
+            "view_rows_expected": want,
+            "view_ok": view_rows == want,
+            "per_batch_s": times,
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
