@@ -54,6 +54,17 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/.scale/sf1")
+    ap.add_argument("--salt-doc-tokens", action="store_true",
+                    help="suffix every documents.text token with the "
+                         "replica index, making each copy's text "
+                         "globally unique: the corpus DUPLICATION RATE "
+                         "stays constant as size grows (each replica "
+                         "keeps only the base corpus's internal "
+                         "duplication), instead of every span becoming "
+                         "mult-way duplicated. The fixture that "
+                         "separates output-growth effects from plan "
+                         "defects for span/dedup queries (round-8 "
+                         "verdict note 7a).")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
 
@@ -76,7 +87,11 @@ def main() -> None:
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
         sel = ", ".join(
-            f"{c} + i * {strides[offs[c]]} AS {c}" if c in offs else c
+            f"{c} + i * {strides[offs[c]]} AS {c}" if c in offs
+            else (f"regexp_replace({c}, '(\\S+)', "
+                  f"'\\1r' || CAST(i AS VARCHAR), 'g') AS {c}"
+                  if args.salt_doc_tokens and tbl == "documents"
+                  and c == "text" else c)
             for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{src}') "

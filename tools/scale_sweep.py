@@ -94,6 +94,17 @@ SWEEP = [
     "docs_training_shards",
     "docs_winnowing_overlap",
     "events_hll_distinct_users",
+    # round-8 additions
+    "graph_triangle_estimate",
+    "events_quantile_gap_sketch",
+    "events_cms_heavy_hitters",
+    "events_hll_type_overlap",
+    "ivm_qsketch_rollup",
+    "docs_duplicate_span_removal",
+    "docs_incremental_winnow_overlap",
+    # round-9 additions
+    "ivm_join_view_compacted_rollup",
+    "graph_local_clustering_estimate",
 ]
 
 
