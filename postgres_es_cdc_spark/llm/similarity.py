@@ -1568,6 +1568,72 @@ def _hier_route_cte(src: str) -> str:
 )"""
 
 
+def _semdedup_prune_kernel(threshold: float):
+    """Per-cluster prune kernel at REPRESENTATIVE grain, provably
+    member-exact. The member-grain rule is
+
+        x pruned  iff  ∃ y < x in x's cluster with cos(x, y) >= θ.
+
+    Identical quantized vectors form a GROUP (same q → same n2 → the
+    IEEE cosine between any two members is the same scalar intra =
+    n2/(s·s), and the cosine to any outside vector is the same float
+    for every member). Therefore, with m_A = min id of group A and
+    m*_A = min over other groups B in the cluster with cos(A,B) >= θ
+    of m_B (+inf when none):
+
+        x ∈ A pruned  iff  (intra_A >= θ and x > m_A)  or  (m*_A < x)
+
+    — the first clause is y ranging over A (every other member of A is
+    comparable only via intra; the smallest is m_A), the second is y
+    ranging over B (∃ y ∈ B, y < x ⟺ m_B < x). No approximation
+    anywhere: intra and the rep-pair cosines are the exact floats the
+    member-grain GEMM computed (identical vectors → identical
+    arithmetic), zero vectors fall out naturally (0/0 = nan compares
+    False, so intra_A >= θ is False — same as member grain). Pair work
+    drops from cluster-size² to DISTINCT-content² per cluster: on the
+    replication fixture every base vector's 100 copies routed to one
+    cluster and the member-grain GEMM measured 127.8s at sf10 vs ~9s
+    at sf3 (clique², winnowing's disease); distinct grain restores the
+    O(N·C) SemDeDup property."""
+    import numpy as np
+    import pandas as pd
+
+    def _prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        X = np.array([list(v) for v in pdf["q"].to_numpy()],
+                     dtype=np.int64)
+        n2 = pdf["n2"].to_numpy().astype(np.float64)
+        # collapse identical vectors: one GEMM row per distinct q
+        key = np.ascontiguousarray(X).view(
+            [("", X.dtype)] * X.shape[1]).ravel()
+        _, first, inv = np.unique(key, return_index=True,
+                                  return_inverse=True)
+        r = len(first)
+        m_a = np.full(r, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m_a, inv, ids)
+        Xr = X[first]
+        n2r = n2[first]
+        s = np.sqrt(n2r)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            intra = n2r / (s * s)            # nan for zero vectors
+            mstar = np.full(r, np.iinfo(np.int64).max, dtype=np.int64)
+            B = 2048
+            for lo in range(0, r, B):
+                hi = min(lo + B, r)
+                cos = ((Xr[lo:hi] @ Xr.T).astype(np.float64)
+                       / (s[lo:hi, None] * s[None, :]))
+                hit = cos >= threshold
+                hit[:, lo:hi][np.eye(hi - lo, dtype=bool)] = False
+                cand = np.where(hit, m_a[None, :],
+                                np.iinfo(np.int64).max)
+                mstar[lo:hi] = cand.min(axis=1)
+            pruned = (((intra[inv] >= threshold) & (ids > m_a[inv]))
+                      | (mstar[inv] < ids))
+        return pd.DataFrame({"vec_id": ids[pruned]})
+
+    return _prune_cluster
+
+
 def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.9,
                        iters: int = 3) -> DataFrame:
@@ -1623,39 +1689,20 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str,
             .select(F.col("id").alias("vec_id"), "cid")
             .localCheckpoint(eager=True))
 
-    # In-cluster pair verification as per-cluster GEMM (the PCA BLAS
-    # pattern): each cluster's members gather once via applyInPandas,
-    # then numpy computes the full pair-dot block X·Xᵀ in int64 —
-    # EXACT (|dot| ≤ 64·Q_SCALE² < 2^53) — and the cosine as the
-    # identical IEEE op sequence the previous expression form used
-    # (cast-to-double, sqrt, multiply, divide, compare), so the prune
-    # set is bit-for-bit the oracle's. The expression/self-join form
-    # evaluated one interpreted higher-order dot per pair: on the
-    # adversarial duplicate-clique corpus (cluster sizes are skewed —
-    # k bounds the MEAN, p99 was ~25x it at sf3) that measured 51s at
-    # sf3; the GEMM form is ~14s. Row blocks inside the kernel keep
-    # the pair matrix O(B·m), never materializing m² at once.
-    import numpy as np
-    import pandas as pd
-
-    def _prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        X = np.array([list(v) for v in pdf["q"].to_numpy()[order]],
-                     dtype=np.int64)
-        s = np.sqrt(pdf["n2"].to_numpy()[order].astype(np.float64))
-        pruned = np.zeros(len(ids), dtype=bool)
-        B = 2048
-        for lo in range(0, len(ids), B):
-            hi = min(lo + B, len(ids))
-            cos = ((X[lo:hi] @ X.T).astype(np.float64)
-                   / (s[lo:hi, None] * s[None, :]))
-            hit = (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
-            pruned |= hit.any(axis=0)
-        return pd.DataFrame({"vec_id": ids[pruned]})
-
+    # In-cluster pair verification as per-cluster DISTINCT-grain GEMM
+    # (the PCA BLAS pattern + winnowing's representative-collapse
+    # lesson): each cluster's members gather once via applyInPandas,
+    # identical vectors collapse to ONE GEMM row, and numpy computes
+    # pair dots over REPRESENTATIVES only — see
+    # _semdedup_prune_kernel for the exactness argument (bit-for-bit
+    # the member-grain rule, hence the oracle's prune set). The sf10
+    # sweep exposed the member-grain quadratic: exact-duplicate cliques
+    # route to one cluster, so GEMM work grew with clique² — 127.8s at
+    # 100x vs ~9s at 30x; distinct-grain bounds pair work by DISTINCT
+    # content per cluster. Row blocks keep the pair matrix O(B·r).
     qa = c.join(alla, c["id"] == alla["vec_id"]).select("cid", "id", "q",
                                                         "n2")
+    _prune_cluster = _semdedup_prune_kernel(threshold)
     pruned = (qa.groupBy("cid").applyInPandas(_prune_cluster, "vec_id long")
                 .withColumn("_p", F.lit(True)))
     return (alla.join(pruned, "vec_id", "left")

@@ -1481,7 +1481,15 @@ def qsketch_registers(df: DataFrame, group_col: str,
     partial_sum IS the sketch merge; the exchange carries O(groups ×
     ~64·16) count rows, never the values. Negative inputs must be
     filtered by the caller (rank sketch over magnitudes)."""
-    bucket = F.expr(
+    return (df.select(group_col, qsketch_bucket(value_col).alias("bucket"))
+              .groupBy(group_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def qsketch_bucket(value_col: str):
+    """Register id of a non-negative integer value (qsketch_registers'
+    bucket map as a reusable Column — pure integer bit arithmetic)."""
+    return F.expr(
         f"CASE WHEN {value_col} < {QSK_SUB} THEN CAST({value_col} AS BIGINT)"
         f" ELSE (length(bin({value_col})) - 1) * {QSK_SUB}"
         f" + CAST({value_col} AS BIGINT)"
@@ -1489,9 +1497,6 @@ def qsketch_registers(df: DataFrame, group_col: str,
         f"         CAST(length(bin({value_col})) - 1 - {QSK_SUB_BITS}"
         f"              AS INT))"
         f" - {QSK_SUB} END")
-    return (df.select(group_col, bucket.alias("bucket"))
-              .groupBy(group_col, "bucket")
-              .agg(F.count(F.lit(1)).alias("cnt")))
 
 
 def qsketch_bounds(bucket) -> tuple:
@@ -1528,9 +1533,16 @@ def events_quantile_gap_sketch(spark: SparkSession,
 
     Scale shape: one user-keyed shuffle for the lag window, then the
     register fold (map-side combined); the quantile walk runs on the
-    register table (~#types × 1000 rows). The exact companion costs a
-    type-keyed sort at test SF and is the part you drop at 100 TB —
-    the sketch path never moves the raw gaps."""
+    register table (~#types × 1000 rows). The exact companion is
+    REGISTER-GUIDED (round 9): the hit bucket's exact counts locate the
+    rank (global order = (bucket, within-bucket order) because buckets
+    are disjoint value-monotone intervals), so only the hit bucket's
+    rows — n/(16·octaves)-ish, never the corpus — are sorted, and only
+    within (type, percentile) groups. The pre-guided form sorted every
+    gap per type in ONE window task per type (sf10 measured 63.5s; a
+    ~2M-row single-task sort at 100× — exactly the non-plan you'd get
+    sorting 100 TB in #types tasks); guided it's a broadcast semi-join
+    + tiny sorts."""
     e = events_table(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gaps = (e.select("user_id", "event_type", "ts_us", "event_id")
@@ -1556,16 +1568,28 @@ def events_quantile_gap_sketch(spark: SparkSession,
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("event_type", "p")
                         .orderBy("bucket")))
-              .filter(F.col("_rn") == 1))
+              .filter(F.col("_rn") == 1)
+              .withColumn("cum_before", F.col("cum") - F.col("cnt")))
     lo, hi = qsketch_bounds(F.col("bucket"))
 
-    exact = (gaps.withColumn("_rn", F.row_number().over(
-                 Window.partitionBy("event_type").orderBy("gap")))
-                 .select("event_type", F.col("_rn").alias("q_rank"),
+    # register-guided exact rank select (docstring, Scale shape): the
+    # q_rank-th smallest gap is the (q_rank - cum_before)-th smallest
+    # WITHIN the hit bucket — exact because register counts are exact
+    # and buckets are disjoint value-monotone intervals. Ties within
+    # the bucket order arbitrarily, same as a full sort: the selected
+    # VALUE is identical either way.
+    sel = hit.select("event_type", "p", "bucket", "q_rank", "cum_before")
+    cand = (gaps.withColumn("bucket", qsketch_bucket("gap"))
+                .join(F.broadcast(sel), ["event_type", "bucket"]))
+    exact = (cand.withColumn("_rn", F.row_number().over(
+                 Window.partitionBy("event_type", "p").orderBy("gap")))
+                 .filter(F.col("_rn")
+                         == F.col("q_rank") - F.col("cum_before"))
+                 .select("event_type", "p",
                          F.col("gap").alias("exact_gap_us")))
     return (hit.select("event_type", "p", "n_gaps", "q_rank",
                        lo.alias("q_lo"), hi.alias("q_hi"))
-               .join(exact, ["event_type", "q_rank"])
+               .join(exact, ["event_type", "p"])
                .select("event_type", "p", "n_gaps", "q_rank", "q_lo",
                        "q_hi", "exact_gap_us",
                        ((F.col("q_lo") <= F.col("exact_gap_us"))

@@ -180,3 +180,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_qsketch_exact_companion_is_register_guided(spark, sf_dir):
+    """Round-9 fix guard: events_quantile_gap_sketch's exact companion
+    must select the rank through the register-guided broadcast join
+    (only the hit bucket's rows sort, inside (type, percentile)
+    groups) — the pre-guided form ran a full per-type sort in ONE
+    window task per type and measured 63.5s at sf10. Evidence: a
+    broadcast exchange feeds the gap-side join, and no window in the
+    plan partitions by event_type ALONE (the full-sort shape)."""
+    import re
+
+    from postgres_es_cdc_spark.operators.analytics import (
+        events_quantile_gap_sketch)
+
+    plan = _plan(events_quantile_gap_sketch(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    # the full-sort shape was row_number over raw gaps partitioned by
+    # event_type ALONE: windowspecdefinition(event_type#N, gap#M ASC...).
+    # Guided, every gap-ordered window also partitions by p (tiny
+    # per-(type, p) candidate sets); only the register fold (ordered by
+    # bucket) may partition by event_type alone.
+    bad = re.findall(
+        r"windowspecdefinition\(event_type#\d+, gap#\d+L? ASC", plan)
+    assert not bad, bad

@@ -325,3 +325,44 @@ def test_route_hier_three_level_matches_two_level_choice(spark):
     for r in three:
         assert r["cid"] == two[r["id"]][1] == r["id"] % k
         assert r["routed"] <= k
+
+
+def test_semdedup_collapsed_kernel_equals_member_grain_rule():
+    """The representative-collapse verify kernel (round 9: pair work
+    bounded by DISTINCT vectors per cluster, not clique²) is provably
+    member-exact — checked here against a direct implementation of the
+    member-grain rule (x pruned iff ∃ y < x with cos >= θ, the exact
+    arithmetic the pre-collapse GEMM ran) over 200 randomized clusters
+    with heavy replication, zero-vector groups, and thresholds
+    spanning the range. Pure numpy; no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        _semdedup_prune_kernel)
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(2, 40))
+        d = 8
+        n_distinct = int(rng.integers(1, 6))
+        base = rng.integers(-5, 6, size=(n_distinct, d)).astype(np.int64)
+        if trial % 3 == 0:
+            base[0] = 0                       # zero-vector group
+        rows = base[rng.integers(0, n_distinct, size=n)]
+        ids = rng.permutation(
+            np.arange(1000, 1000 + 2 * n))[:n].astype(np.int64)
+        n2 = (rows * rows).sum(axis=1)
+        theta = float(rng.choice([0.9, 0.5, 0.99, -0.5]))
+
+        X = rows
+        s = np.sqrt(n2.astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (X @ X.T).astype(np.float64) / (s[:, None] * s[None, :])
+            hit = (cos >= theta) & (ids[:, None] < ids[None, :])
+        want = set(ids[hit.any(axis=0)])
+
+        pdf = pd.DataFrame(
+            {"id": ids, "q": [list(r) for r in rows], "n2": n2})
+        got = set(_semdedup_prune_kernel(theta)(pdf)["vec_id"])
+        assert got == want, (trial, theta, sorted(got), sorted(want))

@@ -67,23 +67,7 @@ def run(spark, sf_dir: str) -> dict:
         "p50": float(sizes["p50"]), "p99": float(sizes["p99"]),
         "max": int(sizes["max"])}
 
-    threshold = 0.9
-
-    def _prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        X = np.array([list(v) for v in pdf["q"].to_numpy()[order]],
-                     dtype=np.int64)
-        s = np.sqrt(pdf["n2"].to_numpy()[order].astype(np.float64))
-        pruned = np.zeros(len(ids), dtype=bool)
-        B = 2048
-        for lo in range(0, len(ids), B):
-            hi = min(lo + B, len(ids))
-            cos = ((X[lo:hi] @ X.T).astype(np.float64)
-                   / (s[lo:hi, None] * s[None, :]))
-            hit = (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
-            pruned |= hit.any(axis=0)
-        return pd.DataFrame({"vec_id": ids[pruned]})
+    _prune_cluster = S._semdedup_prune_kernel(0.9)
 
     qa = (c.join(alla, c["id"] == alla["vec_id"])
            .select("cid", "id", "q", "n2"))
