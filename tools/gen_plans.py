@@ -237,8 +237,20 @@ PICKS = {
         "One user-keyed shuffle for the lag window; the register fold "
         "is a map-side-combined count per (type, log2-bucket); the "
         "rank walk and bounds run on the ~types x 1000-row register "
-        "table; only the exact companion sorts gaps (dropped at "
-        "100 TB).",
+        "table; the exact companion is register-GUIDED (round 9): a "
+        "broadcast of the 15 hit buckets filters the gaps, so only "
+        "bucket-local candidates sort — no full per-type window (the "
+        "63.5s-at-sf10 shape the plan guard now forbids).",
+    "graph_local_clustering_estimate":
+        "Per-node DOULION: hash-coin map-side edge filter, forward "
+        "engine on the p=1/2 subgraph (~p^1.5 of the exact "
+        "intersection work), one full-graph degree agg (map-side "
+        "combined), node-keyed left join to close.",
+    "ivm_join_view_compacted_rollup":
+        "Same delta-join per batch as ivm_join_view_rollup; the "
+        "compaction fold between batches is a bag-union rewrite of "
+        "the three store logs (scan + write, no shuffle beyond the "
+        "write partitioning), manifest repoint is one os.replace.",
     "multimodal_video_scene_cuts":
         "Arrow-batched mapInPandas pipelined into the scan; frame "
         "matrices (numpy diff) never leave the executor — the shuffle "
