@@ -28,6 +28,14 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Partial aggregation pushed into the scan stage where possible.
     "spark.sql.parquet.aggregatePushdown": "true",
+    # local[N] only: localCheckpoint materialization counts block
+    # transfers against driver.maxResultSize, and the 1g default fails
+    # a legitimately large memoized frame (the sf10 123M-row candidate
+    # pair list, ~2 GB, found by the 100x sweep). On a real cluster
+    # local checkpoints live on executors and never cross this limit;
+    # in local mode the driver IS the executor, so size the cap with
+    # the heap. Applied at JVM launch only, like driver.memory.
+    "spark.driver.maxResultSize": "8g",
 }
 
 # local[N] runs the whole engine in the driver JVM; Spark's 1g default
