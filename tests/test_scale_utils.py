@@ -118,3 +118,41 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_make_scale_salt_doc_tokens_holds_duplication_rate(tmp_path):
+    """make_scale --salt-doc-tokens (round 9): every replica's document
+    text becomes globally unique (per-token replica suffix), so the
+    corpus duplication RATE stays constant as size grows — the fixture
+    that separates output-growth effects from plan defects for the
+    span/dedup scale curves. Checks: texts globally distinct, per-copy
+    token structure preserved (same token count as the base), id
+    offsets still applied."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    dst = str(tmp_path / "salted")
+    subprocess.run(
+        [sys.executable, "tools/make_scale.py", "--mult", "3",
+         "--src", "/root/testdata/sf0.001", "--dst", dst,
+         "--salt-doc-tokens"],
+        check=True, cwd="/root/repo", capture_output=True)
+    con = duckdb.connect()
+    n_rows, n_texts = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) "
+        f"FROM read_parquet('{dst}/documents.parquet')").fetchone()
+    assert n_rows == 3 * con.execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").fetchone()[0]
+    assert n_texts == n_rows          # globally unique replica texts
+    # token structure: same whitespace-token count as the base doc
+    base_tokens, salted_tokens = con.execute(f"""
+        SELECT len(string_split(b.text, ' ')),
+               len(string_split(s.text, ' '))
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet') b
+        JOIN read_parquet('{dst}/documents.parquet') s
+          ON s.doc_id = b.doc_id
+        LIMIT 1""").fetchone()
+    assert base_tokens == salted_tokens
