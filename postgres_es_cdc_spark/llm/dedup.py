@@ -520,6 +520,91 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str,
                        F.max("doc_id").alias("max_member_id")))
 
 
+def docs_dedup_clusters_collapsed(spark: SparkSession, sf_dir: str,
+                                  max_iters: int = 5,
+                                  cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """Near-duplicate clustering with exact-duplicate SIGNATURE collapse
+    before LSH banding — the duplication-heavy-corpus variant of
+    docs_dedup_clusters, applying the representative discipline that
+    fixed winnowing (round 8) and semdedup (round 9) to the third
+    family member. Motivation measured at sf10: the member-grain pair
+    graph is clique² in the duplicate multiplicity (123M candidate
+    pairs on the ×100-replication fixture, SCALE.md round 9); identical
+    documents have identical MinHash signatures, so banding them
+    separately buys nothing — they pair with everything their
+    representative pairs with.
+
+    Semantics (the oracle mirrors this construction verbatim):
+    (1) docs with IDENTICAL full signature vectors form a group,
+    rep = min doc_id — group members are near-dups of each other by
+    construction (equal signatures) and always cluster together, even
+    where an over-cap band bucket would have dropped their pairwise
+    edges in the member-grain pipeline; (2) banding, the bucket cap,
+    candidate pairs, and the fixed 5-round min-label propagation all
+    run at REP grain — pair work and propagation are bounded by
+    DISTINCT content; (3) members inherit their rep's label (groups
+    with no cross-group candidates keep label = rep). Label-chain
+    DEPTH differs from the member-grain variant (collapsed cliques
+    shorten paths), so this is a sibling definition, not a bit-equal
+    rewrite — both rows stay registered, each against its own oracle.
+
+    Scale: one window shuffle over the 8 signature columns for the
+    collapse; everything after is the standard pipeline on ≤ distinct
+    rows. On the ×100 fixture the rep graph has ~1/200th the nodes and
+    ~1/40000th the candidate pairs of the member-grain graph."""
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+    sigcols = [f"sig{i}" for i in range(len(MINHASH_PERMS))]
+    w = Window.partitionBy(*sigcols)
+    mem = (sigs.select("doc_id", *sigcols)
+               .withColumn("rep", F.min("doc_id").over(w))
+               .localCheckpoint(eager=True))
+    reps = mem.filter(F.col("doc_id") == F.col("rep"))
+    bands = F.array(*[
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.md5(F.concat_ws(
+                     "_", F.col(f"sig{a}").cast("string"),
+                     F.col(f"sig{b}").cast("string"))).alias("band_key"))
+        for bi, (a, b) in enumerate(LSH_BANDS)
+    ])
+    banded = (reps.select(F.col("rep").alias("doc_id"),
+                          F.explode(bands).alias("bk"))
+                  .select("doc_id", "bk.band_idx", "bk.band_key"))
+    buckets = (_cap_buckets(banded, ["band_idx", "band_key"], "doc_id",
+                            cap)
+               .groupBy("band_idx", "band_key")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = (buckets.select(F.explode("ids").alias("doc_a"), "ids")
+                    .select("doc_a", F.explode("ids").alias("doc_b"))
+                    .filter(F.col("doc_a") < F.col("doc_b")).distinct())
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+                  .unionByName(pairs.select(
+                      F.col("doc_b").alias("src"),
+                      F.col("doc_a").alias("dst")))
+                  .localCheckpoint(eager=True))
+    nodes = edges.select(F.col("src").alias("rep_id")).distinct()
+    labels = nodes.withColumn("label", F.col("rep_id"))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges.dst == labels.rep_id)
+                      .groupBy(F.col("src").alias("rep_id"))
+                      .agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, "rep_id", "left")
+                        .select("rep_id",
+                                F.least(F.col("label"),
+                                        F.coalesce("nlabel", F.col("label")))
+                                 .alias("label"))
+                        .localCheckpoint(eager=True))
+    out = (mem.select("doc_id", "rep")
+              .join(labels, mem.rep == labels.rep_id, "left")
+              .select("doc_id",
+                      F.coalesce("label", F.col("rep")).alias("label")))
+    return (out.groupBy("label")
+               .agg(F.count(F.lit(1)).alias("cluster_size"),
+                    F.min("doc_id").alias("canonical_id"),
+                    F.max("doc_id").alias("max_member_id")))
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct token hashes, array-native.
 
@@ -597,6 +682,54 @@ _CLUSTERS_CTE_SQL = (
     "l0 AS (SELECT doc_id, doc_id AS label FROM nodes),\n"
     + ",\n".join(_label_prop_iter_sql(i) for i in range(1, 6)) + "\n"
 )
+
+
+_SIG_COL_LIST = ", ".join(f"sig{i}" for i in range(len(MINHASH_PERMS)))
+
+DOCS_DEDUP_CLUSTERS_COLLAPSED_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         list_min(list_transform(sh, h -> (h*{a}+{b}) % {MINHASH_P})) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+) + f"""
+  FROM sh
+),
+mem AS (
+  SELECT doc_id, {_SIG_COL_LIST},
+         MIN(doc_id) OVER (PARTITION BY {_SIG_COL_LIST}) AS rep
+  FROM sigs
+),
+reps AS (SELECT rep AS doc_id, {_SIG_COL_LIST} FROM mem
+         WHERE doc_id = rep),
+banded AS (""" + " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, "
+    f"md5(CAST(sig{a} AS VARCHAR) || '_' || CAST(sig{b} AS VARCHAR)) AS band_key "
+    f"FROM reps"
+    for bi, (a, b) in enumerate(LSH_BANDS)
+) + f"""),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+l0 AS (SELECT doc_id, doc_id AS label FROM nodes),
+""" + ",\n".join(_label_prop_iter_sql(i) for i in range(1, 6)) + """
+SELECT COALESCE(l.label, m.rep) AS label,
+       COUNT(*) AS cluster_size,
+       MIN(m.doc_id) AS canonical_id,
+       MAX(m.doc_id) AS max_member_id
+FROM mem m LEFT JOIN l5 l ON l.doc_id = m.rep
+GROUP BY 1
+"""
+
+
+
 
 DOCS_DEDUP_CLUSTERS_SQL = (
     _CLUSTERS_CTE_SQL

@@ -122,6 +122,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # iterative label propagation over the LSH pair graph — rows-only;
     # semantics pinned in tests/test_dedup.py.
     "docs_dedup_clusters": QuerySpec(dedup.docs_dedup_clusters, dedup.DOCS_DEDUP_CLUSTERS_SQL),
+    # signature-collapsed sibling (r9): rep-grain banding/propagation,
+    # full hash-checked oracle; the duplication-heavy-corpus scale path
+    "docs_dedup_clusters_collapsed": QuerySpec(
+        dedup.docs_dedup_clusters_collapsed,
+        dedup.DOCS_DEDUP_CLUSTERS_COLLAPSED_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
