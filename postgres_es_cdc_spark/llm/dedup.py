@@ -263,34 +263,88 @@ def _build_lsh_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
-def signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted LSH index of the already-ingested corpus:
-    (doc_id, band_idx, band_key) for every ORIGINAL document — the
-    artifact an incremental dedup pipeline writes once at corpus build
-    and probes on every new batch (the dedup twin of
-    similarity.trained_quantizer's train-once discipline).
-    In-session it reads the memoized banding materialization; across
-    sessions ``save_signature_store``/``load_signature_store``
-    round-trip the same frame through parquet bit-exactly (all columns
-    are int/string — no float drift)."""
-    return _lsh_banded(spark, sf_dir).filter(F.col("doc_id") < 1000000)
+_SIG_COLS = tuple(f"sig{i}" for i in range(len(MINHASH_PERMS)))
 
 
-def save_signature_store(banded: DataFrame, path: str) -> None:
-    """Persist the LSH signature store, partitioned by band_idx so an
-    incremental probe of one band prunes to its own files."""
-    banded.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+def _sig_collapsed(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig0..7, rep): exact-duplicate SIGNATURE collapse — docs
+    with identical full MinHash signature vectors form a group, rep =
+    min doc_id. One window shuffle over the 8 signature columns; all
+    sig_i are null together (empty shingle set), and SQL grouping
+    treats the all-null vector as one group — exactly matching the
+    member-grain banding, where concat_ws skips nulls and every
+    empty-sig doc lands in the md5("") bucket."""
+    w = Window.partitionBy(*_SIG_COLS)
+    return sigs.withColumn("rep", F.min("doc_id").over(w))
 
 
-def load_signature_store(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.read.parquet(path)
-                 .select("doc_id",
+def _rep_bands(reps: DataFrame) -> DataFrame:
+    """(rep, band_idx, band_key) for a rep-grain signature frame — the
+    banding stage of _build_lsh_banded applied to representatives."""
+    bands = F.array(*[
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.md5(F.concat_ws(
+                     "_", F.col(f"sig{a}").cast("string"),
+                     F.col(f"sig{b}").cast("string"))).alias("band_key"))
+        for bi, (a, b) in enumerate(LSH_BANDS)
+    ])
+    return (reps.select("rep", F.explode(bands).alias("bk"))
+                .select("rep", "bk.band_idx", "bk.band_key"))
+
+
+def signature_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """The persisted LSH index of the already-ingested corpus, at
+    REPRESENTATIVE grain (round-10: the dense-clique discipline of
+    fingerprint_store/docs_dedup_clusters_collapsed ported to the LSH
+    store, closing the family's last super-linear curve — the
+    member-grain probe fanned out on exact-duplicate store twins,
+    ~20× per 10× on duplication-heavy corpora at sf10):
+    (members, bands) where members = (doc_id, rep) and bands =
+    (rep, band_idx, band_key), one banding row per DISTINCT signature
+    vector. Identical documents have identical MinHash signatures, so
+    banding them separately buys nothing — the store is written once
+    at corpus build and probed on every new batch without re-reading
+    text (the dedup twin of similarity.trained_quantizer's train-once
+    discipline). All columns int/string — parquet round-trips
+    bit-exactly via save/load_signature_store."""
+    return _memoized_store(spark, sf_dir)
+
+
+def _memoized_store(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (spark.sparkContext.applicationId, sf_dir, "sig_store_rep")
+    hit = _DEDUP_STAGE_CACHE.get(key)
+    if hit is None:
+        mem = _sig_collapsed(
+            _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+            .filter(F.col("doc_id") < 1000000)
+        ).localCheckpoint(eager=False)
+        members = mem.select("doc_id", "rep")
+        bands = _rep_bands(mem.filter(F.col("doc_id") == F.col("rep")))
+        hit = (members, bands)
+        _DEDUP_STAGE_CACHE[key] = hit
+    return hit
+
+
+def save_signature_store(store: tuple, path: str) -> None:
+    """Persist the rep-grain LSH store: members + bands dirs, bands
+    partitioned by band_idx so an incremental probe of one band prunes
+    to its own files (mirrors save_fingerprint_store)."""
+    members, bands = store
+    members.write.mode("overwrite").parquet(path + "/members")
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+        path + "/bands")
+
+
+def load_signature_store(spark: SparkSession, path: str) -> tuple:
+    return (spark.read.parquet(path + "/members").select("doc_id", "rep"),
+            spark.read.parquet(path + "/bands")
+                 .select("rep",
                          F.col("band_idx").cast("int").alias("band_idx"),
                          "band_key"))
 
 
 def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
-                               store: DataFrame | None = None,
+                               store: tuple | None = None,
                                cap: int = PAIR_BUCKET_CAP) -> DataFrame:
     """Incremental near-dup detection: candidate pairs for a NEW batch
     of documents against a PERSISTED signature store, without
@@ -300,40 +354,80 @@ def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
     (there the checkpoint bounds what is re-read; here the signature
     store bounds what is re-hashed).
 
-    The "new batch" is the mutated half (doc_id >= 1e6): its shingles/
-    signatures/bands are computed batch-only; the corpus side comes
-    from the store (band keys, no text). Pair generation groups the
-    flagged union by band key and emits ONLY new×old and new×new pairs
-    — old×old (the quadratic bulk of a full recompute) is never
-    materialized, so per-batch cost is O(batch·bands + matched-bucket
-    members), independent of corpus size. Oracle: a full-corpus LSH
-    recompute restricted to pairs touching the batch (all new ids sort
-    above all old ids, so that is exactly doc_b >= 1e6) — proving
-    incremental == full."""
+    Round-10 rewrite at REPRESENTATIVE grain, same oracle: both the
+    store (signature_store) and the in-flight batch collapse
+    identical-signature docs to one rep before banding; the bucket
+    cap, the bucket-group pass, and the pair `distinct` all run on
+    DISTINCT content, and member pairs expand arithmetically from rep
+    pairs afterwards. This is bit-exact with the member-grain full
+    recompute (not a sibling semantics): identical signature vectors
+    imply identical band keys in every band, so (1) every member of a
+    group shares exactly its rep's buckets — expanding a rep pair
+    through membership reproduces precisely the cross-group member
+    pairs, and (2) same-group members always co-bucket — the
+    within-batch-group self-join reproduces the new×new in-group
+    pairs (old×old in-group pairs are excluded by the incremental
+    semantics and never materialize). Each member pair is emitted
+    exactly once (membership is a function, rep pairs are distinct),
+    so NO distinct ever runs at member grain — the only quadratic
+    left is the size of the correct answer itself.
+
+    The "new batch" is the mutated half (doc_id >= 1e6); pair
+    generation emits ONLY new×old and new×new rep pairs, so per-batch
+    cost is O(batch·bands + matched DISTINCT-content buckets),
+    independent of both corpus size and duplicate multiplicity. The
+    degenerate-bucket cap now bounds reps (distinct content) per
+    bucket, a strictly less lossy guard than the member-grain cap; it
+    never binds at driver scale factors (oracle has no cap). Oracle: a
+    full-corpus LSH recompute restricted to pairs touching the batch
+    (all new ids sort above all old ids, so that is exactly
+    doc_b >= 1e6) — proving incremental == full."""
     if store is None:
         store = signature_store(spark, sf_dir)
-    batch = _lsh_banded(spark, sf_dir).filter(F.col("doc_id") >= 1000000)
-    flagged = (store.withColumn("is_new", F.lit(False))
-                    .unionByName(batch.withColumn("is_new", F.lit(True))))
+    store_members, store_bands = store
+    bmem = _sig_collapsed(
+        _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+        .filter(F.col("doc_id") >= 1000000)
+    ).localCheckpoint(eager=False)
+    batch_members = bmem.select("doc_id", "rep")
+    batch_bands = _rep_bands(bmem.filter(F.col("doc_id") == F.col("rep")))
+    flagged = (store_bands.withColumn("is_new", F.lit(False))
+                          .unionByName(
+                   batch_bands.withColumn("is_new", F.lit(True))))
     buckets = (
-        _cap_buckets(flagged, ["band_idx", "band_key"], "doc_id", cap)
+        _cap_buckets(flagged, ["band_idx", "band_key"], "rep", cap)
         .groupBy("band_idx", "band_key")
-        .agg(F.collect_list(F.when(~F.col("is_new"), F.col("doc_id")))
-              .alias("old_ids"),
-             F.collect_list(F.when(F.col("is_new"), F.col("doc_id")))
-              .alias("new_ids"))
-        .filter((F.size("new_ids") > 0)
-                & (F.size("old_ids") + F.size("new_ids") > 1))
+        .agg(F.collect_list(F.when(~F.col("is_new"), F.col("rep")))
+              .alias("old_reps"),
+             F.collect_list(F.when(F.col("is_new"), F.col("rep")))
+              .alias("new_reps"))
+        .filter((F.size("new_reps") > 0)
+                & (F.size("old_reps") + F.size("new_reps") > 1))
     )
-    return (
-        buckets.select(F.explode("new_ids").alias("n"),
-                       F.concat("old_ids", "new_ids").alias("cands"))
+    rep_pairs = (
+        buckets.select(F.explode("new_reps").alias("n"),
+                       F.concat("old_reps", "new_reps").alias("cands"))
                .select("n", F.explode("cands").alias("m"))
                .filter(F.col("n") != F.col("m"))
-               .select(F.least("n", "m").alias("doc_a"),
-                       F.greatest("n", "m").alias("doc_b"))
+               .select(F.least("n", "m").alias("pa"),
+                       F.greatest("n", "m").alias("pb"))
                .distinct()
     )
+    members = store_members.unionByName(batch_members)
+    cross = (
+        members.select(F.col("rep").alias("pa"), F.col("doc_id").alias("da"))
+               .join(F.broadcast(rep_pairs), "pa")
+               .join(members.select(F.col("rep").alias("pb"),
+                                    F.col("doc_id").alias("db")), "pb")
+               .select(F.least("da", "db").alias("doc_a"),
+                       F.greatest("da", "db").alias("doc_b"))
+    )
+    m1, m2 = batch_members.alias("m1"), batch_members.alias("m2")
+    within = (m1.join(m2, (F.col("m1.rep") == F.col("m2.rep"))
+                          & (F.col("m1.doc_id") < F.col("m2.doc_id")))
+                .select(F.col("m1.doc_id").alias("doc_a"),
+                        F.col("m2.doc_id").alias("doc_b")))
+    return cross.unionByName(within)
 
 
 _BANDS_SQL = " UNION ALL ".join(

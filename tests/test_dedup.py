@@ -251,9 +251,12 @@ def test_incremental_pairs_match_full_recompute_and_roundtrip(
     full = {(r.doc_a, r.doc_b)
             for r in docs_minhash_lsh_pairs(spark, sf_dir).collect()}
     expected = {(a, b) for a, b in full if b >= 1_000_000}
-    inc = {(r.doc_a, r.doc_b)
-           for r in docs_incremental_lsh_pairs(spark, sf_dir).collect()}
+    inc_rows = docs_incremental_lsh_pairs(spark, sf_dir).collect()
+    inc = {(r.doc_a, r.doc_b) for r in inc_rows}
     assert inc == expected
+    # rep-grain expansion emits each member pair exactly once — no
+    # member-grain distinct anywhere, so duplicates would surface here
+    assert len(inc_rows) == len(inc)
     assert expected, "batch must produce candidates at test scale"
     # old x old never emitted by construction
     assert not [(a, b) for (a, b) in inc if b < 1_000_000]
@@ -261,6 +264,13 @@ def test_incremental_pairs_match_full_recompute_and_roundtrip(
     path = str(tmp_path / "sigstore")
     save_signature_store(signature_store(spark, sf_dir), path)
     loaded = load_signature_store(spark, path)
+    members, bands = loaded
+    # the store is rep-grain: one banding row per DISTINCT signature
+    # vector per band, membership covers every original doc
+    n_orig = members.count()
+    n_reps = members.select("rep").distinct().count()
+    assert bands.count() == n_reps * 4
+    assert n_orig >= n_reps
     inc2 = {(r.doc_a, r.doc_b)
             for r in docs_incremental_lsh_pairs(
                 spark, sf_dir, store=loaded).collect()}

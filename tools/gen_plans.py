@@ -150,9 +150,11 @@ PICKS = {
         "the vocabulary; the regression folds to one row of exact "
         "decimal counters.",
     "docs_incremental_lsh_pairs":
-        "Incremental dedup: the store side is the memoized banding "
-        "materialization (Scan ExistingRDD, no text re-read); one "
-        "bucket-grouped pass emits only newxold and newxnew pairs — "
+        "Incremental dedup at REPRESENTATIVE grain (round-10): store "
+        "and batch collapse identical-signature docs before banding; "
+        "the bucket pass, cap, and pair distinct run on DISTINCT "
+        "content; member pairs expand arithmetically from rep pairs "
+        "(each emitted exactly once — no member-grain distinct); "
         "oldxold never materializes.",
     "emb_hier_assign":
         "Routing-ladder assign (Arrow numpy kernel): the centroid "
