@@ -575,14 +575,6 @@ def _build_cluster_labels(spark: SparkSession, sf_dir: str,
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(max_iters):
-        neigh = (edges.join(labels, edges.dst == labels.doc_id)
-                      .groupBy(F.col("src").alias("doc_id"))
-                      .agg(F.min("label").alias("nlabel")))
-        labels = (labels.join(neigh, "doc_id", "left")
-                        .select("doc_id",
-                                F.least(F.col("label"),
-                                        F.coalesce("nlabel", F.col("label")))
-                                 .alias("label")))
         # Each round references `labels` TWICE (neighbor join + merge),
         # so the uncut lineage doubles per iteration — 2^iters replays
         # of the whole pipeline. Truncate it: materialize this round's
@@ -590,8 +582,32 @@ def _build_cluster_labels(spark: SparkSession, sf_dir: str,
         # the materialized result. This is the per-iteration barrier
         # every Pregel-style loop needs; on a cluster it would be a
         # checkpoint to reliable storage.
-        labels = labels.localCheckpoint(eager=True)
+        labels = _prop_round(edges, labels).localCheckpoint(eager=True)
     return labels
+
+
+def _prop_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round, with both joins PINNED to
+    shuffle_hash (round-10 survival guard): on duplication-heavy
+    corpora the member-grain pair graph is clique² (123M pairs at
+    sf10), and AQE — seeing only the post-checkpoint size of `labels`
+    — elected to BROADCAST the node-grain label table into the edge
+    join, OOMing the driver (SCALE.md round 9). The label table is
+    node-grain (millions of rows at 100 TB), never broadcast material;
+    a shuffle-hash join on the label key degrades to slow-but-alive at
+    any scale and never sorts the edge list. The collapsed sibling
+    (docs_dedup_clusters_collapsed) remains the designated 100× path —
+    this pin keeps the member-grain semantics ALIVE, per the
+    no-silent-caps discipline. Shape pinned by tests/test_plans.py."""
+    neigh = (edges.join(labels.hint("shuffle_hash"),
+                        edges.dst == labels.doc_id)
+                  .groupBy(F.col("src").alias("doc_id"))
+                  .agg(F.min("label").alias("nlabel")))
+    return (labels.join(neigh.hint("shuffle_hash"), "doc_id", "left")
+                  .select("doc_id",
+                          F.least(F.col("label"),
+                                  F.coalesce("nlabel", F.col("label")))
+                           .alias("label")))
 
 
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str,

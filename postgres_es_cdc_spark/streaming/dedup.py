@@ -22,7 +22,9 @@ never re-read.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,19 +37,76 @@ class KeyedDedupSink:
     parquet seen-key store and an append-only survivor output.
 
     In-batch ties resolve by ``order_col`` (min wins) so replays are
-    deterministic; re-applying a batch after a crash between output
-    append and store merge can duplicate an output file, which the
-    downstream keyed reader tolerates because survivors are unique per
-    key in the store — the same at-least-once + idempotent-merge
-    discipline as streaming/pipeline.UpsertSink."""
+    deterministic.
+
+    Round-10 durability/compaction rewrite (the JoinSink discipline
+    ported to the append-only pair, closing the round-9 verdict's
+    file-count-growth item): both stores are APPEND-ONLY delta logs —
+    one dir per batch under ``out_path``/``seen_path`` — committed
+    TOGETHER with the last applied batch id by one manifest written in
+    a single os.replace. That replaces three defects of the pre-round-10
+    sink: (1) the survivor output was a bare ``mode("append")`` with no
+    replay gate, so an at-least-once redelivery duplicated output
+    files; (2) the seen store was fully REWRITTEN per batch — O(corpus)
+    per batch, the anti-IVM shape; (3) that rewrite overwrote the live
+    dir in place — a crash mid-write lost both old and new state. Now a
+    crash at any point leaves the previously committed manifest current
+    (orphan dirs are invisible and overwritten on retry), a redelivered
+    batch id is a no-op, and per-batch cost is O(batch + store probe)
+    in rows.
+
+    The LOG still grows one dir per store per batch — listing +
+    parquet-footer overhead O(entries) with uptime (288 entries/day at
+    5-minute triggers; the JoinSink soak measured 1.98× probe growth).
+    ``compact_after=N`` folds each log into ONE snapshot dir whenever
+    either exceeds N entries: both stores are append-only BAGS
+    (appended key sets are disjoint by construction — a key is appended
+    only when absent from everything before it), so the snapshot is a
+    pure bag-union rewrite, committed by the same single-os.replace
+    repoint with superseded dirs TOMBSTONED, never deleted in the
+    commit path; vacuum() reclaims them as a separate restartable step.
+    Shapes pinned by tests/test_streaming_dedup_compaction.py; the
+    wall-clock flatness is tools/ivm_soak.py --sink dedup."""
 
     def __init__(self, out_path: str, seen_path: str, keys: list[str],
-                 order_col: str):
+                 order_col: str, compact_after: int | None = None):
         self.out_path = out_path
         self.seen_path = seen_path
         self.keys = keys
         self.order_col = order_col
+        self.compact_after = compact_after
 
+    # -- manifest ------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_path, "_dedup_manifest.json")
+
+    def meta(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"out": [], "seen": [], "last_batch_id": -1}
+
+    def _commit(self, meta: dict) -> None:
+        os.makedirs(self.out_path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def survivors(self, spark: SparkSession) -> DataFrame | None:
+        """The committed survivor output (union of the delta log)."""
+        return self._read_log(spark, self.meta()["out"])
+
+    def seen_keys(self, spark: SparkSession) -> DataFrame | None:
+        """The committed seen-key store (union of the delta log)."""
+        return self._read_log(spark, self.meta()["seen"])
+
+    # -- per-batch fold ------------------------------------------------
     def _batch_first(self, batch: DataFrame) -> DataFrame:
         firsts = batch.groupBy(*self.keys).agg(
             F.min(self.order_col).alias(self.order_col))
@@ -55,20 +114,72 @@ class KeyedDedupSink:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
         cand = self._batch_first(batch)
-        if os.path.exists(self.seen_path):
-            seen = spark.read.parquet(self.seen_path)
+        seen = self._read_log(spark, meta["seen"])
+        if seen is not None:
+            # key-only anti-join: the store holds keys, not payloads —
+            # broadcastable while the store is small, shuffle at scale
             cand = cand.join(seen, self.keys, "left_anti")
         cand = cand.localCheckpoint()  # one computation for both writes
-        cand.write.mode("append").parquet(self.out_path)
-        new_keys = cand.select(*self.keys)
-        if os.path.exists(self.seen_path):
-            new_keys = (spark.read.parquet(self.seen_path)
-                             .unionByName(new_keys))
-        tmp = self.seen_path + ".tmp"
-        new_keys.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self.seen_path)
+        odir = os.path.join(self.out_path, f"b{batch_id}")
+        sdir = os.path.join(self.seen_path, f"b{batch_id}")
+        cand.write.mode("overwrite").parquet(odir)
+        cand.select(*self.keys).write.mode("overwrite").parquet(sdir)
+        new_meta = dict(meta)
+        new_meta.update({"out": meta["out"] + [odir],
+                         "seen": meta["seen"] + [sdir],
+                         "last_batch_id": batch_id})
+        self._commit(new_meta)
+        if self.compact_after is not None and max(
+                len(new_meta["out"]), len(new_meta["seen"])
+        ) > self.compact_after:
+            self.compact(spark)
+
+    # -- compaction ----------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold each delta log into ONE snapshot dir (class docstring).
+        Snapshot dirs land first under a generation name the manifest
+        doesn't reference; then one os.replace repoints both stores and
+        tombstones the superseded dirs. Crash before the repoint leaves
+        the old log current; last_batch_id carries through, so the
+        replay gate survives compaction."""
+        meta = self.meta()
+        if max(len(meta["out"]), len(meta["seen"])) <= 1:
+            return {"compacted": False,
+                    "entries": {s: len(meta[s]) for s in ("out", "seen")}}
+        gen = meta.get("compact_gen", 0) + 1
+        new_meta = dict(meta)
+        new_meta["compact_gen"] = gen
+        dead = []
+        for store, base in (("out", self.out_path),
+                            ("seen", self.seen_path)):
+            entries = meta[store]
+            if not entries:
+                continue
+            cdir = os.path.join(base, f"c{gen}")
+            snap = spark.read.parquet(*entries)
+            snap.write.mode("overwrite").parquet(cdir)
+            new_meta[store] = [cdir]
+            dead.extend(entries)
+        new_meta["tombstones"] = meta.get("tombstones", []) + dead
+        self._commit(new_meta)
+        return {"compacted": True, "gen": gen, "folded": len(dead)}
+
+    def vacuum(self) -> int:
+        """Delete tombstoned dirs and clear the list — separate from
+        the compaction commit so a crash can never orphan LIVE data."""
+        meta = self.meta()
+        dead = meta.get("tombstones", [])
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        if dead:
+            meta = dict(meta)
+            meta["tombstones"] = []
+            self._commit(meta)
+        return len(dead)
 
     def writer(self):
         return self.apply_batch

@@ -205,3 +205,28 @@ def test_qsketch_exact_companion_is_register_guided(spark, sf_dir):
     bad = re.findall(
         r"windowspecdefinition\(event_type#\d+, gap#\d+L? ASC", plan)
     assert not bad, bad
+
+
+def test_label_propagation_round_never_broadcasts_labels(spark, sf_dir):
+    """Round-10 fix guard: docs_dedup_clusters OOM'd at sf10 when AQE
+    broadcast the node-grain label table into the 123M-row edge join.
+    _prop_round pins BOTH joins to shuffle_hash — the label table is
+    node-grain (millions of rows at 100 TB), never broadcast material.
+    Evidence: both propagation joins plan as ShuffledHashJoin; no
+    BroadcastHashJoin and no SortMergeJoin anywhere in the round."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import _prop_round
+
+    pairs = spark.range(100).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+                  .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                            F.col("doc_a").alias("dst"))))
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+                  .withColumn("label", F.col("doc_id"))
+    plan = _plan(_prop_round(edges, labels))
+    assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

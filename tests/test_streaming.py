@@ -610,15 +610,15 @@ def test_keyed_dedup_sink_stream_matches_batch_first_arrival(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {(r.key, r.seq, r.payload)
-           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+           for r in sink.survivors(spark).collect()}
     # batch-mode first-arrival: min seq overall == min (batch, seq)
     # because seq embeds the batch index.
     want = {(k, min(s for (kk, s, _) in sum(rows_by_batch.values(), [])
                     if kk == k), f"b{k % 3}") for k in range(40)}
     assert got == want
-    # seen store holds exactly the distinct keys
-    assert (spark.read.parquet(str(tmp_path / "seen"))
-                 .distinct().count() == 40)
+    # seen store holds exactly the distinct keys — with no distinct()
+    # applied: appended key sets are disjoint by construction
+    assert sink.seen_keys(spark).count() == 40
 
 
 def test_keyed_dedup_sink_replay_after_commit_adds_nothing(spark, tmp_path):
@@ -633,11 +633,11 @@ def test_keyed_dedup_sink_replay_after_commit_adds_nothing(spark, tmp_path):
     batch = spark.createDataFrame(
         [(k, k, "p") for k in range(20)], "key long, seq long, payload string")
     sink.apply_batch(batch, batch_id=0)
-    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    n1 = sink.survivors(spark).count()
     sink.apply_batch(batch, batch_id=0)  # replay
-    n2 = spark.read.parquet(str(tmp_path / "out")).count()
+    n2 = sink.survivors(spark).count()
     assert n1 == 20 and n2 == 20
-    assert spark.read.parquet(str(tmp_path / "seen")).distinct().count() == 20
+    assert sink.seen_keys(spark).count() == 20
 
 
 def test_topk_sink_stream_matches_batch_topk(spark, tmp_path):

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--vacuum", action="store_true",
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
+    ap.add_argument("--sink", choices=["join", "dedup"], default="join",
+                    help="join = JoinSink (round-9 soak); dedup = "
+                         "KeyedDedupSink (round-10: the append-only "
+                         "pair's manifest/compaction discipline)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -49,6 +53,10 @@ def main() -> None:
 
     spark = get_spark(app_name="ivm_soak")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sink == "dedup":
+        _dedup_soak(spark, args)
+        return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
     try:
@@ -112,6 +120,75 @@ def main() -> None:
             "view_rows": view_rows,
             "view_rows_expected": want,
             "view_ok": view_rows == want,
+            "per_batch_s": times,
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _dedup_soak(spark, args) -> None:
+    """KeyedDedupSink soak: fixed-size batches, ~90% redelivered keys
+    (the continuous-crawl shape the sink exists for). Flatness claim:
+    per-batch cost is O(batch + store probe); without compaction the
+    seen-log listing grows one dir per batch with uptime."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.streaming.dedup import KeyedDedupSink
+
+    base = tempfile.mkdtemp(prefix="dedup_soak_")
+    try:
+        sink = KeyedDedupSink(out_path=os.path.join(base, "out"),
+                              seen_path=os.path.join(base, "seen"),
+                              keys=["key"], order_col="seq",
+                              compact_after=args.compact_after)
+        redeliver = args.rows * 9 // 10
+        fresh = args.rows - redeliver
+
+        def batch_df(i: int):
+            old = spark.range(redeliver).select(
+                F.col("id").alias("key"),
+                (F.lit(i) * 1000000 + F.col("id")).alias("seq"),
+                F.lit("old").alias("payload"))
+            new = spark.range(
+                1_000_000 + i * fresh, 1_000_000 + (i + 1) * fresh
+            ).select(F.col("id").alias("key"),
+                     F.lit(i).cast("long").alias("seq"),
+                     F.lit("new").alias("payload"))
+            return old.unionByName(new)
+
+        times = []
+        max_files = 0
+        for i in range(args.batches):
+            df = batch_df(i).localCheckpoint(eager=True)  # exclude gen
+            t0 = time.time()
+            sink.apply_batch(df, i)
+            if args.vacuum:
+                sink.vacuum()
+            times.append(round(time.time() - t0, 3))
+            n_files = sum(len(files) for _, _, files
+                          in os.walk(base))
+            max_files = max(max_files, n_files)
+
+        m = sink.meta()
+        survivors = sink.survivors(spark).count()
+        want = redeliver + fresh * args.batches
+        first10 = sum(times[:10]) / min(10, len(times))
+        last10 = sum(times[-10:]) / min(10, len(times))
+        print(json.dumps({
+            "metric": "keyed_dedup_sink_soak",
+            "batches": args.batches,
+            "rows_per_batch": args.rows,
+            "compact_after": args.compact_after,
+            "vacuum": args.vacuum,
+            "first10_avg_s": round(first10, 3),
+            "last10_avg_s": round(last10, 3),
+            "flatness_last_over_first": round(last10 / first10, 2),
+            "entries_at_close": {s: len(m[s]) for s in ("out", "seen")},
+            "tombstones_at_close": len(m.get("tombstones", [])),
+            "max_files_any_point": max_files,
+            "survivors": survivors,
+            "survivors_expected": want,
+            "survivors_ok": survivors == want,
             "per_batch_s": times,
         }))
     finally:
