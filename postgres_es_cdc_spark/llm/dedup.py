@@ -299,18 +299,19 @@ def signature_store(spark: SparkSession, sf_dir: str) -> tuple:
     store, closing the family's last super-linear curve — the
     member-grain probe fanned out on exact-duplicate store twins,
     ~20× per 10× on duplication-heavy corpora at sf10):
-    (members, bands) where members = (doc_id, rep) and bands =
-    (rep, band_idx, band_key), one banding row per DISTINCT signature
-    vector. Identical documents have identical MinHash signatures, so
-    banding them separately buys nothing — the store is written once
-    at corpus build and probed on every new batch without re-reading
-    text (the dedup twin of similarity.trained_quantizer's train-once
-    discipline). All columns int/string — parquet round-trips
-    bit-exactly via save/load_signature_store."""
-    return _memoized_store(spark, sf_dir)
-
-
-def _memoized_store(spark: SparkSession, sf_dir: str) -> tuple:
+    (members, reps) where members = (doc_id, rep) and reps =
+    (rep, sig0..7), one row per DISTINCT signature vector. Identical
+    documents have identical MinHash signatures, so indexing them
+    separately buys nothing — the store is written once at corpus
+    build, probed on every new batch without re-reading text (the
+    dedup twin of similarity.trained_quantizer's train-once
+    discipline), and UPDATED per batch by merge_signature_store (the
+    continuous-crawl loop: probe, then fold the batch in). Band keys
+    are derived from reps on read (_rep_bands — a projection, no
+    shuffle); the store keeps the signature VECTORS because the merge
+    must match batch groups to store groups by exact signature
+    equality, which derived md5 band keys could only approximate. All
+    columns int, so save/load round-trips parquet bit-exactly."""
     key = (spark.sparkContext.applicationId, sf_dir, "sig_store_rep")
     hit = _DEDUP_STAGE_CACHE.get(key)
     if hit is None:
@@ -318,29 +319,61 @@ def _memoized_store(spark: SparkSession, sf_dir: str) -> tuple:
             _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
             .filter(F.col("doc_id") < 1000000)
         ).localCheckpoint(eager=False)
-        members = mem.select("doc_id", "rep")
-        bands = _rep_bands(mem.filter(F.col("doc_id") == F.col("rep")))
-        hit = (members, bands)
+        hit = (mem.select("doc_id", "rep"),
+               mem.filter(F.col("doc_id") == F.col("rep"))
+                  .select("rep", *_SIG_COLS))
         _DEDUP_STAGE_CACHE[key] = hit
     return hit
 
 
 def save_signature_store(store: tuple, path: str) -> None:
-    """Persist the rep-grain LSH store: members + bands dirs, bands
-    partitioned by band_idx so an incremental probe of one band prunes
-    to its own files (mirrors save_fingerprint_store)."""
-    members, bands = store
+    """Persist the rep-grain LSH store: members + reps dirs (mirrors
+    save_fingerprint_store)."""
+    members, reps = store
     members.write.mode("overwrite").parquet(path + "/members")
-    bands.write.mode("overwrite").partitionBy("band_idx").parquet(
-        path + "/bands")
+    reps.write.mode("overwrite").parquet(path + "/reps")
 
 
 def load_signature_store(spark: SparkSession, path: str) -> tuple:
     return (spark.read.parquet(path + "/members").select("doc_id", "rep"),
-            spark.read.parquet(path + "/bands")
-                 .select("rep",
-                         F.col("band_idx").cast("int").alias("band_idx"),
-                         "band_key"))
+            spark.read.parquet(path + "/reps").select("rep", *_SIG_COLS))
+
+
+def merge_signature_store(store: tuple, batch_mem: DataFrame) -> tuple:
+    """Fold a probed batch INTO the store — the write half of the
+    continuous-crawl loop (probe with docs_incremental_lsh_pairs, then
+    merge so the NEXT batch sees this one as corpus). ``batch_mem`` is
+    the batch's collapsed frame (doc_id, sig0..7, rep) from
+    _sig_collapsed.
+
+    Merge rule, preserving both store invariants (rep ∈ its group;
+    rep = min doc_id over the group): a batch group whose signature
+    vector EQUALS an existing store group's joins that group — its
+    members remap to the store rep (store ids always sort below batch
+    ids, so the min is unchanged); a batch group with an unseen
+    signature becomes a new store group under its own rep. The join is
+    one broadcast-able rep-grain equi-join on the 8 signature columns
+    (eqNullSafe: the all-null vector — empty shingle sets — is one
+    group too, matching _sig_collapsed's SQL grouping semantics).
+    Store cost stays O(distinct content); members grow by exactly the
+    batch."""
+    members, reps = store
+    breps = batch_mem.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("rep").alias("brep"), *[F.col(c).alias(f"b_{c}")
+                                      for c in _SIG_COLS])
+    cond = [reps[c].eqNullSafe(breps[f"b_{c}"]) for c in _SIG_COLS]
+    matched = breps.join(reps, cond, "left").select(
+        "brep", F.col("rep").alias("srep"),
+        *[F.col(f"b_{c}").alias(c) for c in _SIG_COLS])
+    remap = matched.select("brep",
+                           F.coalesce("srep", F.col("brep")).alias("rep"))
+    new_members = (batch_mem.select("doc_id", F.col("rep").alias("brep"))
+                            .join(remap, "brep")
+                            .select("doc_id", "rep"))
+    new_reps = (matched.filter(F.col("srep").isNull())
+                       .select(F.col("brep").alias("rep"), *_SIG_COLS))
+    return (members.unionByName(new_members),
+            reps.unionByName(new_reps))
 
 
 def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
@@ -384,16 +417,25 @@ def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
     doc_b >= 1e6) — proving incremental == full."""
     if store is None:
         store = signature_store(spark, sf_dir)
-    store_members, store_bands = store
     bmem = _sig_collapsed(
         _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
         .filter(F.col("doc_id") >= 1000000)
     ).localCheckpoint(eager=False)
+    return _probe_signature_store(store, bmem, cap)
+
+
+def _probe_signature_store(store: tuple, bmem: DataFrame,
+                           cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """The probe kernel of docs_incremental_lsh_pairs (docstring
+    there), shared with the multi-batch fold: candidate member pairs
+    for a collapsed batch frame (doc_id, sig0..7, rep) against a
+    (members, reps) store."""
+    store_members, store_reps = store
     batch_members = bmem.select("doc_id", "rep")
     batch_bands = _rep_bands(bmem.filter(F.col("doc_id") == F.col("rep")))
-    flagged = (store_bands.withColumn("is_new", F.lit(False))
-                          .unionByName(
-                   batch_bands.withColumn("is_new", F.lit(True))))
+    flagged = (_rep_bands(store_reps).withColumn("is_new", F.lit(False))
+                   .unionByName(
+               batch_bands.withColumn("is_new", F.lit(True))))
     buckets = (
         _cap_buckets(flagged, ["band_idx", "band_key"], "rep", cap)
         .groupBy("band_idx", "band_key")
@@ -428,6 +470,49 @@ def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
                 .select(F.col("m1.doc_id").alias("doc_a"),
                         F.col("m2.doc_id").alias("doc_b")))
     return cross.unionByName(within)
+
+
+def docs_incremental_lsh_multibatch(spark: SparkSession, sf_dir: str,
+                                    n_batches: int = 2,
+                                    cap: int = PAIR_BUCKET_CAP
+                                    ) -> DataFrame:
+    """The full continuous-crawl LOOP: the new corpus arrives in
+    ``n_batches`` sequential batches; each batch PROBES the store for
+    candidate pairs, then MERGES into it (merge_signature_store), so
+    later batches see earlier ones as corpus. Union of the per-batch
+    probe outputs == the one-shot incremental result == the full
+    recompute restricted to batch-touching pairs — the SAME oracle as
+    docs_incremental_lsh_pairs, because every mutant-touching pair is
+    emitted by exactly the probe of its LATER side's batch (old×bᵢ and
+    bⱼ×bᵢ with j<i by probe i via the store; bᵢ×bᵢ by probe i's
+    in-group self-join), and no pair is emitted twice (each probe's
+    output touches its own batch, probed stores never contain it).
+    This is the delta-join law JoinSink rests on ("every output row is
+    produced once — by the batch in which its LATER input arrives"),
+    replayed for LSH dedup.
+
+    Batch i = mutants with orig doc_id ≡ i (mod n_batches) — an
+    arbitrary, deterministic split; batch-boundary invariance is
+    exactly the claim under test. Per-probe cost stays bounded by
+    DISTINCT content on both sides; merges are rep-grain equi-joins."""
+    store = signature_store(spark, sf_dir)
+    sigs = (_signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+            .filter(F.col("doc_id") >= 1000000)
+            .localCheckpoint(eager=False))
+    out: DataFrame | None = None
+    for i in range(n_batches):
+        bmem = _sig_collapsed(
+            sigs.filter((F.col("doc_id") - 1000000) % n_batches == i)
+        ).localCheckpoint(eager=False)
+        pairs = _probe_signature_store(store, bmem, cap)
+        out = pairs if out is None else out.unionByName(pairs)
+        if i + 1 < n_batches:
+            members, reps = merge_signature_store(store, bmem)
+            # barrier per merge: the store frames would otherwise chain
+            # n_batches deep (the Pregel-loop lineage discipline)
+            store = (members.localCheckpoint(eager=False),
+                     reps.localCheckpoint(eager=False))
+    return out
 
 
 _BANDS_SQL = " UNION ALL ".join(

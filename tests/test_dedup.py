@@ -264,17 +264,52 @@ def test_incremental_pairs_match_full_recompute_and_roundtrip(
     path = str(tmp_path / "sigstore")
     save_signature_store(signature_store(spark, sf_dir), path)
     loaded = load_signature_store(spark, path)
-    members, bands = loaded
-    # the store is rep-grain: one banding row per DISTINCT signature
-    # vector per band, membership covers every original doc
+    members, reps = loaded
+    # the store is rep-grain: one row per DISTINCT signature vector,
+    # membership covers every original doc
     n_orig = members.count()
     n_reps = members.select("rep").distinct().count()
-    assert bands.count() == n_reps * 4
+    assert reps.count() == n_reps
     assert n_orig >= n_reps
     inc2 = {(r.doc_a, r.doc_b)
             for r in docs_incremental_lsh_pairs(
                 spark, sf_dir, store=loaded).collect()}
     assert inc2 == expected
+
+
+def test_multibatch_probe_merge_loop_matches_one_shot(spark, sf_dir):
+    """The continuous-crawl loop: probe → merge_signature_store →
+    probe... over 3 sequential batches emits exactly the one-shot
+    incremental pair set, each pair once (no member-grain distinct
+    anywhere), and the merged store keeps its invariants (rep ∈ group,
+    rep = min member, one reps row per distinct signature)."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _sig_collapsed, _signatures_from_sh, _mutated_shingle_hashes,
+        docs_incremental_lsh_multibatch, docs_incremental_lsh_pairs,
+        merge_signature_store, signature_store)
+
+    one_shot = {(r.doc_a, r.doc_b)
+                for r in docs_incremental_lsh_pairs(spark, sf_dir).collect()}
+    rows = docs_incremental_lsh_multibatch(spark, sf_dir,
+                                           n_batches=3).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == one_shot
+    assert len(rows) == len(got)        # each pair emitted exactly once
+
+    # merge invariants on a full-mutant-half fold
+    bmem = _sig_collapsed(
+        _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+        .filter(F.col("doc_id") >= 1000000))
+    members, reps = merge_signature_store(
+        signature_store(spark, sf_dir), bmem)
+    n_groups = members.select("rep").distinct().count()
+    assert reps.count() == n_groups
+    assert reps.select("rep").distinct().count() == n_groups
+    bad = (members.groupBy("rep").agg(F.min("doc_id").alias("lo"))
+                  .filter(F.col("lo") != F.col("rep")).count())
+    assert bad == 0                     # rep = min member of its group
 
 
 def test_lsh_recall_curve_caps_mirror_oracle_when_binding(spark, sf_dir):
