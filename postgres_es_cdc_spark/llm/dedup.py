@@ -183,6 +183,76 @@ GROUP BY md5(text)
 """
 
 
+def exact_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted exact-dedup index of the already-ingested corpus:
+    (content_md5, canonical_id, n_copies) over the ORIGINAL documents —
+    one row per distinct content, the md5 twin of signature_store /
+    fingerprint_store, completing the incremental family's third
+    member (exact / LSH near-dup / exact-substring). All columns
+    int/string; parquet round-trips bit-exactly."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (d.groupBy(F.md5("text").alias("content_md5"))
+             .agg(F.min("doc_id").alias("canonical_id"),
+                  F.count(F.lit(1)).alias("n_copies")))
+
+
+def save_exact_dedup_store(store: DataFrame, path: str) -> None:
+    store.write.mode("overwrite").parquet(path)
+
+
+def load_exact_dedup_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "content_md5", "canonical_id", "n_copies")
+
+
+def docs_incremental_exact_dedup(spark: SparkSession, sf_dir: str,
+                                 store: DataFrame | None = None
+                                 ) -> DataFrame:
+    """Incremental exact dedup: fold a NEW batch (the mutant half,
+    doc_id >= 1e6) into a PERSISTED md5 store without re-reading or
+    re-hashing the old corpus, emitting the updated group rows the
+    batch TOUCHED — the exact-hash member of the incremental trio
+    (near-dup: docs_incremental_lsh_pairs; substring:
+    docs_incremental_winnow_overlap).
+
+    One partial agg over the batch (one md5 per row), one key equi-join
+    against the store: merged canonical = least(store, batch) — equal
+    to the global min because the store row already holds the min over
+    old members — and merged count = store + batch counts. Groups the
+    batch never touches are never read past the join probe, so
+    per-batch cost is O(batch + matched store rows), independent of
+    corpus size. Oracle: the full-corpus exact dedup restricted to
+    groups containing at least one batch doc (mutant ids all sort above
+    originals, so that is exactly MAX(doc_id) >= 1e6), proving
+    incremental == full on the touched set."""
+    if store is None:
+        store = exact_dedup_store(spark, sf_dir)
+    batch = (mutated_corpus(spark, sf_dir)
+             .filter(F.col("doc_id") >= 1000000)
+             .groupBy(F.md5("text").alias("content_md5"))
+             .agg(F.min("doc_id").alias("b_min"),
+                  F.count(F.lit(1)).alias("b_n")))
+    s = store.select("content_md5",
+                     F.col("canonical_id").alias("s_min"),
+                     F.col("n_copies").alias("s_n"))
+    return (batch.join(s, "content_md5", "left")
+                 .select("content_md5",
+                         F.least("b_min", F.coalesce("s_min", "b_min"))
+                          .alias("canonical_id"),
+                         (F.col("b_n") + F.coalesce("s_n", F.lit(0)))
+                          .alias("n_copies")))
+
+
+DOCS_INCREMENTAL_EXACT_SQL = f"""
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM ({_MUTATED_SQL})
+GROUP BY md5(text)
+HAVING MAX(doc_id) >= 1000000
+"""
+
+
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures on the original corpus (deterministic,
     portable). Reads the original half of the shared shingle-hash

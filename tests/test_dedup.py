@@ -312,6 +312,34 @@ def test_multibatch_probe_merge_loop_matches_one_shot(spark, sf_dir):
     assert bad == 0                     # rep = min member of its group
 
 
+def test_incremental_exact_dedup_roundtrip_and_restriction(
+        spark, sf_dir, tmp_path):
+    """Incremental exact dedup == full exact dedup restricted to
+    batch-touching groups, from the in-session store AND a parquet
+    round-tripped store; untouched groups never appear."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_exact_dedup, docs_incremental_exact_dedup,
+        exact_dedup_store, load_exact_dedup_store,
+        save_exact_dedup_store)
+
+    full = {r.content_md5: (r.canonical_id, r.n_copies)
+            for r in docs_exact_dedup(spark, sf_dir).collect()}
+    inc = {r.content_md5: (r.canonical_id, r.n_copies)
+           for r in docs_incremental_exact_dedup(spark, sf_dir).collect()}
+    assert inc and all(full[h] == v for h, v in inc.items())
+    # every emitted group was touched by the batch (max id >= 1e6 means
+    # its count exceeds the old-only store count); untouched groups out
+    assert set(inc) < set(full)
+
+    path = str(tmp_path / "md5store")
+    save_exact_dedup_store(exact_dedup_store(spark, sf_dir), path)
+    inc2 = {r.content_md5: (r.canonical_id, r.n_copies)
+            for r in docs_incremental_exact_dedup(
+                spark, sf_dir,
+                store=load_exact_dedup_store(spark, path)).collect()}
+    assert inc2 == inc
+
+
 def test_lsh_recall_curve_caps_mirror_oracle_when_binding(spark, sf_dir):
     """ADVICE r6: the truth-side shingle df-cap and the LSH bucket cap
     must be mirrored in the oracle CTEs. The production constant never
