@@ -1738,10 +1738,20 @@ def docs_near_dup_rate_by_source(spark: SparkSession,
     orig = lambda c: F.when(c >= 1000000, c - 1000000).otherwise(c)  # noqa: E731
     pa = pairs.select(orig(F.col("doc_a")).alias("da"),
                       orig(F.col("doc_b")).alias("db"))
+    # shuffle_hash pins (round-10, the _prop_round lesson applied to
+    # the second consumer of the member-grain pair set): at sf10 the
+    # duplication fixture's 123M checkpointed pairs misled the planner
+    # into BROADCASTING a join side and OOMing the driver. The source
+    # projection is docs-grain (billions of rows at 100 TB) and the
+    # pair set is clique²-unbounded — NEITHER side is broadcast
+    # material; a shuffle-hash join on the doc id stays alive at any
+    # scale and never sorts the pair set.
     j = (pa.join(src.select(F.col("doc_id").alias("da"),
-                            F.col("source").alias("sa")), "da")
+                            F.col("source").alias("sa"))
+                    .hint("shuffle_hash"), "da")
            .join(src.select(F.col("doc_id").alias("db"),
-                            F.col("source").alias("sb")), "db"))
+                            F.col("source").alias("sb"))
+                    .hint("shuffle_hash"), "db"))
     return (j.select(F.least("sa", "sb").alias("source_a"),
                      F.greatest("sa", "sb").alias("source_b"))
              .groupBy("source_a", "source_b")

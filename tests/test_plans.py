@@ -230,3 +230,16 @@ def test_label_propagation_round_never_broadcasts_labels(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_near_dup_rate_source_joins_never_broadcast(spark, sf_dir):
+    """Round-10 fix guard: docs_near_dup_rate_by_source OOM'd at sf10
+    when the planner broadcast a side of the pairs×sources joins (the
+    checkpointed 123M-pair frame misleads size estimation). Both source
+    joins are pinned shuffle_hash — the source projection is docs-grain
+    and the pair set clique²-unbounded; neither is broadcast material."""
+    from postgres_es_cdc_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["docs_near_dup_rate_by_source"].fn(spark, sf_dir))
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
