@@ -1386,6 +1386,136 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def _simhash_rep_bands(reps: DataFrame) -> DataFrame:
+    """(rep, sh, band_idx, band_key) from a rep-grain (rep, sh) frame —
+    the 4×15-bit band slices are pure bit arithmetic on the
+    fingerprint, so the store never persists bands."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 (F.shiftright(F.col("sh"), b * SIMHASH_BAND_BITS)
+                  % F.lit(1 << SIMHASH_BAND_BITS)).alias("band_key"))
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)])
+    return reps.select("rep", "sh", F.explode(bands).alias("bk")).select(
+        "rep", "sh", "bk.band_idx", "bk.band_key")
+
+
+def simhash_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """The persisted SimHash index of the already-ingested corpus, at
+    REPRESENTATIVE grain: (members, reps) with members = (doc_id, rep)
+    and reps = (rep, sh) — one row per DISTINCT 60-bit fingerprint
+    (the fourth member of the incremental store family: md5 exact /
+    MinHash-LSH / winnowing / SimHash). The collapse is exact for
+    EVERYTHING downstream because both the band keys and the Hamming
+    verify are functions of sh alone: equal fingerprints share every
+    bucket and every distance. All-int columns — parquet round-trips
+    bit-exactly via save/load_simhash_store."""
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash_store_rep")
+    hit = _DEDUP_STAGE_CACHE.get(key)
+    if hit is None:
+        fps = (_simhash_banded(spark, sf_dir)
+               .filter((F.col("doc_id") < 1000000)
+                       & (F.col("band_idx") == 0))
+               .select("doc_id", "sh"))
+        mem = (fps.withColumn("rep", F.min("doc_id").over(
+                   Window.partitionBy("sh")))
+                  .localCheckpoint(eager=False))
+        hit = (mem.select("doc_id", "rep"),
+               mem.filter(F.col("doc_id") == F.col("rep"))
+                  .select("rep", "sh"))
+        _DEDUP_STAGE_CACHE[key] = hit
+    return hit
+
+
+def save_simhash_store(store: tuple, path: str) -> None:
+    members, reps = store
+    members.write.mode("overwrite").parquet(path + "/members")
+    reps.write.mode("overwrite").parquet(path + "/reps")
+
+
+def load_simhash_store(spark: SparkSession, path: str) -> tuple:
+    return (spark.read.parquet(path + "/members").select("doc_id", "rep"),
+            spark.read.parquet(path + "/reps").select("rep", "sh"))
+
+
+def docs_incremental_simhash_pairs(spark: SparkSession, sf_dir: str,
+                                   store: tuple | None = None,
+                                   cap: int = PAIR_BUCKET_CAP
+                                   ) -> DataFrame:
+    """Incremental SimHash near-dup pairs: the NEW batch (mutant half)
+    probes the persisted fingerprint store — old×old never
+    materializes, nothing of the old corpus is re-hashed, and (the
+    SimHash twin of round-10's rep-grain LSH probe) the bucket pass,
+    cap, pair-distinct, and Hamming verify all run on DISTINCT
+    fingerprints; member pairs expand arithmetically afterwards, each
+    emitted exactly once. Pigeonhole exactness is inherited unchanged:
+    equal fingerprints have equal band slices, so rep buckets ARE
+    member buckets. Cross-group pairs carry hamming(sh_a, sh_b) —
+    identical for every member of the groups — and within-batch-group
+    pairs are hamming 0 by construction. Oracle: the one-shot banded
+    Hamming≤3 pair set restricted to pairs touching the batch
+    (doc_b >= 1e6), proving incremental == full."""
+    if store is None:
+        store = simhash_store(spark, sf_dir)
+    store_members, store_reps = store
+    bfps = (_simhash_banded(spark, sf_dir)
+            .filter((F.col("doc_id") >= 1000000)
+                    & (F.col("band_idx") == 0))
+            .select("doc_id", "sh"))
+    bmem = (bfps.withColumn("rep", F.min("doc_id").over(
+                Window.partitionBy("sh")))
+                .localCheckpoint(eager=False))
+    batch_members = bmem.select("doc_id", "rep")
+    batch_reps = (bmem.filter(F.col("doc_id") == F.col("rep"))
+                      .select("rep", "sh"))
+    flagged = (_simhash_rep_bands(store_reps)
+               .withColumn("is_new", F.lit(False))
+               .unionByName(_simhash_rep_bands(batch_reps)
+                            .withColumn("is_new", F.lit(True))))
+    buckets = (
+        _cap_buckets(flagged, ["band_idx", "band_key"], "rep", cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.collect_list(F.when(~F.col("is_new"),
+                                   F.struct("rep", "sh"))).alias("old"),
+             F.collect_list(F.when(F.col("is_new"),
+                                   F.struct("rep", "sh"))).alias("new"))
+        .filter((F.size("new") > 0) & (F.size("old") + F.size("new") > 1))
+    )
+    rep_pairs = (
+        buckets.select(F.explode("new").alias("n"),
+                       F.concat("old", "new").alias("cands"))
+               .select("n", F.explode("cands").alias("m"))
+               .filter(F.col("n.rep") != F.col("m.rep"))
+               .select(F.least("n.rep", "m.rep").alias("pa"),
+                       F.greatest("n.rep", "m.rep").alias("pb"),
+                       F.bit_count(F.expr("n.sh ^ m.sh")).cast("long")
+                        .alias("hamming"))
+               .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+               .distinct()
+    )
+    members = store_members.unionByName(batch_members)
+    cross = (
+        members.select(F.col("rep").alias("pa"), F.col("doc_id").alias("da"))
+               .join(F.broadcast(rep_pairs), "pa")
+               .join(members.select(F.col("rep").alias("pb"),
+                                    F.col("doc_id").alias("db")), "pb")
+               .select(F.least("da", "db").alias("doc_a"),
+                       F.greatest("da", "db").alias("doc_b"), "hamming")
+    )
+    m1, m2 = batch_members.alias("m1"), batch_members.alias("m2")
+    within = (m1.join(m2, (F.col("m1.rep") == F.col("m2.rep"))
+                          & (F.col("m1.doc_id") < F.col("m2.doc_id")))
+                .select(F.col("m1.doc_id").alias("doc_a"),
+                        F.col("m2.doc_id").alias("doc_b"),
+                        F.lit(0).cast("long").alias("hamming")))
+    return cross.unionByName(within)
+
+
+DOCS_INCREMENTAL_SIMHASH_SQL = DOCS_SIMHASH_HAMMING_SQL.replace(
+    "WHERE l.doc_id < r.doc_id",
+    "WHERE l.doc_id < r.doc_id AND r.doc_id >= 1000000")
+assert "1000000" in DOCS_INCREMENTAL_SIMHASH_SQL
+
+
 def dedup_bucket_overflow_report(spark: SparkSession, sf_dir: str,
                                  cap: int = PAIR_BUCKET_CAP) -> DataFrame:
     """Observability for the PAIR_BUCKET_CAP guard (no-silent-caps): one

@@ -60,6 +60,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_incremental_lsh_pairs": QuerySpec(dedup.docs_incremental_lsh_pairs, dedup.DOCS_INCREMENTAL_LSH_SQL),
     "docs_incremental_lsh_multibatch": QuerySpec(dedup.docs_incremental_lsh_multibatch, dedup.DOCS_INCREMENTAL_LSH_SQL),
     "docs_incremental_exact_dedup": QuerySpec(dedup.docs_incremental_exact_dedup, dedup.DOCS_INCREMENTAL_EXACT_SQL),
+    "docs_incremental_simhash_pairs": QuerySpec(dedup.docs_incremental_simhash_pairs, dedup.DOCS_INCREMENTAL_SIMHASH_SQL),
     # KeyedDedupSink's per-batch fold algebra vs one-shot first-arrival
     "streaming_dedup_first_event": QuerySpec(sdedup.streaming_dedup_first_event, sdedup.STREAMING_DEDUP_FIRST_SQL),
     # round-5 breadth: corpus quality / curation / retrieval eval

@@ -340,6 +340,33 @@ def test_incremental_exact_dedup_roundtrip_and_restriction(
     assert inc2 == inc
 
 
+def test_incremental_simhash_matches_full_and_roundtrips(
+        spark, sf_dir, tmp_path):
+    """Incremental SimHash pairs == one-shot banded Hamming≤3 pairs
+    restricted to the batch, each emitted once (no member-grain
+    distinct), from the in-session store AND a parquet round-trip."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_incremental_simhash_pairs, docs_simhash_hamming_pairs,
+        load_simhash_store, save_simhash_store, simhash_store)
+
+    full = {(r.doc_a, r.doc_b): r.hamming
+            for r in docs_simhash_hamming_pairs(spark, sf_dir).collect()}
+    expected = {k: v for k, v in full.items() if k[1] >= 1_000_000}
+    rows = docs_incremental_simhash_pairs(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got == expected
+    assert len(rows) == len(got)
+    assert expected, "batch must produce candidates at test scale"
+
+    path = str(tmp_path / "shstore")
+    save_simhash_store(simhash_store(spark, sf_dir), path)
+    got2 = {(r.doc_a, r.doc_b): r.hamming
+            for r in docs_incremental_simhash_pairs(
+                spark, sf_dir, store=load_simhash_store(spark, path))
+            .collect()}
+    assert got2 == expected
+
+
 def test_lsh_recall_curve_caps_mirror_oracle_when_binding(spark, sf_dir):
     """ADVICE r6: the truth-side shingle df-cap and the LSH bucket cap
     must be mirrored in the oracle CTEs. The production constant never
