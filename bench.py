@@ -146,6 +146,9 @@ HEADLINE = [
     # round-9 flagships
     "ivm_join_view_compacted_rollup",
     "graph_local_clustering_estimate",
+    # round-10 flagships
+    "emb_incremental_near_dup_pairs",
+    "docs_sequence_packing",
 ]
 
 

@@ -534,3 +534,167 @@ SELECT shard,
        CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
 FROM p GROUP BY shard
 """
+
+
+# Greedy first-fit context packing: the cap is deliberately small
+# relative to driver doc lengths (~60-120 whitespace tokens) so bins
+# hold a handful of docs and every boundary case (exact fit, overflow,
+# first-doc-oversize) is exercised at test scale.
+PACK_CAP = 256
+
+
+def _pack_kernel(cap: int):
+    """Per-shard greedy packer (runs inside applyInPandas): docs in the
+    shard's pseudo-shuffled reading order accumulate into the current
+    context window while they fit; a doc that would overflow opens the
+    next window (never split, never truncated). Pure integer recurrence
+    on (order, n_tokens) — document TEXT never crosses the Python
+    boundary."""
+    import numpy as np
+
+    def pack(pdf):
+        pdf = (pdf.sort_values(["h2", "doc_id"], kind="mergesort")
+                  .reset_index(drop=True))
+        n = len(pdf)
+        bins = np.zeros(n, dtype="int64")
+        offs = np.zeros(n, dtype="int64")
+        bin_id, used = 0, 0
+        for i, tok in enumerate(pdf["n_tokens"].to_numpy()):
+            tok = int(tok)
+            if i == 0:
+                used = tok
+            elif used + tok <= cap:
+                offs[i] = used
+                used += tok
+            else:
+                bin_id += 1
+                used = tok
+            bins[i] = bin_id
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["pos"] = np.arange(1, n + 1, dtype="int64")
+        out["bin_id"] = bins
+        out["bin_offset"] = offs
+        return out[["doc_id", "shard", "pos", "bin_id", "bin_offset",
+                    "n_tokens"]]
+
+    return pack
+
+
+def docs_sequence_packing(spark: SparkSession, sf_dir: str,
+                          cap: int = PACK_CAP,
+                          n_shards: int = N_TRAIN_SHARDS) -> DataFrame:
+    """Training sequence packing — greedy first-fit binning of documents
+    into fixed token-budget context windows, per shard, in the SAME
+    pseudo-shuffled reading order docs_training_shards pins (shard =
+    KNUTH hash, order = independent SHUF hash): the pass that turns a
+    shuffled corpus into trainer-ready windows without truncation. The
+    fixed-boundary cousin (docs_context_pack) IS a window cumsum; the
+    greedy rule is an order-sensitive recurrence (each placement depends
+    on the previous bin's fill), which no window function expresses —
+    this is the repo's canonical applyInPandas recurrence, mirrored by a
+    recursive-CTE oracle.
+
+    Scale shape: one hash-partition shuffle on shard, then each shard
+    packs independently inside one Arrow batch stream — embarrassingly
+    parallel at the grain you already chose for export files; n_shards
+    is the scale knob (100 TB => thousands of shards, each bounded).
+    Only (doc_id, hashes, token counts) cross the Python boundary —
+    never text. Within-shard order is total (h2 ties broken by doc_id),
+    so output is deterministic on any engine/partitioning."""
+    d = table(spark, sf_dir, "documents")
+    h1 = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    h2 = (F.col("doc_id") * F.lit(_SHUF)) % F.lit(_MOD)
+    s = d.select(
+        "doc_id",
+        (h1 % F.lit(n_shards)).cast("long").alias("shard"),
+        h2.alias("h2"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    return s.groupBy("shard").applyInPandas(
+        _pack_kernel(cap),
+        "doc_id long, shard long, pos long, bin_id long, "
+        "bin_offset long, n_tokens long")
+
+
+_PACKED_CTE_SQL = f"""
+s AS (
+  SELECT doc_id,
+         CAST(((doc_id * {_KNUTH}) % {_MOD}) % {N_TRAIN_SHARDS} AS BIGINT)
+           AS shard,
+         (doc_id * {_SHUF}) % {_MOD} AS h2,
+         CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY h2 ASC, doc_id ASC) AS BIGINT)
+           AS pos
+  FROM s
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens, pos,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset
+  FROM o WHERE pos = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.pos,
+         CASE WHEN p.bin_offset + p.n_tokens + o.n_tokens <= {PACK_CAP}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.bin_offset + p.n_tokens + o.n_tokens <= {PACK_CAP}
+              THEN p.bin_offset + p.n_tokens ELSE CAST(0 AS BIGINT) END
+  FROM packed p JOIN o ON o.shard = p.shard AND o.pos = p.pos + 1
+)
+"""
+
+DOCS_SEQUENCE_PACKING_SQL = f"""
+WITH RECURSIVE {_PACKED_CTE_SQL}
+SELECT doc_id, shard, pos, bin_id, bin_offset, n_tokens FROM packed
+"""
+
+
+def docs_packing_efficiency(spark: SparkSession, sf_dir: str,
+                            cap: int = PACK_CAP,
+                            n_shards: int = N_TRAIN_SHARDS) -> DataFrame:
+    """Per-shard packing report — the number a pipeline owner actually
+    reads before a training run: window count, token mass, the fill
+    rate against the cap, and how many docs exceeded the cap outright
+    (each such doc still gets its own window; at production caps this
+    column is the truncation-policy alarm). Derived from the same
+    greedy kernel, so the report and the per-doc assignment can never
+    disagree."""
+    p = docs_sequence_packing(spark, sf_dir, cap, n_shards)
+    per_bin = (p.groupBy("shard", "bin_id")
+                .agg(F.count(F.lit(1)).alias("bin_docs"),
+                     F.sum("n_tokens").alias("bin_tokens"),
+                     F.sum(F.when(F.col("n_tokens") > cap, 1).otherwise(0))
+                      .alias("bin_oversize")))
+    return per_bin.groupBy("shard").agg(
+        F.sum("bin_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+        (F.sum("bin_tokens").cast("double")
+         / (F.count(F.lit(1)) * F.lit(cap)).cast("double"))
+        .alias("fill_rate"),
+        F.sum("bin_oversize").cast("long").alias("oversize_docs"))
+
+
+DOCS_PACKING_EFFICIENCY_SQL = f"""
+WITH RECURSIVE {_PACKED_CTE_SQL},
+per_bin AS (
+  SELECT shard, bin_id, COUNT(*) AS bin_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         SUM(CASE WHEN n_tokens > {PACK_CAP} THEN 1 ELSE 0 END)
+           AS bin_oversize
+  FROM packed GROUP BY shard, bin_id
+)
+SELECT shard,
+       CAST(SUM(bin_docs) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_bins,
+       CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+       CAST(SUM(bin_tokens) AS DOUBLE)
+         / CAST(COUNT(*) * {PACK_CAP} AS DOUBLE) AS fill_rate,
+       CAST(SUM(bin_oversize) AS BIGINT) AS oversize_docs
+FROM per_bin
+GROUP BY shard
+"""

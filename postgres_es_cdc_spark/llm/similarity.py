@@ -2617,3 +2617,217 @@ SELECT qid, cid, hamming, rank, cos_sim FROM (
   FROM rer)
 WHERE rank <= {BQ_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup store (round 10) — the 5th member of
+# the incremental store family (exact md5 / MinHash-LSH / winnowing /
+# SimHash / THIS), and the vector-space half of the continuous-crawl
+# dedup loop: the already-embedded corpus is indexed ONCE, new batches
+# probe the index without recomputing (or even reading) old vectors.
+# Same rep-grain discipline as dedup.signature_store: one reps row per
+# DISTINCT quantized vector, so probe cost is O(distinct content) and
+# independent of duplicate multiplicity — replicated crawls (the sf10
+# fixture replicates embeddings verbatim) collapse before banding.
+# Reference parity note: the reference (es.go:95-108) re-upserts every
+# redelivered event and has no notion of a vector index; this family is
+# [EXT] surface driven by SURVEY §2 Table B's training-pipeline rows.
+
+def _sign_band_structs() -> Column:
+    """8 bands x 8 sign bits over a 64-dim quantized vector ``q`` — the
+    banded sign-LSH blocking shared (by construction, not by helper)
+    with emb_cosine_near_dup_pairs; kept as separate source so the
+    green base query's fingerprint is untouched."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            sum((F.when(F.element_at("q", b * 8 + j + 1) >= 0,
+                        F.lit(1 << j)).otherwise(F.lit(0)))
+                for j in range(8)).cast("long").alias("band_key"))
+        for b in range(8)
+    ])
+
+
+def _emb_rep_bands(reps: DataFrame) -> DataFrame:
+    """(rep, q) -> (rep, band_idx, band_key): a projection, no shuffle."""
+    return reps.select(
+        "rep", F.explode(_sign_band_structs()).alias("b")
+    ).select("rep", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_key").alias("band_key"))
+
+
+def _emb_collapsed(c: DataFrame) -> DataFrame:
+    """Collapse a quantized corpus slice (id, q) to representative
+    grain: (id, q, rep) with rep = min id over each DISTINCT vector.
+    groupBy on the array column keeps this one shuffle; groups are
+    duplicate-multiplicity sized, so collect_list is bounded."""
+    g = c.groupBy("q").agg(F.min("id").alias("rep"),
+                           F.collect_list("id").alias("ids"))
+    return g.select(F.explode("ids").alias("id"), "q", "rep")
+
+
+def embedding_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """The persisted vector index of the already-ingested corpus at
+    REPRESENTATIVE grain: (members, reps) with members = (id, rep) and
+    reps = (rep, q), one row per DISTINCT quantized vector. All-int64
+    columns, so save/load round-trips parquet bit-exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir, "emb_store_rep")
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is None:
+        mem = _emb_collapsed(
+            _q_corpus(spark, sf_dir).filter(F.col("id") < 100000)
+        ).localCheckpoint(eager=False)
+        hit = (mem.select("id", "rep"),
+               mem.filter(F.col("id") == F.col("rep")).select("rep", "q"))
+        _QUANTIZER_CACHE[key] = hit
+    return hit
+
+
+def save_embedding_store(store: tuple, path: str) -> None:
+    members, reps = store
+    members.write.mode("overwrite").parquet(path + "/members")
+    reps.write.mode("overwrite").parquet(path + "/reps")
+
+
+def load_embedding_store(spark: SparkSession, path: str) -> tuple:
+    return (spark.read.parquet(path + "/members").select("id", "rep"),
+            spark.read.parquet(path + "/reps").select("rep", "q"))
+
+
+def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
+    """Fold a probed batch INTO the store (the write half of the crawl
+    loop). ``batch_mem`` is the batch's collapsed frame (id, q, rep)
+    from _emb_collapsed. Merge rule preserves both store invariants
+    (rep ∈ its group; rep = min id over the group): a batch group whose
+    vector EQUALS an existing store group's joins that group — members
+    remap to the store rep (store ids always sort below batch ids); an
+    unseen vector becomes a new group under its own rep. One rep-grain
+    equi-join on the array column; store cost stays O(distinct
+    content), members grow by exactly the batch."""
+    members, reps = store
+    breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
+        F.col("rep").alias("brep"), F.col("q").alias("bq"))
+    matched = breps.join(reps, breps["bq"] == reps["q"], "left").select(
+        "brep", F.col("rep").alias("srep"), "bq")
+    remap = matched.select(
+        "brep", F.coalesce("srep", F.col("brep")).alias("rep"))
+    new_members = (batch_mem.select("id", F.col("rep").alias("brep"))
+                            .join(remap, "brep")
+                            .select("id", "rep"))
+    new_reps = (matched.filter(F.col("srep").isNull())
+                       .select(F.col("brep").alias("rep"),
+                               F.col("bq").alias("q")))
+    return (members.unionByName(new_members),
+            reps.unionByName(new_reps))
+
+
+def _probe_embedding_store(store: tuple, bmem: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Probe kernel shared by the one-shot query and the multibatch
+    fold: verified near-dup member pairs for a collapsed batch frame
+    (id, q, rep) against a (members, reps) store.
+
+    Verification runs at REP grain (members carry IDENTICAL vectors to
+    their rep, so cos(member_a, member_b) == cos(rep_a, rep_b) —
+    expansion is exact, not approximate), then member pairs expand
+    arithmetically; within-batch same-group pairs score with the same
+    kernel on the group's own vector. Each member pair is emitted
+    exactly once, so no distinct ever runs at member grain."""
+    store_members, store_reps = store
+    batch_members = bmem.select("id", "rep")
+    batch_reps = bmem.filter(F.col("id") == F.col("rep")).select("rep", "q")
+    flagged = (_emb_rep_bands(store_reps).withColumn("is_new", F.lit(False))
+               .unionByName(
+               _emb_rep_bands(batch_reps).withColumn("is_new", F.lit(True))))
+    buckets = (
+        flagged.groupBy("band_idx", "band_key")
+               .agg(F.collect_list(F.when(~F.col("is_new"), F.col("rep")))
+                     .alias("old_reps"),
+                    F.collect_list(F.when(F.col("is_new"), F.col("rep")))
+                     .alias("new_reps"))
+               .filter((F.size("new_reps") > 0)
+                       & (F.size("old_reps") + F.size("new_reps") > 1))
+    )
+    rep_pairs = (
+        buckets.select(F.explode("new_reps").alias("n"),
+                       F.concat("old_reps", "new_reps").alias("cands"))
+               .select("n", F.explode("cands").alias("m"))
+               .filter(F.col("n") != F.col("m"))
+               .select(F.least("n", "m").alias("pa"),
+                       F.greatest("n", "m").alias("pb"))
+               .distinct()
+    )
+    all_reps = store_reps.unionByName(batch_reps)
+    r1 = all_reps.select(F.col("rep").alias("pa"), F.col("q").alias("qa"))
+    r2 = all_reps.select(F.col("rep").alias("pb"), F.col("q").alias("qb"))
+    cos = (
+        dot_q(F.col("qa"), F.col("qb")).cast("double")
+        / (F.sqrt(dot_q(F.col("qa"), F.col("qa")).cast("double"))
+           * F.sqrt(dot_q(F.col("qb"), F.col("qb")).cast("double")))
+    )
+    verified = (
+        rep_pairs.join(r1, "pa").join(r2, "pb")
+                 .select("pa", "pb", cos.alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= threshold)
+    )
+    members = store_members.unionByName(batch_members)
+    cross = (
+        members.select(F.col("rep").alias("pa"), F.col("id").alias("da"))
+               .join(F.broadcast(verified), "pa")
+               .join(members.select(F.col("rep").alias("pb"),
+                                    F.col("id").alias("db")), "pb")
+               .select(F.least("da", "db").alias("id1"),
+                       F.greatest("da", "db").alias("id2"), "cos_sim")
+    )
+    selfcos = (
+        dot_q(F.col("q"), F.col("q")).cast("double")
+        / (F.sqrt(dot_q(F.col("q"), F.col("q")).cast("double"))
+           * F.sqrt(dot_q(F.col("q"), F.col("q")).cast("double")))
+    )
+    grp = (bmem.filter(F.col("id") == F.col("rep"))
+               .select("rep", selfcos.alias("cos_sim"))
+               .filter(F.col("cos_sim") >= threshold))
+    m1, m2 = batch_members.alias("m1"), batch_members.alias("m2")
+    within = (m1.join(m2, (F.col("m1.rep") == F.col("m2.rep"))
+                          & (F.col("m1.id") < F.col("m2.id")))
+                .select(F.col("m1.id").alias("id1"),
+                        F.col("m2.id").alias("id2"),
+                        F.col("m1.rep").alias("rep"))
+                .join(F.broadcast(grp), "rep")
+                .select("id1", "id2", "cos_sim"))
+    return cross.unionByName(within)
+
+
+def emb_incremental_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                                   store: tuple | None = None,
+                                   threshold: float = 0.9) -> DataFrame:
+    """Incremental vector near-dup detection: verified cosine pairs for
+    a NEW batch of embeddings (the mutant half of _q_corpus, ids >=
+    100000) against the PERSISTED index of the already-ingested corpus
+    — without recomputing old vectors. Emits ONLY new×old and new×new
+    pairs; per-batch cost is O(batch·bands + matched DISTINCT-content
+    buckets), independent of corpus size and duplicate multiplicity.
+
+    Bit-exact with the full recompute restricted to batch-touching
+    pairs (oracle: EMB_NEAR_DUP_SQL's pair set WHERE id2 >= 100000 —
+    batch ids all sort above corpus ids): identical vectors imply
+    identical band keys in every band AND identical cosine scores, so
+    rep-grain banding + rep-grain verification + arithmetic member
+    expansion reproduce exactly the member-grain pair set.
+
+    Scale: band rows shuffle once on (band_idx, band_key); the verified
+    rep-pair table broadcasts into the two membership expansion joins
+    (pair counts are rep-grain — bounded by distinct content, the thing
+    that made the LSH store's member-grain probe super-linear before
+    round 10's collapse)."""
+    if store is None:
+        store = embedding_store(spark, sf_dir)
+    bmem = _emb_collapsed(
+        _q_corpus(spark, sf_dir).filter(F.col("id") >= 100000)
+    ).localCheckpoint(eager=False)
+    return _probe_embedding_store(store, bmem, threshold)
+
+
+EMB_INCR_NEAR_DUP_SQL = f"""
+SELECT id1, id2, cos_sim FROM ({EMB_NEAR_DUP_SQL}) WHERE id2 >= 100000
+"""

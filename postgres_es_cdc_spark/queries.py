@@ -61,6 +61,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_incremental_lsh_multibatch": QuerySpec(dedup.docs_incremental_lsh_multibatch, dedup.DOCS_INCREMENTAL_LSH_SQL),
     "docs_incremental_exact_dedup": QuerySpec(dedup.docs_incremental_exact_dedup, dedup.DOCS_INCREMENTAL_EXACT_SQL),
     "docs_incremental_simhash_pairs": QuerySpec(dedup.docs_incremental_simhash_pairs, dedup.DOCS_INCREMENTAL_SIMHASH_SQL),
+    "emb_incremental_near_dup_pairs": QuerySpec(
+        similarity.emb_incremental_near_dup_pairs, similarity.EMB_INCR_NEAR_DUP_SQL),
     # KeyedDedupSink's per-batch fold algebra vs one-shot first-arrival
     "streaming_dedup_first_event": QuerySpec(sdedup.streaming_dedup_first_event, sdedup.STREAMING_DEDUP_FIRST_SQL),
     # round-5 breadth: corpus quality / curation / retrieval eval
@@ -231,6 +233,10 @@ REGISTRY: dict[str, QuerySpec] = {
         sampling.docs_training_shards, sampling.DOCS_TRAINING_SHARDS_SQL),
     "corpus_prep_pipeline": QuerySpec(sampling.corpus_prep_pipeline, sampling.CORPUS_PREP_SQL),
     "docs_context_pack": QuerySpec(sampling.docs_context_pack, sampling.DOCS_CONTEXT_PACK_SQL),
+    "docs_sequence_packing": QuerySpec(
+        sampling.docs_sequence_packing, sampling.DOCS_SEQUENCE_PACKING_SQL),
+    "docs_packing_efficiency": QuerySpec(
+        sampling.docs_packing_efficiency, sampling.DOCS_PACKING_EFFICIENCY_SQL),
     # --- graph iteration (round-2 addition) ---
     "graph_bfs_distances": QuerySpec(
         graph.graph_bfs_distances, graph.GRAPH_BFS_SQL),

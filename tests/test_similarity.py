@@ -366,3 +366,76 @@ def test_semdedup_collapsed_kernel_equals_member_grain_rule():
             {"id": ids, "q": [list(r) for r in rows], "n2": n2})
         got = set(_semdedup_prune_kernel(theta)(pdf)["vec_id"])
         assert got == want, (trial, theta, sorted(got), sorted(want))
+
+
+def test_emb_incremental_pairs_match_full_and_roundtrip(
+        spark, sf_dir, tmp_path):
+    """Incremental embedding near-dup pairs == full recompute
+    restricted to batch-touching pairs, with IDENTICAL cos_sim values
+    (rep-grain verification is exact, not approximate), from the
+    in-session store AND a parquet round-tripped store."""
+    from postgres_es_cdc_spark.llm.similarity import (
+        emb_cosine_near_dup_pairs, emb_incremental_near_dup_pairs,
+        embedding_store, load_embedding_store, save_embedding_store)
+
+    full = {(r.id1, r.id2): r.cos_sim
+            for r in emb_cosine_near_dup_pairs(spark, sf_dir).collect()}
+    expected = {k: v for k, v in full.items() if k[1] >= 100000}
+    inc_rows = emb_incremental_near_dup_pairs(spark, sf_dir).collect()
+    inc = {(r.id1, r.id2): r.cos_sim for r in inc_rows}
+    assert inc == expected          # exact, including the doubles
+    assert len(inc_rows) == len(inc)  # each member pair emitted once
+    assert expected, "batch must produce verified pairs at test scale"
+    assert not [k for k in inc if k[1] < 100000]  # never old x old
+
+    path = str(tmp_path / "embstore")
+    save_embedding_store(embedding_store(spark, sf_dir), path)
+    loaded = load_embedding_store(spark, path)
+    members, reps = loaded
+    n_mem = members.count()
+    n_rep = members.select("rep").distinct().count()
+    assert reps.count() == n_rep and n_mem >= n_rep
+    inc2 = {(r.id1, r.id2): r.cos_sim
+            for r in emb_incremental_near_dup_pairs(
+                spark, sf_dir, store=loaded).collect()}
+    assert inc2 == expected
+
+
+def test_emb_multibatch_probe_merge_matches_one_shot(spark, sf_dir):
+    """The vector crawl loop: probe -> merge_embedding_store -> probe
+    over 3 id-sliced batches emits exactly the one-shot incremental
+    pair set (each pair once), and the merged store keeps its
+    invariants (rep = min member; one reps row per distinct vector)."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        _emb_collapsed, _probe_embedding_store, _q_corpus,
+        emb_incremental_near_dup_pairs, embedding_store,
+        merge_embedding_store)
+
+    one_shot = {(r.id1, r.id2)
+                for r in emb_incremental_near_dup_pairs(
+                    spark, sf_dir).collect()}
+    store = embedding_store(spark, sf_dir)
+    got, n_rows = set(), 0
+    for i in range(3):
+        bmem = _emb_collapsed(
+            _q_corpus(spark, sf_dir)
+            .filter((F.col("id") >= 100000) & (F.col("id") % 3 == i))
+        ).localCheckpoint(eager=False)
+        rows = _probe_embedding_store(store, bmem, 0.9).collect()
+        got |= {(r.id1, r.id2) for r in rows}
+        n_rows += len(rows)
+        store = (store[0].localCheckpoint(eager=False),
+                 store[1].localCheckpoint(eager=False))
+        store = merge_embedding_store(store, bmem)
+    assert got == one_shot
+    assert n_rows == len(got)       # no pair emitted twice across batches
+
+    members, reps = store
+    n_groups = members.select("rep").distinct().count()
+    assert reps.count() == n_groups
+    assert reps.select("rep").distinct().count() == n_groups
+    bad = (members.groupBy("rep").agg(F.min("id").alias("lo"))
+                  .filter(F.col("lo") != F.col("rep")).count())
+    assert bad == 0
