@@ -2694,16 +2694,20 @@ def load_embedding_store(spark: SparkSession, path: str) -> tuple:
             spark.read.parquet(path + "/reps").select("rep", "q"))
 
 
-def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
-    """Fold a probed batch INTO the store (the write half of the crawl
-    loop). ``batch_mem`` is the batch's collapsed frame (id, q, rep)
-    from _emb_collapsed. Merge rule preserves both store invariants
-    (rep ∈ its group; rep = min id over the group): a batch group whose
-    vector EQUALS an existing store group's joins that group — members
-    remap to the store rep (store ids always sort below batch ids); an
-    unseen vector becomes a new group under its own rep. One rep-grain
-    equi-join on the array column; store cost stays O(distinct
-    content), members grow by exactly the batch."""
+def merge_embedding_deltas(store: tuple, batch_mem: DataFrame) -> tuple:
+    """The APPEND half of the crawl-loop merge: (new_members, new_reps)
+    a batch adds to a (members, reps) store — pure appends, disjoint
+    from everything already stored (an id arrives once; a rep is added
+    only when its vector is unseen), which is what lets the streaming
+    sink keep both stores as append-only delta logs folded by bag
+    union. Merge rule preserves the store invariants (rep ∈ its group;
+    rep = FIRST-ARRIVAL id of the group — the min id when batches
+    arrive in ascending id order, as the fixtures do): a batch group
+    whose vector EQUALS an existing store group's joins that group —
+    members remap to the store rep; an unseen vector becomes a new
+    group under its own rep. One rep-grain equi-join on the array
+    column; store cost stays O(distinct content), members grow by
+    exactly the batch."""
     members, reps = store
     breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
         F.col("rep").alias("brep"), F.col("q").alias("bq"))
@@ -2717,6 +2721,15 @@ def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
     new_reps = (matched.filter(F.col("srep").isNull())
                        .select(F.col("brep").alias("rep"),
                                F.col("bq").alias("q")))
+    return new_members, new_reps
+
+
+def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
+    """Fold a probed batch INTO the store (merge_embedding_deltas'
+    docstring for the rule): the store after the batch is the old store
+    plus exactly the batch's member/rep deltas."""
+    members, reps = store
+    new_members, new_reps = merge_embedding_deltas(store, batch_mem)
     return (members.unionByName(new_members),
             reps.unionByName(new_reps))
 
@@ -2831,3 +2844,36 @@ def emb_incremental_near_dup_pairs(spark: SparkSession, sf_dir: str,
 EMB_INCR_NEAR_DUP_SQL = f"""
 SELECT id1, id2, cos_sim FROM ({EMB_NEAR_DUP_SQL}) WHERE id2 >= 100000
 """
+
+
+def emb_streaming_near_dup_fold(spark: SparkSession, sf_dir: str,
+                                n_batches: int = 3,
+                                threshold: float = 0.9) -> DataFrame:
+    """streaming.VectorIndexSink's per-micro-batch algebra exposed as a
+    driver-checkable query (the exposure pattern of
+    streaming_dedup_first_event): fold the ENTIRE planted corpus
+    (_q_corpus) through ``n_batches`` id-sliced micro-batches starting
+    from an EMPTY index — probe, emit verified pairs, merge the batch
+    in, repeat. Every verified pair of the corpus is emitted exactly
+    once, in the batch where its LATER member arrives (earlier member
+    already indexed ⇒ cross pair; same batch ⇒ in-batch pair), so the
+    union over batches IS the one-shot emb_cosine_near_dup_pairs answer
+    — the oracle is the same full-recompute SQL, proving that batch
+    boundaries (and first-arrival rep choice, which interleaved id
+    slices exercise) change nothing.
+
+    Scale: n_batches bounds the driver loop (a trigger count, not a
+    data size); each iteration is the incremental probe's rep-grain
+    plan, so per-batch cost is O(batch + matched distinct content)."""
+    c = _q_corpus(spark, sf_dir)
+    store = (c.select("id", F.col("id").alias("rep")).limit(0),
+             c.select(F.col("id").alias("rep"), "q").limit(0))
+    out: DataFrame | None = None
+    for i in range(n_batches):
+        bmem = _emb_collapsed(
+            c.filter(F.col("id") % n_batches == i)
+        ).localCheckpoint(eager=False)
+        pairs = _probe_embedding_store(store, bmem, threshold)
+        out = pairs if out is None else out.unionByName(pairs)
+        store = merge_embedding_store(store, bmem)
+    return out

@@ -63,6 +63,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_incremental_simhash_pairs": QuerySpec(dedup.docs_incremental_simhash_pairs, dedup.DOCS_INCREMENTAL_SIMHASH_SQL),
     "emb_incremental_near_dup_pairs": QuerySpec(
         similarity.emb_incremental_near_dup_pairs, similarity.EMB_INCR_NEAR_DUP_SQL),
+    "emb_streaming_near_dup_fold": QuerySpec(
+        similarity.emb_streaming_near_dup_fold, similarity.EMB_NEAR_DUP_SQL),
     # KeyedDedupSink's per-batch fold algebra vs one-shot first-arrival
     "streaming_dedup_first_event": QuerySpec(sdedup.streaming_dedup_first_event, sdedup.STREAMING_DEDUP_FIRST_SQL),
     # round-5 breadth: corpus quality / curation / retrieval eval

@@ -224,3 +224,161 @@ WITH w AS (
 SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
 FROM w WHERE rn = 1
 """
+
+
+class VectorIndexSink:
+    """foreachBatch sink: continuous vector near-dup detection over a
+    DURABLE rep-grain embedding index — the streaming wrapper of
+    llm/similarity's embedding_store family (probe → append deltas),
+    on the same manifest protocol as KeyedDedupSink above.
+
+    Per micro-batch of (id, q) rows (q = the ×1e6 fixed-point int64
+    vector, similarity.quantize): collapse identical vectors to a
+    representative, probe the committed index (sign-LSH banding,
+    rep-grain exact-cosine verification ≥ threshold, arithmetic member
+    expansion — similarity._probe_embedding_store), append the verified
+    pairs to the output log and the batch's member/rep deltas to the
+    index logs. merge_embedding_deltas' appends are DISJOINT from all
+    committed state by construction (an id arrives once; a rep is added
+    only when its vector is unseen), so all three stores are append-only
+    bags: one manifest os.replace commits them together with the batch
+    id (crash ⇒ orphan dirs invisible, retry overwrites; redelivered
+    batch id ⇒ no-op), and ``compact_after=N`` folds each log to ONE
+    snapshot dir by pure bag union — tombstoned, vacuum() reclaimed,
+    exactly the KeyedDedupSink discipline.
+
+    The exactly-once law the tests pin: folding a corpus through ANY
+    batch split starting from an empty index emits every verified pair
+    of the whole corpus exactly once (in the batch where its later
+    member arrives) — the streaming answer equals the one-shot
+    emb_cosine_near_dup_pairs recompute.
+
+    Scale shape: per-batch cost is O(batch·bands + matched
+    DISTINCT-content buckets) — independent of corpus size and
+    duplicate multiplicity (the round-10 rep-grain discipline); the
+    index logs are the frames you'd keep bucketed by band key on a
+    cluster. History vectors are never re-read, only the rep-grain
+    index is."""
+
+    def __init__(self, out_path: str, index_path: str,
+                 threshold: float = 0.9,
+                 compact_after: int | None = None):
+        self.out_path = out_path
+        self.index_path = index_path
+        self.threshold = threshold
+        self.compact_after = compact_after
+
+    # -- manifest (same protocol as KeyedDedupSink) --------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_path, "_vector_manifest.json")
+
+    def meta(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"out": [], "members": [], "reps": [], "last_batch_id": -1}
+
+    def _commit(self, meta: dict) -> None:
+        os.makedirs(self.out_path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def pairs(self, spark: SparkSession) -> DataFrame | None:
+        """The committed verified-pair output (union of the log)."""
+        return self._read_log(spark, self.meta()["out"])
+
+    def index(self, spark: SparkSession, batch: DataFrame,
+              meta: dict | None = None) -> tuple:
+        """The committed (members, reps) index; empty frames derived
+        from the batch schema when no state is committed yet."""
+        meta = meta or self.meta()
+        mem = self._read_log(spark, meta["members"])
+        reps = self._read_log(spark, meta["reps"])
+        if mem is None:
+            mem = batch.select("id", F.col("id").alias("rep")).limit(0)
+        if reps is None:
+            reps = batch.select(F.col("id").alias("rep"), "q").limit(0)
+        return (mem.select("id", "rep"), reps.select("rep", "q"))
+
+    # -- per-batch fold ------------------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.llm.similarity import (
+            _emb_collapsed, _probe_embedding_store, merge_embedding_deltas)
+
+        spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        bmem = _emb_collapsed(batch.select("id", "q")).localCheckpoint()
+        store = self.index(spark, batch, meta)
+        pdir = os.path.join(self.out_path, f"b{batch_id}")
+        (_probe_embedding_store(store, bmem, self.threshold)
+         .write.mode("overwrite").parquet(pdir))
+        new_members, new_reps = merge_embedding_deltas(store, bmem)
+        mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
+        rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
+        new_members.write.mode("overwrite").parquet(mdir)
+        new_reps.write.mode("overwrite").parquet(rdir)
+        new_meta = dict(meta)
+        new_meta.update({"out": meta["out"] + [pdir],
+                         "members": meta["members"] + [mdir],
+                         "reps": meta["reps"] + [rdir],
+                         "last_batch_id": batch_id})
+        self._commit(new_meta)
+        if self.compact_after is not None and max(
+                len(new_meta["out"]), len(new_meta["members"]),
+                len(new_meta["reps"])) > self.compact_after:
+            self.compact(spark)
+
+    # -- compaction (KeyedDedupSink.compact's shape) --------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold each delta log into ONE snapshot dir; repoint all three
+        stores + tombstone superseded dirs in a single os.replace.
+        Crash before the repoint leaves the old log current;
+        last_batch_id carries through, so the replay gate survives."""
+        meta = self.meta()
+        if max(len(meta["out"]), len(meta["members"]),
+               len(meta["reps"])) <= 1:
+            return {"compacted": False}
+        gen = meta.get("compact_gen", 0) + 1
+        new_meta = dict(meta)
+        new_meta["compact_gen"] = gen
+        dead = []
+        for store, base in (("out", self.out_path),
+                            ("members",
+                             os.path.join(self.index_path, "members")),
+                            ("reps", os.path.join(self.index_path, "reps"))):
+            entries = meta[store]
+            if len(entries) <= 1:
+                continue
+            cdir = os.path.join(base, f"c{gen}")
+            spark.read.parquet(*entries).write.mode(
+                "overwrite").parquet(cdir)
+            new_meta[store] = [cdir]
+            dead.extend(entries)
+        new_meta["tombstones"] = meta.get("tombstones", []) + dead
+        self._commit(new_meta)
+        return {"compacted": True, "gen": gen, "folded": len(dead)}
+
+    def vacuum(self) -> int:
+        """Delete tombstoned dirs and clear the list — separate from
+        the compaction commit so a crash can never orphan LIVE data."""
+        meta = self.meta()
+        dead = meta.get("tombstones", [])
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        if dead:
+            meta = dict(meta)
+            meta["tombstones"] = []
+            self._commit(meta)
+        return len(dead)
+
+    def writer(self):
+        return self.apply_batch

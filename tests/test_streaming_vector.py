@@ -1,0 +1,157 @@
+"""VectorIndexSink — continuous vector near-dup detection over a
+durable rep-grain embedding index. Pins the exactly-once law (any
+batch split folded from an empty index == the one-shot
+emb_cosine_near_dup_pairs recompute), the replay gate, and the
+manifest/compaction discipline (tests mirror
+test_streaming_dedup_compaction.py's)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_es_cdc_spark.llm.similarity import (
+    _q_corpus, emb_cosine_near_dup_pairs)
+from postgres_es_cdc_spark.streaming.dedup import VectorIndexSink
+
+
+def _batches(spark, sf_dir, n: int):
+    """The planted near-dup corpus in n interleaved id slices — the
+    interleaving makes first-arrival reps differ from min-id reps, the
+    ordering assumption a streaming index can NOT make."""
+    c = _q_corpus(spark, sf_dir)
+    return [c.filter(F.col("id") % n == i) for i in range(n)]
+
+
+def _drive(spark, base, batches, **kw) -> VectorIndexSink:
+    sink = VectorIndexSink(out_path=str(base / "pairs"),
+                           index_path=str(base / "index"), **kw)
+    for i, b in enumerate(batches):
+        sink.apply_batch(b, i)
+    return sink
+
+
+def _pairs(sink, spark):
+    df = sink.pairs(spark)
+    return sorted((r.id1, r.id2, r.cos_sim) for r in df.collect())
+
+
+def test_vector_sink_fold_equals_one_shot_with_replay(
+        spark, sf_dir, tmp_path):
+    want = sorted((r.id1, r.id2, r.cos_sim)
+                  for r in emb_cosine_near_dup_pairs(spark, sf_dir)
+                  .collect())
+    assert want
+    batches = _batches(spark, sf_dir, 3)
+    sink = _drive(spark, tmp_path / "v", batches)
+    assert _pairs(sink, spark) == want      # exact, incl. the doubles
+    sink.apply_batch(batches[1], 1)         # committed replay: no-op
+    assert _pairs(sink, spark) == want
+    # a RESTARTED sink (fresh object, same paths) continues the gate
+    sink2 = VectorIndexSink(out_path=str(tmp_path / "v" / "pairs"),
+                            index_path=str(tmp_path / "v" / "index"))
+    sink2.apply_batch(batches[0], 0)
+    assert _pairs(sink2, spark) == want
+
+
+def test_vector_sink_compact_mid_stream_equals_uncompacted(
+        spark, sf_dir, tmp_path):
+    batches = _batches(spark, sf_dir, 4)
+    plain = _drive(spark, tmp_path / "plain", batches)
+    want = _pairs(plain, spark)
+    sink = _drive(spark, tmp_path / "compact", batches, compact_after=1)
+    assert _pairs(sink, spark) == want
+    m = sink.meta()
+    assert m.get("compact_gen", 0) >= 2
+    for s in ("out", "members", "reps"):
+        assert len(m[s]) <= 2, (s, len(m[s]))
+    # tombstones reclaimed, live state intact, stream continues
+    assert sink.vacuum() > 0
+    assert _pairs(sink, spark) == want
+    c = _q_corpus(spark, sf_dir)
+    empty = c.limit(0)
+    sink.apply_batch(empty, len(batches))   # empty batch: no new pairs
+    assert _pairs(sink, spark) == want
+
+
+def test_vector_sink_crash_before_commit_is_invisible(
+        spark, sf_dir, tmp_path):
+    batches = _batches(spark, sf_dir, 3)
+    sink = _drive(spark, tmp_path / "v", batches[:2])
+    before = _pairs(sink, spark)
+
+    real_commit = sink._commit
+    sink._commit = lambda m: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        try:
+            sink.apply_batch(batches[2], 2)
+            raise AssertionError("expected injected crash")
+        except OSError:
+            pass
+        assert sink.meta()["last_batch_id"] == 1
+        assert _pairs(sink, spark) == before
+    finally:
+        sink._commit = real_commit
+
+    sink.apply_batch(batches[2], 2)         # redelivery applies once
+    want = sorted((r.id1, r.id2, r.cos_sim)
+                  for r in emb_cosine_near_dup_pairs(spark, sf_dir)
+                  .collect())
+    assert _pairs(sink, spark) == want
+
+    # crash during COMPACTION repoint: old log stays current
+    meta_before = sink.meta()
+    sink._commit = lambda m: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        try:
+            sink.compact(spark)
+            raise AssertionError("expected injected crash")
+        except OSError:
+            pass
+        assert sink.meta() == meta_before
+        assert _pairs(sink, spark) == want
+    finally:
+        sink._commit = real_commit
+    assert sink.compact(spark)["compacted"]     # retry succeeds
+    assert _pairs(sink, spark) == want
+
+
+def test_vector_sink_exact_duplicate_vectors_across_batches(
+        spark, tmp_path):
+    """The planted corpus has no EXACT duplicate vectors, so this pins
+    the path replicated crawls hit: the same vector arriving in every
+    batch must pair with all its prior twins (cos computed by the same
+    kernel both engines run: x/(sqrt(x)*sqrt(x))), exactly once each,
+    while the reps log stays at one row per distinct vector."""
+    from pyspark.sql import functions as F
+
+    def vec(key):
+        return F.transform(F.sequence(F.lit(1), F.lit(64)),
+                           lambda d: F.xxhash64(key, d) % F.lit(1000003))
+
+    def batch(i, n_dup=3, n_fresh=5):
+        dup = spark.range(n_dup).select(F.col("id").alias("key")).select(
+            (F.lit(i) * 100 + F.col("key")).alias("id"),
+            vec(F.col("key")).alias("q"))
+        fresh = spark.range(n_fresh).select(F.col("id").alias("key")) \
+            .select((F.lit(i) * 100 + 50 + F.col("key")).alias("id"),
+                    vec(F.lit(7_000_000) + F.lit(i) * n_fresh
+                        + F.col("key")).alias("q"))
+        return dup.unionByName(fresh)
+
+    sink = VectorIndexSink(out_path=str(tmp_path / "p"),
+                           index_path=str(tmp_path / "i"))
+    for i in range(4):
+        sink.apply_batch(batch(i).localCheckpoint(), i)
+
+    rows = sink.pairs(spark).collect()
+    got = {(r.id1, r.id2) for r in rows}
+    assert len(rows) == len(got)            # each pair exactly once
+    # 3 dup keys, one member per batch: C(4,2) pairs each, cos == 1-ish
+    want = {(a * 100 + k, b * 100 + k)
+            for k in range(3) for a in range(4) for b in range(a + 1, 4)}
+    assert got == want
+    assert all(r.cos_sim >= 0.9 for r in rows)
+    # index invariant: one reps row per distinct vector
+    mem, reps = sink.index(spark, batch(0))
+    assert reps.count() == 3 + 4 * 5        # 3 dup groups + all fresh
+    assert mem.count() == 4 * 8

@@ -257,6 +257,24 @@ PICKS = {
         "Arrow-batched mapInPandas pipelined into the scan; frame "
         "matrices (numpy diff) never leave the executor — the shuffle "
         "carries 4 ints per asset.",
+    "emb_incremental_near_dup_pairs":
+        "Rep-grain probe: band keys computed JVM-side from the store's "
+        "rep vectors, one shuffle on (band_idx, band_key), rep-pair "
+        "distinct at DISTINCT-content grain, pinned broadcast of the "
+        "verified rep pairs into both membership expansion joins — "
+        "member rows never enter a pairwise join.",
+    "emb_streaming_near_dup_fold":
+        "Three chained probe iterations (one per micro-batch), each "
+        "the emb_incremental_near_dup_pairs plan over the "
+        "union-grown store; per-batch cost independent of index size.",
+    "docs_sequence_packing":
+        "2-column pruned scan, token counts inside codegen, ONE "
+        "Exchange on shard, FlatMapGroupsInPandas carrying only int64 "
+        "columns — text never crosses the Python boundary.",
+    "docs_packing_efficiency":
+        "The packing plan + two partial-aggregable groupBys on "
+        "(shard, bin_id) then shard — Catalyst reuses the shard "
+        "partitioning, no extra wide shuffle.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for headline queries

@@ -40,10 +40,14 @@ def main() -> None:
     ap.add_argument("--vacuum", action="store_true",
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
-    ap.add_argument("--sink", choices=["join", "dedup"], default="join",
+    ap.add_argument("--sink", choices=["join", "dedup", "vector"],
+                    default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
-                         "pair's manifest/compaction discipline)")
+                         "pair's manifest/compaction discipline); "
+                         "vector = VectorIndexSink (round-10: the "
+                         "rep-grain embedding index under the same "
+                         "protocol)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -56,6 +60,9 @@ def main() -> None:
 
     if args.sink == "dedup":
         _dedup_soak(spark, args)
+        return
+    if args.sink == "vector":
+        _vector_soak(spark, args)
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -189,6 +196,98 @@ def _dedup_soak(spark, args) -> None:
             "survivors": survivors,
             "survivors_expected": want,
             "survivors_ok": survivors == want,
+            "per_batch_s": times,
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _vector_soak(spark, args) -> None:
+    """VectorIndexSink soak: mostly-fresh vectors (the organic-crawl
+    shape — the INDEX grows every batch) plus a small fixed duplicate
+    pool for liveness. Flatness claim: per-batch probe cost is
+    O(batch + matched distinct content) — independent of how large the
+    members log has grown — and compaction keeps the three delta-log
+    listings bounded. (Pair OUTPUT per batch grows ~linearly here by
+    construction: each pool key gains one member per batch and the
+    answer itself is the pair set — answer-size growth is semantics,
+    not infrastructure; the infrastructure cost is what this measures.)
+    """
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.streaming.dedup import VectorIndexSink
+
+    base = tempfile.mkdtemp(prefix="vector_soak_")
+    try:
+        sink = VectorIndexSink(out_path=os.path.join(base, "pairs"),
+                               index_path=os.path.join(base, "index"),
+                               compact_after=args.compact_after)
+        pool = 100
+        fresh_per = args.rows - pool
+
+        def vec(key):
+            # deterministic pseudo-random 64-dim int vector per key:
+            # identical keys => identical vectors (cos 1), distinct
+            # keys => uncorrelated (|cos| << 0.9 at dim 64). xxhash64
+            # mixes (key, d) properly — a multiplicative-linear
+            # sequence mod a prime is near-affine in d and CORRELATES
+            # across keys (the first draft emitted 22x the expected
+            # pairs); no oracle runs here, so portability is moot.
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: F.xxhash64(key, d) % F.lit(1000003))
+
+        def batch_df(i: int):
+            # two-step selects: aliasing a NEW "id" in the same select
+            # would shadow the input column for later expressions
+            # (lateral column alias resolution) and silently re-key
+            # every batch's "duplicate" vectors
+            dup = spark.range(pool).select(F.col("id").alias("key")) \
+                .select((F.lit(i) * args.rows + F.col("key")).alias("id"),
+                        vec(F.col("key")).alias("q"))
+            fresh = spark.range(fresh_per) \
+                .select(F.col("id").alias("key")) \
+                .select((F.lit(i) * args.rows + pool
+                         + F.col("key")).alias("id"),
+                        vec(F.lit(10_000_000) + F.lit(i) * fresh_per
+                            + F.col("key")).alias("q"))
+            return dup.unionByName(fresh)
+
+        times = []
+        max_files = 0
+        for i in range(args.batches):
+            df = batch_df(i).localCheckpoint(eager=True)  # exclude gen
+            t0 = time.time()
+            sink.apply_batch(df, i)
+            if args.vacuum:
+                sink.vacuum()
+            times.append(round(time.time() - t0, 3))
+            n_files = sum(len(files) for _, _, files in os.walk(base))
+            max_files = max(max_files, n_files)
+
+        m = sink.meta()
+        n_pairs = sink.pairs(spark).count()
+        # every pool-key pair across batches, none among fresh vectors:
+        # C(batches, 2) per pool key
+        want = pool * args.batches * (args.batches - 1) // 2
+        first10 = sum(times[:10]) / min(10, len(times))
+        last10 = sum(times[-10:]) / min(10, len(times))
+        print(json.dumps({
+            "metric": "vector_index_sink_soak",
+            "batches": args.batches,
+            "rows_per_batch": args.rows,
+            "compact_after": args.compact_after,
+            "vacuum": args.vacuum,
+            "first10_avg_s": round(first10, 3),
+            "last10_avg_s": round(last10, 3),
+            "flatness_last_over_first": round(last10 / first10, 2),
+            "entries_at_close": {s: len(m[s])
+                                 for s in ("out", "members", "reps")},
+            "tombstones_at_close": len(m.get("tombstones", [])),
+            "max_files_any_point": max_files,
+            "pairs": n_pairs,
+            "pairs_expected": want,
+            "pairs_ok": n_pairs == want,
             "per_batch_s": times,
         }))
     finally:

@@ -105,6 +105,13 @@ SWEEP = [
     # round-9 additions
     "ivm_join_view_compacted_rollup",
     "graph_local_clustering_estimate",
+    # round-10 additions
+    "docs_incremental_lsh_multibatch",
+    "docs_incremental_exact_dedup",
+    "docs_incremental_simhash_pairs",
+    "emb_incremental_near_dup_pairs",
+    "docs_sequence_packing",
+    "docs_packing_efficiency",
 ]
 
 
