@@ -2633,25 +2633,36 @@ WHERE rank <= {BQ_K}
 # redelivered event and has no notion of a vector index; this family is
 # [EXT] surface driven by SURVEY §2 Table B's training-pipeline rows.
 
-def _sign_band_structs() -> Column:
-    """8 bands x 8 sign bits over a 64-dim quantized vector ``q`` — the
-    banded sign-LSH blocking shared (by construction, not by helper)
-    with emb_cosine_near_dup_pairs; kept as separate source so the
-    green base query's fingerprint is untouched."""
+def _sign_band_structs(n_bands: int = 8, bits: int = 8) -> Column:
+    """n_bands x bits sign-LSH blocking over a 64-dim quantized vector
+    ``q`` (n_bands*bits must equal 64). The default (8, 8) is the
+    blocking emb_cosine_near_dup_pairs defines (shared by
+    construction, not by helper, so the green base query's fingerprint
+    is untouched). Bits per band is THE scale knob: buckets per band =
+    2^bits, so expected candidates per probe row = distinct-corpus /
+    2^bits per band — at 8 bits that degenerates to corpus/256 (the
+    vector soak caught candidate sets of 312k against a 100k store);
+    at 16 bits (VectorIndexSink's default) the same store yields
+    ~2-row buckets. Recall on planted near-dups: a perturbation
+    confined to band 0 leaves the other n_bands-1 bands intact —
+    recall 1 on the fixture, >= 1 - p^n_bands in general; identical
+    vectors (the duplicate-crawl case) always collide in EVERY band."""
+    assert n_bands * bits == 64
     return F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
-            sum((F.when(F.element_at("q", b * 8 + j + 1) >= 0,
+            sum((F.when(F.element_at("q", b * bits + j + 1) >= 0,
                         F.lit(1 << j)).otherwise(F.lit(0)))
-                for j in range(8)).cast("long").alias("band_key"))
-        for b in range(8)
+                for j in range(bits)).cast("long").alias("band_key"))
+        for b in range(n_bands)
     ])
 
 
-def _emb_rep_bands(reps: DataFrame) -> DataFrame:
+def _emb_rep_bands(reps: DataFrame, n_bands: int = 8,
+                   bits: int = 8) -> DataFrame:
     """(rep, q) -> (rep, band_idx, band_key): a projection, no shuffle."""
     return reps.select(
-        "rep", F.explode(_sign_band_structs()).alias("b")
+        "rep", F.explode(_sign_band_structs(n_bands, bits)).alias("b")
     ).select("rep", F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_key").alias("band_key"))
 
@@ -2711,16 +2722,23 @@ def merge_embedding_deltas(store: tuple, batch_mem: DataFrame) -> tuple:
     members, reps = store
     breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
         F.col("rep").alias("brep"), F.col("q").alias("bq"))
-    matched = breps.join(reps, breps["bq"] == reps["q"], "left").select(
-        "brep", F.col("rep").alias("srep"), "bq")
-    remap = matched.select(
-        "brep", F.coalesce("srep", F.col("brep")).alias("rep"))
+    # INNER join with the batch side broadcast, so the store is
+    # scanned/streamed, never shuffled (the left-outer draft forced a
+    # sort-merge join on the array key — O(store shuffle) per batch,
+    # the same growth the probe's soak caught); the outer semantics
+    # are recovered by the left join against the batch-sized matched
+    # set below.
+    matched = (reps.join(F.broadcast(breps), reps["q"] == breps["bq"])
+                   .select("brep", F.col("rep").alias("srep")))
+    remap = (breps.join(matched, "brep", "left")
+                  .select("brep",
+                          F.coalesce("srep", F.col("brep")).alias("rep")))
     new_members = (batch_mem.select("id", F.col("rep").alias("brep"))
                             .join(remap, "brep")
                             .select("id", "rep"))
-    new_reps = (matched.filter(F.col("srep").isNull())
-                       .select(F.col("brep").alias("rep"),
-                               F.col("bq").alias("q")))
+    new_reps = (breps.join(matched.select("brep"), "brep", "left_anti")
+                     .select(F.col("brep").alias("rep"),
+                             F.col("bq").alias("q")))
     return new_members, new_reps
 
 
@@ -2735,7 +2753,8 @@ def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
 
 
 def _probe_embedding_store(store: tuple, bmem: DataFrame,
-                           threshold: float) -> DataFrame:
+                           threshold: float, n_bands: int = 8,
+                           bits: int = 8) -> DataFrame:
     """Probe kernel shared by the one-shot query and the multibatch
     fold: verified near-dup member pairs for a collapsed batch frame
     (id, q, rep) against a (members, reps) store.
@@ -2749,23 +2768,27 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     store_members, store_reps = store
     batch_members = bmem.select("id", "rep")
     batch_reps = bmem.filter(F.col("id") == F.col("rep")).select("rep", "q")
-    flagged = (_emb_rep_bands(store_reps).withColumn("is_new", F.lit(False))
-               .unionByName(
-               _emb_rep_bands(batch_reps).withColumn("is_new", F.lit(True))))
-    buckets = (
-        flagged.groupBy("band_idx", "band_key")
-               .agg(F.collect_list(F.when(~F.col("is_new"), F.col("rep")))
-                     .alias("old_reps"),
-                    F.collect_list(F.when(F.col("is_new"), F.col("rep")))
-                     .alias("new_reps"))
-               .filter((F.size("new_reps") > 0)
-                       & (F.size("old_reps") + F.size("new_reps") > 1))
-    )
+    # Candidate generation is JOIN-shaped, not bucket-shaped: the first
+    # 120-batch soak of VectorIndexSink caught the union+groupBy/
+    # collect_list draft re-SHUFFLING every store band row per batch —
+    # per-batch cost grew with index size (~14s/batch by batch 50 at
+    # 5k rows/batch). Broadcasting the batch's band rows (batch-sized
+    # by definition) lets the store side STREAM through a broadcast
+    # hash join: the index is scanned, never shuffled, and the only
+    # shuffled frames are candidate pairs (distinct-content grain).
+    store_bands = _emb_rep_bands(store_reps, n_bands, bits)
+    batch_bands = _emb_rep_bands(batch_reps, n_bands, bits)
+    new_old = (store_bands
+               .join(F.broadcast(batch_bands.withColumnRenamed("rep", "n")),
+                     ["band_idx", "band_key"])
+               .select("n", F.col("rep").alias("m")))
+    b2 = batch_bands.withColumnRenamed("rep", "m")
+    new_new = (batch_bands.withColumnRenamed("rep", "n")
+               .join(F.broadcast(b2), ["band_idx", "band_key"])
+               .filter(F.col("n") < F.col("m"))
+               .select("n", "m"))
     rep_pairs = (
-        buckets.select(F.explode("new_reps").alias("n"),
-                       F.concat("old_reps", "new_reps").alias("cands"))
-               .select("n", F.explode("cands").alias("m"))
-               .filter(F.col("n") != F.col("m"))
+        new_old.unionByName(new_new)
                .select(F.least("n", "m").alias("pa"),
                        F.greatest("n", "m").alias("pb"))
                .distinct()
@@ -2778,6 +2801,16 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
         / (F.sqrt(dot_q(F.col("qa"), F.col("qa")).cast("double"))
            * F.sqrt(dot_q(F.col("qb"), F.col("qb")).cast("double")))
     )
+    # rep_pairs is eagerly checkpointed: the 30-batch profile caught
+    # the lineage-carrying draft sort-merge-joining the growing store
+    # twice per batch in the vector-attach joins (probe 7.4s -> 22.8s
+    # over 18 batches), and a broadcast-PIN rewrite was worse still —
+    # nested broadcast builds recompute the candidate subtree per
+    # consumer (13s -> 78s by batch 5). A materialized candidate table
+    # gives the planner its EXACT (tiny, rep-grain) size, so both
+    # attach joins build on it and the rep table streams, without
+    # recomputation.
+    rep_pairs = rep_pairs.localCheckpoint()
     verified = (
         rep_pairs.join(r1, "pa").join(r2, "pb")
                  .select("pa", "pb", cos.alias("cos_sim"))

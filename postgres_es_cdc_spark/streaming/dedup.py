@@ -262,11 +262,20 @@ class VectorIndexSink:
 
     def __init__(self, out_path: str, index_path: str,
                  threshold: float = 0.9,
-                 compact_after: int | None = None):
+                 compact_after: int | None = None,
+                 n_bands: int = 4, bits: int = 16):
+        # (4, 16) — NOT the one-shot queries' (8, 8): bits per band is
+        # the candidate-volume knob (similarity._sign_band_structs
+        # docstring); a long-lived index needs 2^16 buckets per band or
+        # probe candidates grow as store/256 per batch (the soak's
+        # 3.5x growth curve). Recall on exact duplicates is 1 under
+        # any sign banding; near-dup recall trades 1-p^8 -> 1-p^4.
         self.out_path = out_path
         self.index_path = index_path
         self.threshold = threshold
         self.compact_after = compact_after
+        self.n_bands = n_bands
+        self.bits = bits
 
     # -- manifest (same protocol as KeyedDedupSink) --------------------
     def _manifest_path(self) -> str:
@@ -319,7 +328,8 @@ class VectorIndexSink:
         bmem = _emb_collapsed(batch.select("id", "q")).localCheckpoint()
         store = self.index(spark, batch, meta)
         pdir = os.path.join(self.out_path, f"b{batch_id}")
-        (_probe_embedding_store(store, bmem, self.threshold)
+        (_probe_embedding_store(store, bmem, self.threshold,
+                                self.n_bands, self.bits)
          .write.mode("overwrite").parquet(pdir))
         new_members, new_reps = merge_embedding_deltas(store, bmem)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")

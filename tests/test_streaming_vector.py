@@ -42,13 +42,16 @@ def test_vector_sink_fold_equals_one_shot_with_replay(
                   .collect())
     assert want
     batches = _batches(spark, sf_dir, 3)
-    sink = _drive(spark, tmp_path / "v", batches)
+    # (8, 8) banding: the law compared here is equality with
+    # emb_cosine_near_dup_pairs, whose SEMANTICS include its blocking
+    sink = _drive(spark, tmp_path / "v", batches, n_bands=8, bits=8)
     assert _pairs(sink, spark) == want      # exact, incl. the doubles
     sink.apply_batch(batches[1], 1)         # committed replay: no-op
     assert _pairs(sink, spark) == want
     # a RESTARTED sink (fresh object, same paths) continues the gate
     sink2 = VectorIndexSink(out_path=str(tmp_path / "v" / "pairs"),
-                            index_path=str(tmp_path / "v" / "index"))
+                            index_path=str(tmp_path / "v" / "index"),
+                            n_bands=8, bits=8)
     sink2.apply_batch(batches[0], 0)
     assert _pairs(sink2, spark) == want
 
@@ -59,6 +62,8 @@ def test_vector_sink_compact_mid_stream_equals_uncompacted(
     plain = _drive(spark, tmp_path / "plain", batches)
     want = _pairs(plain, spark)
     sink = _drive(spark, tmp_path / "compact", batches, compact_after=1)
+    # default (4, 16) banding on BOTH sinks here: the law is
+    # compaction-invariance, not blocking semantics
     assert _pairs(sink, spark) == want
     m = sink.meta()
     assert m.get("compact_gen", 0) >= 2
@@ -76,7 +81,7 @@ def test_vector_sink_compact_mid_stream_equals_uncompacted(
 def test_vector_sink_crash_before_commit_is_invisible(
         spark, sf_dir, tmp_path):
     batches = _batches(spark, sf_dir, 3)
-    sink = _drive(spark, tmp_path / "v", batches[:2])
+    sink = _drive(spark, tmp_path / "v", batches[:2], n_bands=8, bits=8)
     before = _pairs(sink, spark)
 
     real_commit = sink._commit
@@ -155,3 +160,35 @@ def test_vector_sink_exact_duplicate_vectors_across_batches(
     mem, reps = sink.index(spark, batch(0))
     assert reps.count() == 3 + 4 * 5        # 3 dup groups + all fresh
     assert mem.count() == 4 * 8
+
+
+def test_vector_sink_416_banding_matches_numpy_bruteforce(
+        spark, sf_dir, tmp_path):
+    """The sink's default (4, 16) blocking, checked against an
+    INDEPENDENT numpy construction of the same semantics: all pairs
+    that (a) share at least one 16-bit sign-band key and (b) have
+    exact-integer cosine >= 0.9 — no Spark code reused."""
+    import numpy as np
+
+    want_rows = _q_corpus(spark, sf_dir).collect()
+    ids = np.array([r.id for r in want_rows], dtype=np.int64)
+    Q = np.array([r.q for r in want_rows], dtype=np.int64)
+    signs = (Q >= 0)
+    weights = (1 << np.arange(16, dtype=np.int64))
+    keys = np.stack([signs[:, b * 16:(b + 1) * 16] @ weights
+                     for b in range(4)], axis=1)      # (n, 4)
+    share = np.zeros((len(ids), len(ids)), dtype=bool)
+    for b in range(4):
+        share |= keys[:, b][:, None] == keys[:, b][None, :]
+    Qf = Q.astype(np.float64)
+    dots = (Q @ Q.T).astype(np.float64)
+    nrm = np.sqrt(np.diag(dots))
+    cosm = dots / (nrm[:, None] * nrm[None, :])
+    hit = share & (cosm >= 0.9) & (ids[:, None] < ids[None, :])
+    want = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(*np.nonzero(hit))}
+
+    sink = _drive(spark, tmp_path / "v416", _batches(spark, sf_dir, 3))
+    got = {(r.id1, r.id2) for r in sink.pairs(spark).collect()}
+    assert got == want
+    assert want, "fixture must produce pairs"

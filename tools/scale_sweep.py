@@ -110,6 +110,7 @@ SWEEP = [
     "docs_incremental_exact_dedup",
     "docs_incremental_simhash_pairs",
     "emb_incremental_near_dup_pairs",
+    "emb_streaming_near_dup_fold",
     "docs_sequence_packing",
     "docs_packing_efficiency",
 ]
