@@ -192,3 +192,29 @@ def test_vector_sink_416_banding_matches_numpy_bruteforce(
     got = {(r.id1, r.id2) for r in sink.pairs(spark).collect()}
     assert got == want
     assert want, "fixture must produce pairs"
+
+
+def test_vector_sink_through_real_stream(spark, sf_dir, tmp_path):
+    """Drive VectorIndexSink through an ACTUAL Structured Streaming
+    query (file source, foreachBatch, checkpoint, availableNow) — the
+    law holds for whatever micro-batch split the engine chooses,
+    because the fold equals the one-shot recompute under ANY split."""
+    c = _q_corpus(spark, sf_dir)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (c.filter(F.col("id") % 3 == i).coalesce(1)
+          .write.mode("append").parquet(src))
+    sink = VectorIndexSink(out_path=str(tmp_path / "pairs"),
+                           index_path=str(tmp_path / "index"),
+                           n_bands=8, bits=8)
+    stream = (spark.readStream.schema(c.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.writer())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    want = sorted((r.id1, r.id2, r.cos_sim)
+                  for r in emb_cosine_near_dup_pairs(spark, sf_dir)
+                  .collect())
+    assert _pairs(sink, spark) == want
+    assert sink.meta()["last_batch_id"] >= 0
