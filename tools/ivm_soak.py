@@ -40,7 +40,7 @@ def main() -> None:
     ap.add_argument("--vacuum", action="store_true",
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
-    ap.add_argument("--sink", choices=["join", "dedup", "vector"],
+    ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh"],
                     default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
@@ -63,6 +63,9 @@ def main() -> None:
         return
     if args.sink == "vector":
         _vector_soak(spark, args)
+        return
+    if args.sink == "lsh":
+        _lsh_soak(spark, args)
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -200,6 +203,72 @@ def _dedup_soak(spark, args) -> None:
         }))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _lsh_soak(spark, args) -> None:
+    """Signature-store crawl-loop soak: probe -> merge_signature_store
+    over n synthetic batches (mostly-fresh signatures + a fixed
+    100-key duplicate pool), measuring the per-batch cost curve of
+    llm/dedup's _probe_signature_store as the store grows — the
+    batch-LSH twin of the vector sink's soak, which caught the
+    union+groupBy candidate shape growing with index size. LSH band
+    keys are md5 pairs (128-bit), so unlike the 8-bit sign bands there
+    are no accidental bucket collisions: any growth measured here is
+    pure infrastructure (store-band shuffle), not candidate volume."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _SIG_COLS, _probe_signature_store, merge_signature_store)
+
+    pool = 100
+    fresh_per = args.rows - pool
+
+    def sigs(key):
+        return [(F.xxhash64(key, F.lit(j)) % F.lit(1_000_003))
+                .alias(f"sig{j}") for j in range(len(_SIG_COLS))]
+
+    def batch_mem(i: int):
+        dup = spark.range(pool).select(F.col("id").alias("key")).select(
+            (F.lit(i) * args.rows + F.col("key")).alias("doc_id"),
+            *sigs(F.col("key")))
+        fr = spark.range(fresh_per).select(F.col("id").alias("key"))             .select((F.lit(i) * args.rows + pool
+                     + F.col("key")).alias("doc_id"),
+                    *sigs(F.lit(10_000_000) + F.lit(i) * fresh_per
+                          + F.col("key")))
+        u = dup.unionByName(fr)
+        # synthetic batches have one doc per signature: rep = doc_id
+        return u.withColumn("rep", F.col("doc_id"))
+
+    store = None
+    times, n_pairs = [], 0
+    for i in range(args.batches):
+        bmem = batch_mem(i).localCheckpoint(eager=True)
+        t0 = time.time()
+        if store is None:
+            empty = bmem.limit(0)
+            store = (empty.select("doc_id", "rep"),
+                     empty.select("rep", *_SIG_COLS))
+        n_pairs += _probe_signature_store(store, bmem).count()
+        store = merge_signature_store(store, bmem)
+        store = (store[0].localCheckpoint(eager=True),
+                 store[1].localCheckpoint(eager=True))
+        times.append(round(time.time() - t0, 3))
+
+    want = pool * args.batches * (args.batches - 1) // 2
+    first10 = sum(times[:10]) / min(10, len(times))
+    last10 = sum(times[-10:]) / min(10, len(times))
+    print(json.dumps({
+        "metric": "lsh_signature_store_soak",
+        "batches": args.batches,
+        "rows_per_batch": args.rows,
+        "first10_avg_s": round(first10, 3),
+        "last10_avg_s": round(last10, 3),
+        "flatness_last_over_first": round(last10 / first10, 2),
+        "pairs": n_pairs,
+        "pairs_expected": want,
+        "pairs_ok": n_pairs == want,
+        "per_batch_s": times,
+    }))
 
 
 def _vector_soak(spark, args) -> None:
