@@ -499,11 +499,26 @@ def _probe_signature_store(store: tuple, bmem: DataFrame,
     """The probe kernel of docs_incremental_lsh_pairs (docstring
     there), shared with the multi-batch fold: candidate member pairs
     for a collapsed batch frame (doc_id, sig0..7, rep) against a
-    (members, reps) store."""
+    (members, reps) store.
+
+    Round-11 join-shaped rewrite (the vector probe's discipline, with
+    _cap_buckets preserved): a bucket can only emit pairs if it holds a
+    NEW rep, so the store's band rows first stream through a broadcast
+    semi-join against the batch's (band_idx, band_key) set — only
+    matched-bucket rows enter the cap window and the groupBy. Per-probe
+    shuffle drops from O(store bands) to O(batch + matched rows); the
+    cap stays BIT-EXACT because row_number ranks are per-bucket, and
+    within a touched bucket the restricted frame holds exactly the same
+    rows the global window saw (the round-10 union shape measured
+    1.43×/60× store growth in the lsh soak — sub-linear, but the shape
+    was still a full store-band shuffle per batch)."""
     store_members, store_reps = store
     batch_members = bmem.select("doc_id", "rep")
     batch_bands = _rep_bands(bmem.filter(F.col("doc_id") == F.col("rep")))
-    flagged = (_rep_bands(store_reps).withColumn("is_new", F.lit(False))
+    touched = batch_bands.select("band_idx", "band_key").distinct()
+    flagged = (_rep_bands(store_reps)
+                   .join(F.broadcast(touched), ["band_idx", "band_key"])
+                   .withColumn("is_new", F.lit(False))
                    .unionByName(
                batch_bands.withColumn("is_new", F.lit(True))))
     buckets = (

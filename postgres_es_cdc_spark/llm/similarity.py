@@ -497,20 +497,29 @@ GROUP BY 1
     f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)))
 
 
+_MUTANT_OFFSET = 100_000
+"""Id offset separating _q_corpus's planted mutants (id >= offset) from
+base vec_ids (id < offset). Shared by the corpus builder, the
+embedding_store base/batch split, and emb_incremental_near_dup_pairs so
+the three can never disagree; tests assert max(vec_id) < offset at
+every shipped SF (a fixture with vec_id >= offset would silently
+misclassify rows and collide mutant ids with base ids)."""
+
+
 def _q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized corpus ∪ planted near-duplicates. The driver embeddings
     have no true near-dups (max pairwise cosine ~0.51), so — like
     dedup.mutated_corpus for text — every vec_id % 10 == 0 gets a mutant
-    copy (id + 100000) with dimension 1 nudged by +0.05. All arithmetic
-    is on the ×1e6 fixed-point ints, so both engines build the identical
-    corpus bit-for-bit; mutant↔original cosine ≈ 0.999, every other pair
-    < 0.52."""
+    copy (id + _MUTANT_OFFSET) with dimension 1 nudged by +0.05. All
+    arithmetic is on the ×1e6 fixed-point ints, so both engines build
+    the identical corpus bit-for-bit; mutant↔original cosine ≈ 0.999,
+    every other pair < 0.52."""
     e = table(spark, sf_dir, "embeddings")
     base = e.select(F.col("vec_id").alias("id"),
                     quantize(F.col("embedding")).alias("q"))
     mut = (
         base.filter(F.col("id") % 10 == 0)
-            .select((F.col("id") + 100000).alias("id"),
+            .select((F.col("id") + _MUTANT_OFFSET).alias("id"),
                     F.transform(
                         F.col("q"),
                         lambda x, i: F.when(i == 0, x + 50000).otherwise(x)
@@ -2647,7 +2656,12 @@ def _sign_band_structs(n_bands: int = 8, bits: int = 8) -> Column:
     confined to band 0 leaves the other n_bands-1 bands intact —
     recall 1 on the fixture, >= 1 - p^n_bands in general; identical
     vectors (the duplicate-crawl case) always collide in EVERY band."""
-    assert n_bands * bits == 64
+    if n_bands * bits != 64:
+        # ValueError, not assert: under python -O a mis-sized config
+        # would silently degrade — element_at past dim 64 returns NULL
+        # so those sign bits read as 0 instead of erroring.
+        raise ValueError(f"n_bands*bits must be 64, got "
+                         f"{n_bands}*{bits}={n_bands * bits}")
     return F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -2686,7 +2700,7 @@ def embedding_store(spark: SparkSession, sf_dir: str) -> tuple:
     hit = _QUANTIZER_CACHE.get(key)
     if hit is None:
         mem = _emb_collapsed(
-            _q_corpus(spark, sf_dir).filter(F.col("id") < 100000)
+            _q_corpus(spark, sf_dir).filter(F.col("id") < _MUTANT_OFFSET)
         ).localCheckpoint(eager=False)
         hit = (mem.select("id", "rep"),
                mem.filter(F.col("id") == F.col("rep")).select("rep", "q"))
@@ -2754,7 +2768,9 @@ def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
 
 def _probe_embedding_store(store: tuple, bmem: DataFrame,
                            threshold: float, n_bands: int = 8,
-                           bits: int = 8) -> DataFrame:
+                           bits: int = 8,
+                           store_bands: DataFrame | None = None
+                           ) -> DataFrame:
     """Probe kernel shared by the one-shot query and the multibatch
     fold: verified near-dup member pairs for a collapsed batch frame
     (id, q, rep) against a (members, reps) store.
@@ -2764,7 +2780,16 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     expansion is exact, not approximate), then member pairs expand
     arithmetically; within-batch same-group pairs score with the same
     kernel on the group's own vector. Each member pair is emitted
-    exactly once, so no distinct ever runs at member grain."""
+    exactly once, so no distinct ever runs at member grain.
+
+    ``store_bands`` (rep, band_idx, band_key), when given, replaces the
+    per-call sign-banding of the whole reps store — the round-11 fix
+    for VectorIndexSink's residual O(index) per-batch term: a durable
+    index persists its band rows ONCE per rep (a fourth append-only
+    delta log) and the probe reads three narrow int64 columns instead
+    of recomputing 64 element_at signs per stored rep every trigger.
+    Callers must band with the SAME (n_bands, bits) geometry; one-shot
+    queries keep passing None and band in-plan."""
     store_members, store_reps = store
     batch_members = bmem.select("id", "rep")
     batch_reps = bmem.filter(F.col("id") == F.col("rep")).select("rep", "q")
@@ -2776,7 +2801,10 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     # by definition) lets the store side STREAM through a broadcast
     # hash join: the index is scanned, never shuffled, and the only
     # shuffled frames are candidate pairs (distinct-content grain).
-    store_bands = _emb_rep_bands(store_reps, n_bands, bits)
+    if store_bands is None:
+        store_bands = _emb_rep_bands(store_reps, n_bands, bits)
+    else:
+        store_bands = store_bands.select("rep", "band_idx", "band_key")
     batch_bands = _emb_rep_bands(batch_reps, n_bands, bits)
     new_old = (store_bands
                .join(F.broadcast(batch_bands.withColumnRenamed("rep", "n")),
@@ -2869,13 +2897,14 @@ def emb_incremental_near_dup_pairs(spark: SparkSession, sf_dir: str,
     if store is None:
         store = embedding_store(spark, sf_dir)
     bmem = _emb_collapsed(
-        _q_corpus(spark, sf_dir).filter(F.col("id") >= 100000)
+        _q_corpus(spark, sf_dir).filter(F.col("id") >= _MUTANT_OFFSET)
     ).localCheckpoint(eager=False)
     return _probe_embedding_store(store, bmem, threshold)
 
 
 EMB_INCR_NEAR_DUP_SQL = f"""
-SELECT id1, id2, cos_sim FROM ({EMB_NEAR_DUP_SQL}) WHERE id2 >= 100000
+SELECT id1, id2, cos_sim
+FROM ({EMB_NEAR_DUP_SQL}) WHERE id2 >= {_MUTANT_OFFSET}
 """
 
 

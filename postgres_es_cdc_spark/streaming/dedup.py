@@ -240,12 +240,23 @@ class VectorIndexSink:
     pairs to the output log and the batch's member/rep deltas to the
     index logs. merge_embedding_deltas' appends are DISJOINT from all
     committed state by construction (an id arrives once; a rep is added
-    only when its vector is unseen), so all three stores are append-only
+    only when its vector is unseen), so all FOUR stores are append-only
     bags: one manifest os.replace commits them together with the batch
     id (crash ⇒ orphan dirs invisible, retry overwrites; redelivered
     batch id ⇒ no-op), and ``compact_after=N`` folds each log to ONE
     snapshot dir by pure bag union — tombstoned, vacuum() reclaimed,
     exactly the KeyedDedupSink discipline.
+
+    The fourth log is the PERSISTED BAND LOG (round 11): each new rep's
+    (rep, band_idx, band_key) sign-LSH rows are appended once, when the
+    rep enters the index, so the per-trigger probe joins the batch's
+    band rows against three narrow int64 columns instead of recomputing
+    64 element_at signs per stored rep — the round-10 soak's residual
+    1.78× per-batch growth term (the one measured O(index) cost left).
+    The manifest pins the banding geometry; a restart with a different
+    (n_bands, bits) raises instead of silently probing the wrong
+    buckets. On a cluster this is the frame you'd keep bucketed by
+    band_key so the candidate join co-locates.
 
     The exactly-once law the tests pin: folding a corpus through ANY
     batch split starting from an empty index emits every verified pair
@@ -286,7 +297,8 @@ class VectorIndexSink:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
-        return {"out": [], "members": [], "reps": [], "last_batch_id": -1}
+        return {"out": [], "members": [], "reps": [], "bands": [],
+                "banding": [self.n_bands, self.bits], "last_batch_id": -1}
 
     def _commit(self, meta: dict) -> None:
         os.makedirs(self.out_path, exist_ok=True)
@@ -316,10 +328,43 @@ class VectorIndexSink:
             reps = batch.select(F.col("id").alias("rep"), "q").limit(0)
         return (mem.select("id", "rep"), reps.select("rep", "q"))
 
+    def band_rows(self, spark: SparkSession) -> DataFrame | None:
+        """The committed band log (rep, band_idx, band_key) — one row
+        per (rep, band); None while the index is empty."""
+        return self._read_log(spark, self.meta().get("bands", []))
+
+    def _band_log(self, spark: SparkSession, meta: dict,
+                  batch_id: int) -> tuple:
+        """(committed band rows | None, band dir list) — migrating a
+        pre-round-11 manifest (no "bands" key) by banding the whole
+        committed reps log ONCE into an orphan-until-committed dir;
+        from then on each batch appends only its own new reps' bands."""
+        from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
+
+        if meta.get("banding", [self.n_bands, self.bits]) != \
+                [self.n_bands, self.bits]:
+            raise ValueError(
+                f"index at {self.index_path} was built with banding "
+                f"{meta['banding']}, sink configured "
+                f"{[self.n_bands, self.bits]} — band keys would not "
+                f"match; rebuild the index or match the geometry")
+        dirs = meta.get("bands")
+        if dirs is None:
+            dirs = []
+            if meta["reps"]:
+                mig = os.path.join(self.index_path, "bands",
+                                   f"m{batch_id}")
+                _emb_rep_bands(spark.read.parquet(*meta["reps"]),
+                               self.n_bands, self.bits
+                               ).write.mode("overwrite").parquet(mig)
+                dirs = [mig]
+        return self._read_log(spark, dirs), dirs
+
     # -- per-batch fold ------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_es_cdc_spark.llm.similarity import (
-            _emb_collapsed, _probe_embedding_store, merge_embedding_deltas)
+            _emb_collapsed, _emb_rep_bands, _probe_embedding_store,
+            merge_embedding_deltas)
 
         spark = batch.sparkSession
         meta = self.meta()
@@ -327,24 +372,35 @@ class VectorIndexSink:
             return                      # committed replay: no-op
         bmem = _emb_collapsed(batch.select("id", "q")).localCheckpoint()
         store = self.index(spark, batch, meta)
+        store_bands, band_dirs = self._band_log(spark, meta, batch_id)
         pdir = os.path.join(self.out_path, f"b{batch_id}")
         (_probe_embedding_store(store, bmem, self.threshold,
-                                self.n_bands, self.bits)
+                                self.n_bands, self.bits,
+                                store_bands=store_bands)
          .write.mode("overwrite").parquet(pdir))
         new_members, new_reps = merge_embedding_deltas(store, bmem)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
+        bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
         new_members.write.mode("overwrite").parquet(mdir)
         new_reps.write.mode("overwrite").parquet(rdir)
+        # band the WRITTEN rep rows (no recompute of the merge plan):
+        # the band log stays row-for-row derived from the committed
+        # reps log, the invariant tests pin
+        _emb_rep_bands(spark.read.parquet(rdir), self.n_bands, self.bits
+                       ).write.mode("overwrite").parquet(bdir)
         new_meta = dict(meta)
         new_meta.update({"out": meta["out"] + [pdir],
                          "members": meta["members"] + [mdir],
                          "reps": meta["reps"] + [rdir],
+                         "bands": band_dirs + [bdir],
+                         "banding": [self.n_bands, self.bits],
                          "last_batch_id": batch_id})
         self._commit(new_meta)
         if self.compact_after is not None and max(
                 len(new_meta["out"]), len(new_meta["members"]),
-                len(new_meta["reps"])) > self.compact_after:
+                len(new_meta["reps"]), len(new_meta["bands"])
+        ) > self.compact_after:
             self.compact(spark)
 
     # -- compaction (KeyedDedupSink.compact's shape) --------------------
@@ -354,8 +410,8 @@ class VectorIndexSink:
         Crash before the repoint leaves the old log current;
         last_batch_id carries through, so the replay gate survives."""
         meta = self.meta()
-        if max(len(meta["out"]), len(meta["members"]),
-               len(meta["reps"])) <= 1:
+        if max(len(meta["out"]), len(meta["members"]), len(meta["reps"]),
+               len(meta.get("bands", []))) <= 1:
             return {"compacted": False}
         gen = meta.get("compact_gen", 0) + 1
         new_meta = dict(meta)
@@ -364,8 +420,10 @@ class VectorIndexSink:
         for store, base in (("out", self.out_path),
                             ("members",
                              os.path.join(self.index_path, "members")),
-                            ("reps", os.path.join(self.index_path, "reps"))):
-            entries = meta[store]
+                            ("reps", os.path.join(self.index_path, "reps")),
+                            ("bands",
+                             os.path.join(self.index_path, "bands"))):
+            entries = meta.get(store, [])
             if len(entries) <= 1:
                 continue
             cdir = os.path.join(base, f"c{gen}")

@@ -431,3 +431,38 @@ def test_fingerprint_store_roundtrip_and_incremental_probe(spark, sf_dir,
     assert direct == via_store and len(direct) > 0
     # every pair touches the batch (the incremental guarantee)
     assert all(r.doc_b >= 1_000_000 for r in direct)
+
+
+def test_probe_store_cap_ranks_across_store_and_batch(spark):
+    """The round-11 join-shaped probe restricts the cap window to
+    batch-touched buckets; this pins that within such a bucket the cap
+    still ranks over the UNION of store and batch reps — a batch rep
+    ranked past the cap emits nothing, a low-id batch rep pushes store
+    reps out, and a generous cap admits everyone."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        _SIG_COLS, _probe_signature_store)
+
+    def frame(rows):
+        # rep r in the shared band-0 bucket: sig0=sig1=1, sig2..7
+        # unique per rep so no other band collides
+        data = [(r, 1, 1, *[r * 10 + j for j in range(2, 8)], r)
+                for r in rows]
+        return spark.createDataFrame(
+            data, "doc_id long, " + ", ".join(
+                f"{c} long" for c in _SIG_COLS) + ", rep long")
+
+    def probe(store_ids, batch_ids, cap):
+        smem = frame(store_ids)
+        store = (smem.select("doc_id", "rep"),
+                 smem.select("rep", *_SIG_COLS))
+        return {(r.doc_a, r.doc_b)
+                for r in _probe_signature_store(
+                    store, frame(batch_ids), cap).collect()}
+
+    # batch rep 100 ranks 11th of 11 -> capped out -> no pairs
+    assert probe(range(10), [100], cap=5) == set()
+    # cap admits the whole bucket -> batch pairs with every store rep
+    assert probe(range(10), [100], cap=11) == {(r, 100) for r in range(10)}
+    # low-id batch rep ranks FIRST: survivors {0, 10..13}
+    assert probe(range(10, 20), [0], cap=5) == {(0, r)
+                                                for r in range(10, 14)}

@@ -439,3 +439,25 @@ def test_emb_multibatch_probe_merge_matches_one_shot(spark, sf_dir):
     bad = (members.groupBy("rep").agg(F.min("id").alias("lo"))
                   .filter(F.col("lo") != F.col("rep")).count())
     assert bad == 0
+
+
+def test_mutant_offset_clears_fixture_ids(spark, sf_dir):
+    """_MUTANT_OFFSET guard (round-11 advice): the planted-mutant id
+    space (vec_id + offset) must not collide with real vec_ids, and the
+    store/batch split everything downstream shares must classify every
+    corpus row — a fixture with vec_id >= offset would silently turn
+    base rows into 'batch' rows and alias mutants onto real ids."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        _MUTANT_OFFSET, _q_corpus, EMB_INCR_NEAR_DUP_SQL)
+
+    top = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .agg(F.max("vec_id")).collect()[0][0])
+    assert top < _MUTANT_OFFSET
+    c = _q_corpus(spark, sf_dir)
+    n_base = c.filter(F.col("id") < _MUTANT_OFFSET).count()
+    n_mut = c.filter(F.col("id") >= _MUTANT_OFFSET).count()
+    assert n_base + n_mut == c.count() and n_mut > 0
+    # the DuckDB oracle carries the same boundary literally
+    assert f">= {_MUTANT_OFFSET}" in EMB_INCR_NEAR_DUP_SQL

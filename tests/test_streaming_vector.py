@@ -67,7 +67,7 @@ def test_vector_sink_compact_mid_stream_equals_uncompacted(
     assert _pairs(sink, spark) == want
     m = sink.meta()
     assert m.get("compact_gen", 0) >= 2
-    for s in ("out", "members", "reps"):
+    for s in ("out", "members", "reps", "bands"):
         assert len(m[s]) <= 2, (s, len(m[s]))
     # tombstones reclaimed, live state intact, stream continues
     assert sink.vacuum() > 0
@@ -212,9 +212,71 @@ def test_vector_sink_through_real_stream(spark, sf_dir, tmp_path):
     q = (stream.writeStream.foreachBatch(sink.writer())
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     want = sorted((r.id1, r.id2, r.cos_sim)
                   for r in emb_cosine_near_dup_pairs(spark, sf_dir)
                   .collect())
     assert _pairs(sink, spark) == want
     assert sink.meta()["last_batch_id"] >= 0
+
+
+def test_vector_sink_band_log_matches_reps(spark, sf_dir, tmp_path):
+    """Round-11 band-log invariant: the persisted fourth log is
+    row-for-row the sign-LSH banding of the committed reps log — the
+    probe reading it sees EXACTLY what recomputing would see, which is
+    why the fold law is untouched by the optimization."""
+    from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
+
+    sink = _drive(spark, tmp_path / "v", _batches(spark, sf_dir, 3))
+    _, reps = sink.index(spark, _q_corpus(spark, sf_dir))
+    want = {(r.rep, r.band_idx, r.band_key)
+            for r in _emb_rep_bands(reps, sink.n_bands,
+                                    sink.bits).collect()}
+    got = {(r.rep, r.band_idx, r.band_key)
+           for r in sink.band_rows(spark).collect()}
+    assert got == want and want
+    # geometry pinned in the manifest: a restarted sink with different
+    # banding must refuse (its band keys would not match the log's)
+    bad = VectorIndexSink(out_path=str(tmp_path / "v" / "pairs"),
+                          index_path=str(tmp_path / "v" / "index"),
+                          n_bands=8, bits=8)
+    try:
+        bad.apply_batch(_q_corpus(spark, sf_dir).limit(0), 99)
+        raise AssertionError("expected banding-geometry ValueError")
+    except ValueError as e:
+        assert "banding" in str(e)
+
+
+def test_vector_sink_migrates_legacy_manifest(spark, sf_dir, tmp_path):
+    """A pre-round-11 manifest (no band log) must keep working: the
+    first batch after upgrade bands the whole committed reps log once
+    into a migration dir, then appends per batch as usual — pairs stay
+    identical to a sink that had the band log from batch 0."""
+    import json as _json
+
+    batches = _batches(spark, sf_dir, 3)
+    sink = _drive(spark, tmp_path / "v", batches[:2])
+    # strip the round-11 manifest keys, simulating an old index
+    mpath = sink._manifest_path()
+    with open(mpath) as f:
+        m = _json.load(f)
+    m.pop("bands"), m.pop("banding")
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    assert sink.band_rows(spark) is None
+    sink.apply_batch(batches[2], 2)
+    want = sorted((r.id1, r.id2, r.cos_sim)
+                  for r in emb_cosine_near_dup_pairs(spark, sf_dir)
+                  .collect())
+    # (4,16) banding differs from the one-shot (8,8) only in RECALL
+    # guarantees, not on this fixture (identical/near-identical vectors
+    # collide under both), so the fold law still closes
+    assert _pairs(sink, spark) == want
+    # the migration dir + the new batch dir are both committed
+    m2 = sink.meta()
+    assert m2["banding"] == [4, 16]
+    assert any("/m2" in d or d.endswith("m2") for d in m2["bands"])
+    from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
+    _, reps = sink.index(spark, _q_corpus(spark, sf_dir))
+    assert (sink.band_rows(spark).count()
+            == _emb_rep_bands(reps, 4, 16).count())

@@ -231,10 +231,12 @@ def _lsh_soak(spark, args) -> None:
         dup = spark.range(pool).select(F.col("id").alias("key")).select(
             (F.lit(i) * args.rows + F.col("key")).alias("doc_id"),
             *sigs(F.col("key")))
-        fr = spark.range(fresh_per).select(F.col("id").alias("key"))             .select((F.lit(i) * args.rows + pool
-                     + F.col("key")).alias("doc_id"),
-                    *sigs(F.lit(10_000_000) + F.lit(i) * fresh_per
-                          + F.col("key")))
+        fr = (spark.range(fresh_per)
+              .select(F.col("id").alias("key"))
+              .select((F.lit(i) * args.rows + pool
+                       + F.col("key")).alias("doc_id"),
+                      *sigs(F.lit(10_000_000) + F.lit(i) * fresh_per
+                            + F.col("key"))))
         u = dup.unionByName(fr)
         # synthetic batches have one doc per signature: rep = doc_id
         return u.withColumn("rep", F.col("doc_id"))
@@ -351,7 +353,8 @@ def _vector_soak(spark, args) -> None:
             "last10_avg_s": round(last10, 3),
             "flatness_last_over_first": round(last10 / first10, 2),
             "entries_at_close": {s: len(m[s])
-                                 for s in ("out", "members", "reps")},
+                                 for s in ("out", "members", "reps",
+                                           "bands")},
             "tombstones_at_close": len(m.get("tombstones", [])),
             "max_files_any_point": max_files,
             "pairs": n_pairs,
