@@ -1620,6 +1620,99 @@ UNION ALL
 """
 
 
+def docs_dedup_routing_report(spark: SparkSession, sf_dir: str,
+                              cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """The MEMBER-vs-REP routing side channel (round-11, the
+    dedup_bucket_overflow_report pattern): one row comparing the
+    member-grain LSH candidate-pair graph (what docs_dedup_clusters
+    propagates over — clique² in duplicate multiplicity, 123M pairs /
+    216s at sf10) against the signature-collapsed rep-grain graph (what
+    docs_dedup_clusters_collapsed propagates over — 7.96s at sf10).
+    ``pair_expansion_q`` (×1e6 member/rep pair ratio) is the routing
+    number a pipeline operator reads: near 1e6 ⇒ member grain is fine;
+    orders of magnitude above ⇒ route to the collapsed row, the
+    designated 100× path (README routing note). No-silent-caps: the
+    report names the cost instead of letting the slow row time out.
+
+    Scale shape: reuses the memoized banding/pair stages; the rep-grain
+    side is one window collapse + rep-grain banding; output is four
+    1-row aggregates cross-joined (broadcast-scalar shape)."""
+    member_pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+    mem = _sig_collapsed(sigs)
+    reps = mem.filter(F.col("doc_id") == F.col("rep"))
+    buckets = (
+        _cap_buckets(_rep_bands(reps), ["band_idx", "band_key"], "rep",
+                     cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.collect_list("rep").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    rep_pairs = (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+               .select("a", F.explode("ids").alias("b"))
+               .filter(F.col("a") < F.col("b"))
+               .distinct()
+    )
+    out = (sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+           .crossJoin(reps.agg(F.count(F.lit(1)).alias("n_reps")))
+           .crossJoin(member_pairs.agg(
+               F.count(F.lit(1)).alias("member_candidate_pairs")))
+           .crossJoin(rep_pairs.agg(
+               F.count(F.lit(1)).alias("rep_candidate_pairs"))))
+    return out.select(
+        "n_docs", "n_reps", "member_candidate_pairs",
+        "rep_candidate_pairs",
+        F.when(F.col("rep_candidate_pairs") == 0, F.lit(None))
+         .otherwise(F.expr("(1000000 * member_candidate_pairs)"
+                           " div rep_candidate_pairs"))
+         .cast("long").alias("pair_expansion_q"))
+
+
+_REP_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT rep, {bi} AS band_idx, "
+    f"md5(CAST(sig{a} AS VARCHAR) || '_' || CAST(sig{b} AS VARCHAR))"
+    f" AS band_key FROM repsigs"
+    for bi, (a, b) in enumerate(LSH_BANDS)
+)
+
+DOCS_DEDUP_ROUTING_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_SIGS_SELECT_SQL}
+  FROM sh
+),
+banded AS ({_BANDS_SQL}),
+mpairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+repsigs AS (
+  SELECT {", ".join(f"sig{i}" for i in range(len(MINHASH_PERMS)))},
+         MIN(doc_id) AS rep
+  FROM sigs
+  GROUP BY {", ".join(f"sig{i}" for i in range(len(MINHASH_PERMS)))}
+),
+rbanded AS ({_REP_BANDS_SQL}),
+rpairs AS (
+  SELECT DISTINCT l.rep AS a, r.rep AS b
+  FROM rbanded l JOIN rbanded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.rep < r.rep
+)
+SELECT (SELECT COUNT(*) FROM sigs) AS n_docs,
+       (SELECT COUNT(*) FROM repsigs) AS n_reps,
+       (SELECT COUNT(*) FROM mpairs) AS member_candidate_pairs,
+       (SELECT COUNT(*) FROM rpairs) AS rep_candidate_pairs,
+       CASE WHEN (SELECT COUNT(*) FROM rpairs) = 0 THEN NULL
+            ELSE (1000000 * (SELECT COUNT(*) FROM mpairs))
+                 // (SELECT COUNT(*) FROM rpairs) END AS pair_expansion_q
+"""
+
+
 def docs_cluster_representatives(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The dedup DECISION step: for every near-dup cluster (label

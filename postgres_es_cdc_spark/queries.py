@@ -134,6 +134,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_dedup_clusters_collapsed": QuerySpec(
         dedup.docs_dedup_clusters_collapsed,
         dedup.DOCS_DEDUP_CLUSTERS_COLLAPSED_SQL),
+    # member-vs-rep routing side channel (r11): the pair_expansion_q
+    # number that tells an operator when to route to the collapsed row
+    "docs_dedup_routing_report": QuerySpec(
+        dedup.docs_dedup_routing_report, dedup.DOCS_DEDUP_ROUTING_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),

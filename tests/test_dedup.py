@@ -466,3 +466,22 @@ def test_probe_store_cap_ranks_across_store_and_batch(spark):
     # low-id batch rep ranks FIRST: survivors {0, 10..13}
     assert probe(range(10, 20), [0], cap=5) == {(0, r)
                                                 for r in range(10, 14)}
+
+
+def test_routing_report_counts_are_consistent(spark, sf_dir):
+    """docs_dedup_routing_report (round-11 routing side channel): its
+    four counts must agree with the frames they summarize, and the
+    expansion ratio is their quantized quotient."""
+    from postgres_es_cdc_spark.llm.dedup import (
+        docs_dedup_routing_report, docs_minhash_lsh_pairs)
+
+    r = docs_dedup_routing_report(spark, sf_dir).collect()[0]
+    assert r.member_candidate_pairs == \
+        docs_minhash_lsh_pairs(spark, sf_dir).count()
+    assert 0 < r.n_reps <= r.n_docs
+    # rep-grain pairs can never exceed member-grain pairs (every rep
+    # pair expands to >= 1 member pair; member pairs add in-group ones)
+    assert 0 < r.rep_candidate_pairs <= r.member_candidate_pairs
+    assert r.pair_expansion_q == (
+        1_000_000 * r.member_candidate_pairs) // r.rep_candidate_pairs
+    assert r.pair_expansion_q >= 1_000_000
