@@ -409,18 +409,20 @@ def load_signature_store(spark: SparkSession, path: str) -> tuple:
             spark.read.parquet(path + "/reps").select("rep", *_SIG_COLS))
 
 
-def merge_signature_store(store: tuple, batch_mem: DataFrame) -> tuple:
-    """Fold a probed batch INTO the store — the write half of the
-    continuous-crawl loop (probe with docs_incremental_lsh_pairs, then
-    merge so the NEXT batch sees this one as corpus). ``batch_mem`` is
-    the batch's collapsed frame (doc_id, sig0..7, rep) from
-    _sig_collapsed.
+def merge_signature_deltas(store: tuple, batch_mem: DataFrame) -> tuple:
+    """The APPEND half of the crawl-loop merge (the factoring
+    merge_embedding_deltas established for vectors, round 10):
+    (new_members, new_reps) a collapsed batch adds to a (members, reps)
+    store — pure appends, disjoint from all committed state (a doc_id
+    arrives once; a rep is added only when its signature vector is
+    unseen), which is what lets SignatureIndexSink keep its stores as
+    append-only delta logs folded by bag union.
 
     Merge rule, preserving both store invariants (rep ∈ its group;
-    rep = min doc_id over the group): a batch group whose signature
+    rep = FIRST-ARRIVAL doc_id of the group — the min when batches
+    arrive in ascending id order): a batch group whose signature
     vector EQUALS an existing store group's joins that group — its
-    members remap to the store rep (store ids always sort below batch
-    ids, so the min is unchanged); a batch group with an unseen
+    members remap to the store rep; a batch group with an unseen
     signature becomes a new store group under its own rep. The join is
     one broadcast-able rep-grain equi-join on the 8 signature columns
     (eqNullSafe: the all-null vector — empty shingle sets — is one
@@ -442,6 +444,16 @@ def merge_signature_store(store: tuple, batch_mem: DataFrame) -> tuple:
                             .select("doc_id", "rep"))
     new_reps = (matched.filter(F.col("srep").isNull())
                        .select(F.col("brep").alias("rep"), *_SIG_COLS))
+    return new_members, new_reps
+
+
+def merge_signature_store(store: tuple, batch_mem: DataFrame) -> tuple:
+    """Fold a probed batch INTO the store — the write half of the
+    continuous-crawl loop (probe with docs_incremental_lsh_pairs, then
+    merge so the NEXT batch sees this one as corpus; merge rule and
+    invariants in merge_signature_deltas)."""
+    members, reps = store
+    new_members, new_reps = merge_signature_deltas(store, batch_mem)
     return (members.unionByName(new_members),
             reps.unionByName(new_reps))
 
@@ -495,7 +507,9 @@ def docs_incremental_lsh_pairs(spark: SparkSession, sf_dir: str,
 
 
 def _probe_signature_store(store: tuple, bmem: DataFrame,
-                           cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+                           cap: int = PAIR_BUCKET_CAP,
+                           store_bands: DataFrame | None = None
+                           ) -> DataFrame:
     """The probe kernel of docs_incremental_lsh_pairs (docstring
     there), shared with the multi-batch fold: candidate member pairs
     for a collapsed batch frame (doc_id, sig0..7, rep) against a
@@ -511,12 +525,22 @@ def _probe_signature_store(store: tuple, bmem: DataFrame,
     within a touched bucket the restricted frame holds exactly the same
     rows the global window saw (the round-10 union shape measured
     1.43×/60× store growth in the lsh soak — sub-linear, but the shape
-    was still a full store-band shuffle per batch)."""
+    was still a full store-band shuffle per batch).
+
+    ``store_bands`` (rep, band_idx, band_key), when given, replaces the
+    in-plan banding of the store's reps — SignatureIndexSink persists
+    band rows once per rep (its fourth delta log) so the per-trigger
+    probe reads three narrow columns instead of recomputing 4 md5
+    digests per stored rep; one-shot callers keep passing None."""
     store_members, store_reps = store
     batch_members = bmem.select("doc_id", "rep")
     batch_bands = _rep_bands(bmem.filter(F.col("doc_id") == F.col("rep")))
     touched = batch_bands.select("band_idx", "band_key").distinct()
-    flagged = (_rep_bands(store_reps)
+    if store_bands is None:
+        store_bands = _rep_bands(store_reps)
+    else:
+        store_bands = store_bands.select("rep", "band_idx", "band_key")
+    flagged = (store_bands
                    .join(F.broadcast(touched), ["band_idx", "band_key"])
                    .withColumn("is_new", F.lit(False))
                    .unionByName(
@@ -597,6 +621,45 @@ def docs_incremental_lsh_multibatch(spark: SparkSession, sf_dir: str,
             # n_batches deep (the Pregel-loop lineage discipline)
             store = (members.localCheckpoint(eager=False),
                      reps.localCheckpoint(eager=False))
+    return out
+
+
+def docs_streaming_lsh_fold(spark: SparkSession, sf_dir: str,
+                            n_batches: int = 3,
+                            cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+    """streaming.SignatureIndexSink's per-micro-batch algebra exposed
+    as a driver-checkable query (the exposure pattern of
+    emb_streaming_near_dup_fold): fold the ENTIRE mutated corpus
+    through ``n_batches`` id-sliced micro-batches starting from an
+    EMPTY index — probe, emit candidate pairs, merge the batch in,
+    repeat. Every candidate pair of the corpus is emitted exactly
+    once, in the batch where its LATER member arrives (earlier member
+    already indexed ⇒ cross pair; same batch ⇒ in-batch pair), so the
+    union over batches IS the one-shot docs_minhash_lsh_pairs answer —
+    the oracle is the same full-recompute SQL, proving that batch
+    boundaries (and first-arrival rep choice, which the interleaved
+    id slices exercise — originals and mutants mix in every batch)
+    change nothing.
+
+    Scale: n_batches bounds the driver loop (a trigger count, not a
+    data size); each iteration is the join-shaped rep-grain probe, so
+    per-batch cost is O(batch + matched distinct content)."""
+    sigs = (_signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+            .localCheckpoint(eager=False))
+    store = (sigs.select("doc_id", F.col("doc_id").alias("rep")).limit(0),
+             sigs.select(F.col("doc_id").alias("rep"),
+                         *_SIG_COLS).limit(0))
+    out: DataFrame | None = None
+    for i in range(n_batches):
+        bmem = _sig_collapsed(
+            sigs.filter(F.col("doc_id") % n_batches == i)
+        ).localCheckpoint(eager=False)
+        pairs = _probe_signature_store(store, bmem, cap)
+        out = pairs if out is None else out.unionByName(pairs)
+        members, reps = merge_signature_store(store, bmem)
+        # barrier per merge (the Pregel-loop lineage discipline)
+        store = (members.localCheckpoint(eager=False),
+                 reps.localCheckpoint(eager=False))
     return out
 
 

@@ -59,6 +59,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # recompute restricted to batch-touching pairs (incremental == full)
     "docs_incremental_lsh_pairs": QuerySpec(dedup.docs_incremental_lsh_pairs, dedup.DOCS_INCREMENTAL_LSH_SQL),
     "docs_incremental_lsh_multibatch": QuerySpec(dedup.docs_incremental_lsh_multibatch, dedup.DOCS_INCREMENTAL_LSH_SQL),
+    # SignatureIndexSink's fold law (r11): n-batch fold from an EMPTY
+    # index == the one-shot recompute, against the SAME oracle SQL
+    "docs_streaming_lsh_fold": QuerySpec(
+        dedup.docs_streaming_lsh_fold, dedup.DOCS_MINHASH_LSH_SQL),
     "docs_incremental_exact_dedup": QuerySpec(dedup.docs_incremental_exact_dedup, dedup.DOCS_INCREMENTAL_EXACT_SQL),
     "docs_incremental_simhash_pairs": QuerySpec(dedup.docs_incremental_simhash_pairs, dedup.DOCS_INCREMENTAL_SIMHASH_SQL),
     "emb_incremental_near_dup_pairs": QuerySpec(

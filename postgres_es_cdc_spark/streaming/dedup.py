@@ -226,7 +226,118 @@ FROM w WHERE rn = 1
 """
 
 
-class VectorIndexSink:
+class _IndexSinkBase:
+    """Shared manifest protocol of the two streaming near-dup index
+    sinks (vector / MinHash-LSH): four append-only delta logs — pair
+    output, member log, rep log, band log — committed TOGETHER with the
+    last applied batch id by one manifest written in a single
+    os.replace (crash ⇒ orphan dirs invisible, retry overwrites;
+    redelivered batch id ⇒ no-op), ``compact_after=N`` folding each log
+    to ONE snapshot dir by pure bag union (appends are disjoint from
+    all committed state by construction), superseded dirs TOMBSTONED
+    and reclaimed by vacuum() as a separate restartable step — the
+    KeyedDedupSink discipline, factored once."""
+
+    _MANIFEST = "_index_manifest.json"
+    STORES = ("out", "members", "reps", "bands")
+
+    def __init__(self, out_path: str, index_path: str,
+                 compact_after: int | None = None):
+        self.out_path = out_path
+        self.index_path = index_path
+        self.compact_after = compact_after
+
+    # -- manifest ------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_path, self._MANIFEST)
+
+    def _meta_defaults(self) -> dict:
+        return {}
+
+    def meta(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        base = {s: [] for s in self.STORES}
+        base["last_batch_id"] = -1
+        base.update(self._meta_defaults())
+        return base
+
+    def _commit(self, meta: dict) -> None:
+        os.makedirs(self.out_path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def _store_base(self, store: str) -> str:
+        return (self.out_path if store == "out"
+                else os.path.join(self.index_path, store))
+
+    def pairs(self, spark: SparkSession) -> DataFrame | None:
+        """The committed verified/candidate-pair output (log union)."""
+        return self._read_log(spark, self.meta()["out"])
+
+    def band_rows(self, spark: SparkSession) -> DataFrame | None:
+        """The committed band log (rep, band_idx, band_key) — one row
+        per (rep, band); None while the index is empty."""
+        return self._read_log(spark, self.meta().get("bands", []))
+
+    def _maybe_compact(self, spark: SparkSession, meta: dict) -> None:
+        if self.compact_after is not None and max(
+                len(meta.get(s, [])) for s in self.STORES
+        ) > self.compact_after:
+            self.compact(spark)
+
+    # -- compaction (KeyedDedupSink.compact's shape) --------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold each delta log into ONE snapshot dir; repoint all
+        stores + tombstone superseded dirs in a single os.replace.
+        Crash before the repoint leaves the old log current;
+        last_batch_id carries through, so the replay gate survives."""
+        meta = self.meta()
+        if max(len(meta.get(s, [])) for s in self.STORES) <= 1:
+            return {"compacted": False}
+        gen = meta.get("compact_gen", 0) + 1
+        new_meta = dict(meta)
+        new_meta["compact_gen"] = gen
+        dead = []
+        for store in self.STORES:
+            entries = meta.get(store, [])
+            if len(entries) <= 1:
+                continue
+            cdir = os.path.join(self._store_base(store), f"c{gen}")
+            spark.read.parquet(*entries).write.mode(
+                "overwrite").parquet(cdir)
+            new_meta[store] = [cdir]
+            dead.extend(entries)
+        new_meta["tombstones"] = meta.get("tombstones", []) + dead
+        self._commit(new_meta)
+        return {"compacted": True, "gen": gen, "folded": len(dead)}
+
+    def vacuum(self) -> int:
+        """Delete tombstoned dirs and clear the list — separate from
+        the compaction commit so a crash can never orphan LIVE data."""
+        meta = self.meta()
+        dead = meta.get("tombstones", [])
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        if dead:
+            meta = dict(meta)
+            meta["tombstones"] = []
+            self._commit(meta)
+        return len(dead)
+
+    def writer(self):
+        return self.apply_batch
+
+
+class VectorIndexSink(_IndexSinkBase):
     """foreachBatch sink: continuous vector near-dup detection over a
     DURABLE rep-grain embedding index — the streaming wrapper of
     llm/similarity's embedding_store family (probe → append deltas),
@@ -271,6 +382,8 @@ class VectorIndexSink:
     cluster. History vectors are never re-read, only the rep-grain
     index is."""
 
+    _MANIFEST = "_vector_manifest.json"
+
     def __init__(self, out_path: str, index_path: str,
                  threshold: float = 0.9,
                  compact_after: int | None = None,
@@ -281,39 +394,13 @@ class VectorIndexSink:
         # probe candidates grow as store/256 per batch (the soak's
         # 3.5x growth curve). Recall on exact duplicates is 1 under
         # any sign banding; near-dup recall trades 1-p^8 -> 1-p^4.
-        self.out_path = out_path
-        self.index_path = index_path
+        super().__init__(out_path, index_path, compact_after)
         self.threshold = threshold
-        self.compact_after = compact_after
         self.n_bands = n_bands
         self.bits = bits
 
-    # -- manifest (same protocol as KeyedDedupSink) --------------------
-    def _manifest_path(self) -> str:
-        return os.path.join(self.out_path, "_vector_manifest.json")
-
-    def meta(self) -> dict:
-        p = self._manifest_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return {"out": [], "members": [], "reps": [], "bands": [],
-                "banding": [self.n_bands, self.bits], "last_batch_id": -1}
-
-    def _commit(self, meta: dict) -> None:
-        os.makedirs(self.out_path, exist_ok=True)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._manifest_path())
-
-    @staticmethod
-    def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
-        return spark.read.parquet(*dirs) if dirs else None
-
-    def pairs(self, spark: SparkSession) -> DataFrame | None:
-        """The committed verified-pair output (union of the log)."""
-        return self._read_log(spark, self.meta()["out"])
+    def _meta_defaults(self) -> dict:
+        return {"banding": [self.n_bands, self.bits]}
 
     def index(self, spark: SparkSession, batch: DataFrame,
               meta: dict | None = None) -> tuple:
@@ -327,11 +414,6 @@ class VectorIndexSink:
         if reps is None:
             reps = batch.select(F.col("id").alias("rep"), "q").limit(0)
         return (mem.select("id", "rep"), reps.select("rep", "q"))
-
-    def band_rows(self, spark: SparkSession) -> DataFrame | None:
-        """The committed band log (rep, band_idx, band_key) — one row
-        per (rep, band); None while the index is empty."""
-        return self._read_log(spark, self.meta().get("bands", []))
 
     def _band_log(self, spark: SparkSession, meta: dict,
                   batch_id: int) -> tuple:
@@ -397,56 +479,104 @@ class VectorIndexSink:
                          "banding": [self.n_bands, self.bits],
                          "last_batch_id": batch_id})
         self._commit(new_meta)
-        if self.compact_after is not None and max(
-                len(new_meta["out"]), len(new_meta["members"]),
-                len(new_meta["reps"]), len(new_meta["bands"])
-        ) > self.compact_after:
-            self.compact(spark)
+        self._maybe_compact(spark, new_meta)
 
-    # -- compaction (KeyedDedupSink.compact's shape) --------------------
-    def compact(self, spark: SparkSession) -> dict:
-        """Fold each delta log into ONE snapshot dir; repoint all three
-        stores + tombstone superseded dirs in a single os.replace.
-        Crash before the repoint leaves the old log current;
-        last_batch_id carries through, so the replay gate survives."""
+
+class SignatureIndexSink(_IndexSinkBase):
+    """foreachBatch sink: continuous MinHash-LSH TEXT near-dup
+    detection over a durable rep-grain signature index — the streaming
+    wrapper of llm/dedup's signature_store family, completing the
+    streaming triad (exact = KeyedDedupSink, embedding =
+    VectorIndexSink, THIS = text LSH) on the shared _IndexSinkBase
+    manifest protocol.
+
+    Per micro-batch of (doc_id, sig0..7) rows (MinHash signatures,
+    dedup._signatures_from_sh — text never reaches the sink): collapse
+    identical signature vectors to a representative (_sig_collapsed),
+    probe the committed index (md5 band keys over LSH_BANDS slot
+    pairs, candidate member pairs via dedup._probe_signature_store —
+    join-shaped, store band rows read from the PERSISTED band log),
+    append candidate pairs to the output log and the batch's
+    member/rep/band deltas to the index logs
+    (dedup.merge_signature_deltas — disjoint appends by construction).
+
+    The exactly-once law the tests pin: folding a corpus through ANY
+    batch split starting from an empty index emits every candidate
+    pair of the whole corpus exactly once (in the batch where its
+    later member arrives) — the union over batches equals the one-shot
+    docs_minhash_lsh_pairs recompute, the law
+    llm/dedup.docs_streaming_lsh_fold exposes to the driver gate
+    against DOCS_MINHASH_LSH_SQL.
+
+    Scale shape: per-batch cost is O(batch·bands + matched
+    DISTINCT-content buckets) — the probe streams the band log through
+    a broadcast semi-join on the batch's touched band keys, so neither
+    the member log nor the rep log is shuffled; band keys are md5 of
+    signature pairs (128-bit), so there are NO accidental bucket
+    collisions and candidate volume is exactly the true answer. On a
+    cluster the band log is the frame you'd keep bucketed by
+    band_key."""
+
+    _MANIFEST = "_signature_manifest.json"
+
+    def __init__(self, out_path: str, index_path: str,
+                 compact_after: int | None = None,
+                 cap: int | None = None):
+        from postgres_es_cdc_spark.llm.dedup import PAIR_BUCKET_CAP
+        super().__init__(out_path, index_path, compact_after)
+        self.cap = PAIR_BUCKET_CAP if cap is None else cap
+
+    def index(self, spark: SparkSession, batch: DataFrame,
+              meta: dict | None = None) -> tuple:
+        """The committed (members, reps) index; empty frames derived
+        from the batch schema when no state is committed yet."""
+        from postgres_es_cdc_spark.llm.dedup import _SIG_COLS
+        meta = meta or self.meta()
+        mem = self._read_log(spark, meta["members"])
+        reps = self._read_log(spark, meta["reps"])
+        if mem is None:
+            mem = batch.select("doc_id",
+                               F.col("doc_id").alias("rep")).limit(0)
+        if reps is None:
+            reps = batch.select(F.col("doc_id").alias("rep"),
+                                *_SIG_COLS).limit(0)
+        return (mem.select("doc_id", "rep"),
+                reps.select("rep", *_SIG_COLS))
+
+    # -- per-batch fold ------------------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.llm.dedup import (
+            _SIG_COLS, _probe_signature_store, _rep_bands,
+            _sig_collapsed, merge_signature_deltas)
+
+        spark = batch.sparkSession
         meta = self.meta()
-        if max(len(meta["out"]), len(meta["members"]), len(meta["reps"]),
-               len(meta.get("bands", []))) <= 1:
-            return {"compacted": False}
-        gen = meta.get("compact_gen", 0) + 1
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        bmem = _sig_collapsed(
+            batch.select("doc_id", *_SIG_COLS)).localCheckpoint()
+        store = self.index(spark, batch, meta)
+        store_bands = self._read_log(spark, meta["bands"])
+        pdir = os.path.join(self.out_path, f"b{batch_id}")
+        (_probe_signature_store(store, bmem, self.cap,
+                                store_bands=store_bands)
+         .write.mode("overwrite").parquet(pdir))
+        new_members, new_reps = merge_signature_deltas(store, bmem)
+        mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
+        rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
+        bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
+        new_members.write.mode("overwrite").parquet(mdir)
+        new_reps.write.mode("overwrite").parquet(rdir)
+        # band the WRITTEN rep rows: the band log stays row-for-row
+        # derived from the committed reps log (VectorIndexSink's
+        # round-11 invariant, same rationale)
+        _rep_bands(spark.read.parquet(rdir).select(
+            "rep", *_SIG_COLS)).write.mode("overwrite").parquet(bdir)
         new_meta = dict(meta)
-        new_meta["compact_gen"] = gen
-        dead = []
-        for store, base in (("out", self.out_path),
-                            ("members",
-                             os.path.join(self.index_path, "members")),
-                            ("reps", os.path.join(self.index_path, "reps")),
-                            ("bands",
-                             os.path.join(self.index_path, "bands"))):
-            entries = meta.get(store, [])
-            if len(entries) <= 1:
-                continue
-            cdir = os.path.join(base, f"c{gen}")
-            spark.read.parquet(*entries).write.mode(
-                "overwrite").parquet(cdir)
-            new_meta[store] = [cdir]
-            dead.extend(entries)
-        new_meta["tombstones"] = meta.get("tombstones", []) + dead
+        new_meta.update({"out": meta["out"] + [pdir],
+                         "members": meta["members"] + [mdir],
+                         "reps": meta["reps"] + [rdir],
+                         "bands": meta["bands"] + [bdir],
+                         "last_batch_id": batch_id})
         self._commit(new_meta)
-        return {"compacted": True, "gen": gen, "folded": len(dead)}
-
-    def vacuum(self) -> int:
-        """Delete tombstoned dirs and clear the list — separate from
-        the compaction commit so a crash can never orphan LIVE data."""
-        meta = self.meta()
-        dead = meta.get("tombstones", [])
-        for d in dead:
-            shutil.rmtree(d, ignore_errors=True)
-        if dead:
-            meta = dict(meta)
-            meta["tombstones"] = []
-            self._commit(meta)
-        return len(dead)
-
-    def writer(self):
-        return self.apply_batch
+        self._maybe_compact(spark, new_meta)

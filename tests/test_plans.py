@@ -243,3 +243,27 @@ def test_near_dup_rate_source_joins_never_broadcast(spark, sf_dir):
     plan = _plan(REGISTRY["docs_near_dup_rate_by_source"].fn(spark, sf_dir))
     assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
+
+
+def test_signature_probe_broadcasts_touched_buckets(spark):
+    """Round-11 join-shape guard: _probe_signature_store must stream
+    the store's band rows through a BroadcastHashJoin against the
+    batch's touched (band_idx, band_key) set — the pre-round-11 shape
+    unioned store+batch bands straight into the cap window (a full
+    store-band Exchange per probe) and planned NO broadcast join."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _SIG_COLS, _probe_signature_store)
+
+    def frame(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc_id"),
+            *[(F.col("id") * 8 + j).alias(c)
+              for j, c in enumerate(_SIG_COLS)],
+            F.col("id").alias("rep"))
+
+    smem = frame(0, 50)
+    store = (smem.select("doc_id", "rep"), smem.select("rep", *_SIG_COLS))
+    plan = _plan(_probe_signature_store(store, frame(1000, 5)))
+    assert "BroadcastHashJoin" in plan, plan[:3000]

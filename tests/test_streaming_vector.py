@@ -280,3 +280,33 @@ def test_vector_sink_migrates_legacy_manifest(spark, sf_dir, tmp_path):
     _, reps = sink.index(spark, _q_corpus(spark, sf_dir))
     assert (sink.band_rows(spark).count()
             == _emb_rep_bands(reps, 4, 16).count())
+
+
+def test_vector_sink_probe_reads_band_log_not_reps(spark, tmp_path):
+    """Round-11 regression pin: the probe must take its store-side
+    candidates from the PERSISTED band log, not from re-banding the
+    reps log. Evidence: emptying the committed band log (keeping reps
+    intact) makes a later exact-duplicate batch emit NO pair — if a
+    refactor quietly reverted to recomputing bands from reps, the pair
+    would reappear and this test fails."""
+    import pyspark.sql.functions as F
+
+    def vec(key):
+        return F.transform(F.sequence(F.lit(1), F.lit(64)),
+                           lambda d: F.xxhash64(key, d) % F.lit(1000003))
+
+    def batch(i):
+        return spark.range(1).select(
+            (F.lit(i) * 100).alias("id"), vec(F.lit(7)).alias("q"))
+
+    sink = VectorIndexSink(out_path=str(tmp_path / "p"),
+                           index_path=str(tmp_path / "i"))
+    sink.apply_batch(batch(0).localCheckpoint(), 0)
+    # sanity: with the log intact, the duplicate pairs
+    probe_dirs = sink.meta()["bands"]
+    assert len(probe_dirs) == 1
+    # empty the band log IN PLACE (schema kept, zero rows)
+    empty = sink.band_rows(spark).limit(0).localCheckpoint()
+    empty.write.mode("overwrite").parquet(probe_dirs[0])
+    sink.apply_batch(batch(1).localCheckpoint(), 1)
+    assert sink.pairs(spark).count() == 0

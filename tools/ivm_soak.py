@@ -40,14 +40,18 @@ def main() -> None:
     ap.add_argument("--vacuum", action="store_true",
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
-    ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh"],
+    ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh",
+                                       "lshsink"],
                     default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
                          "pair's manifest/compaction discipline); "
                          "vector = VectorIndexSink (round-10: the "
                          "rep-grain embedding index under the same "
-                         "protocol)")
+                         "protocol); lsh = the raw probe/merge compute "
+                         "loop (no files); lshsink = SignatureIndexSink "
+                         "(round-11: the durable text-LSH index with "
+                         "the persisted band log)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -66,6 +70,9 @@ def main() -> None:
         return
     if args.sink == "lsh":
         _lsh_soak(spark, args)
+        return
+    if args.sink == "lshsink":
+        _lshsink_soak(spark, args)
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -271,6 +278,82 @@ def _lsh_soak(spark, args) -> None:
         "pairs_ok": n_pairs == want,
         "per_batch_s": times,
     }))
+
+
+def _lshsink_soak(spark, args) -> None:
+    """SignatureIndexSink soak (round 11): the durable text-LSH index
+    — same batch fixture as _lsh_soak (mostly-fresh signatures + a
+    fixed 100-key duplicate pool), but driven through the real sink:
+    manifest commits, four delta logs, persisted band log, compaction.
+    Flatness claim: per-batch cost is O(batch + matched distinct
+    content) with the band log read, not recomputed."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import _SIG_COLS
+    from postgres_es_cdc_spark.streaming.dedup import SignatureIndexSink
+
+    pool = 100
+    fresh_per = args.rows - pool
+
+    def sigs(key):
+        return [(F.xxhash64(key, F.lit(j)) % F.lit(1_000_003))
+                .alias(f"sig{j}") for j in range(len(_SIG_COLS))]
+
+    def batch_df(i: int):
+        dup = spark.range(pool).select(F.col("id").alias("key")).select(
+            (F.lit(i) * args.rows + F.col("key")).alias("doc_id"),
+            *sigs(F.col("key")))
+        fr = (spark.range(fresh_per)
+              .select(F.col("id").alias("key"))
+              .select((F.lit(i) * args.rows + pool
+                       + F.col("key")).alias("doc_id"),
+                      *sigs(F.lit(10_000_000) + F.lit(i) * fresh_per
+                            + F.col("key"))))
+        return dup.unionByName(fr)
+
+    base = tempfile.mkdtemp(prefix="lshsink_soak_")
+    try:
+        sink = SignatureIndexSink(out_path=os.path.join(base, "pairs"),
+                                  index_path=os.path.join(base, "index"),
+                                  compact_after=args.compact_after)
+        times = []
+        max_files = 0
+        for i in range(args.batches):
+            df = batch_df(i).localCheckpoint(eager=True)  # exclude gen
+            t0 = time.time()
+            sink.apply_batch(df, i)
+            if args.vacuum:
+                sink.vacuum()
+            times.append(round(time.time() - t0, 3))
+            n_files = sum(len(files) for _, _, files in os.walk(base))
+            max_files = max(max_files, n_files)
+
+        m = sink.meta()
+        n_pairs = sink.pairs(spark).count()
+        want = pool * args.batches * (args.batches - 1) // 2
+        first10 = sum(times[:10]) / min(10, len(times))
+        last10 = sum(times[-10:]) / min(10, len(times))
+        print(json.dumps({
+            "metric": "signature_index_sink_soak",
+            "batches": args.batches,
+            "rows_per_batch": args.rows,
+            "compact_after": args.compact_after,
+            "vacuum": args.vacuum,
+            "first10_avg_s": round(first10, 3),
+            "last10_avg_s": round(last10, 3),
+            "flatness_last_over_first": round(last10 / first10, 2),
+            "entries_at_close": {s: len(m[s])
+                                 for s in ("out", "members", "reps",
+                                           "bands")},
+            "tombstones_at_close": len(m.get("tombstones", [])),
+            "max_files_any_point": max_files,
+            "pairs": n_pairs,
+            "pairs_expected": want,
+            "pairs_ok": n_pairs == want,
+            "per_batch_s": times,
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _vector_soak(spark, args) -> None:
