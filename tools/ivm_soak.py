@@ -264,6 +264,7 @@ def _lsh_soak(spark, args) -> None:
         times.append(round(time.time() - t0, 3))
 
     want = pool * args.batches * (args.batches - 1) // 2
+    one_shot = _lsh_one_shot_count(store[0], store[1])
     first10 = sum(times[:10]) / min(10, len(times))
     last10 = sum(times[-10:]) / min(10, len(times))
     print(json.dumps({
@@ -274,10 +275,35 @@ def _lsh_soak(spark, args) -> None:
         "last10_avg_s": round(last10, 3),
         "flatness_last_over_first": round(last10 / first10, 2),
         "pairs": n_pairs,
-        "pairs_expected": want,
-        "pairs_ok": n_pairs == want,
+        "pairs_pool_formula": want,
+        "pairs_one_shot": one_shot,
+        "pairs_ok": n_pairs == one_shot,
         "per_batch_s": times,
     }))
+
+
+def _lsh_one_shot_count(members, reps) -> int:
+    """The TRUE correctness gate for the LSH soaks: the one-shot
+    MEMBER-grain candidate-pair count over everything that arrived
+    (reconstruct (doc_id, sigs) through the rep store, band, distinct
+    pairs). The pool formula undercounts by accidental band collisions
+    — at 600k distinct signatures with (sig_i, sig_j) band keys mod
+    1,000,003 the birthday bound makes ~1 expected (the 120-batch sink
+    soak caught exactly one: a REAL candidate the formula missed; the
+    engines agreed 714,001 == 714,001)."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import _rep_bands
+
+    sigs = (members.join(reps, "rep")
+                   .drop("rep")
+                   .withColumnRenamed("doc_id", "rep"))
+    banded = _rep_bands(sigs)
+    a = banded.withColumnRenamed("rep", "ra")
+    b = banded.withColumnRenamed("rep", "rb")
+    return (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("ra") < F.col("rb"))
+             .select("ra", "rb").distinct().count())
 
 
 def _lshsink_soak(spark, args) -> None:
@@ -331,6 +357,8 @@ def _lshsink_soak(spark, args) -> None:
         m = sink.meta()
         n_pairs = sink.pairs(spark).count()
         want = pool * args.batches * (args.batches - 1) // 2
+        mem, reps = sink.index(spark, batch_df(0))
+        one_shot = _lsh_one_shot_count(mem, reps)
         first10 = sum(times[:10]) / min(10, len(times))
         last10 = sum(times[-10:]) / min(10, len(times))
         print(json.dumps({
@@ -348,8 +376,9 @@ def _lshsink_soak(spark, args) -> None:
             "tombstones_at_close": len(m.get("tombstones", [])),
             "max_files_any_point": max_files,
             "pairs": n_pairs,
-            "pairs_expected": want,
-            "pairs_ok": n_pairs == want,
+            "pairs_pool_formula": want,
+            "pairs_one_shot": one_shot,
+            "pairs_ok": n_pairs == one_shot,
             "per_batch_s": times,
         }))
     finally:
