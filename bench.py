@@ -149,6 +149,9 @@ HEADLINE = [
     # round-10 flagships
     "emb_incremental_near_dup_pairs",
     "docs_sequence_packing",
+    # round-11 flagships
+    "docs_streaming_lsh_fold",
+    "docs_dedup_routing_report",
 ]
 
 

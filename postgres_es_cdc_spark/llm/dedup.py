@@ -2773,7 +2773,18 @@ def docs_incremental_winnow_overlap(spark: SparkSession, sf_dir: str,
     batch_post = (bg.dropDuplicates(["gid"])
                     .select("gid", "m", "n_fp",
                             F.explode("_k").alias("fp")))
-    allp = store_post.unionByName(batch_post).localCheckpoint(eager=True)
+    # Round-11 join shape (the _probe_signature_store discipline, third
+    # port): pairs can only involve fingerprints the BATCH carries, so
+    # the store's postings stream through a broadcast semi-join on the
+    # batch's fp set before the df-cap window — per-probe shuffle is
+    # O(batch + matched postings), not O(store postings). The cap stays
+    # BIT-EXACT: dfreq is per-fp, and a touched fp keeps ALL its store
+    # rows through the semi-join, so its store∪batch sum is unchanged;
+    # untouched fps can never reach the cross join (no shared fp).
+    touched = batch_post.select("fp").distinct()
+    allp = (store_post.join(F.broadcast(touched), "fp")
+                      .unionByName(batch_post)
+                      .localCheckpoint(eager=True))
     kept = (allp.withColumn("dfreq", F.sum("m").over(
                 Window.partitionBy("fp")))
                 .filter(F.col("dfreq") <= cap).drop("dfreq"))

@@ -242,10 +242,16 @@ class _IndexSinkBase:
     STORES = ("out", "members", "reps", "bands")
 
     def __init__(self, out_path: str, index_path: str,
-                 compact_after: int | None = None):
+                 compact_after: int | None = None,
+                 major_after: int = 4):
         self.out_path = out_path
         self.index_path = index_path
         self.compact_after = compact_after
+        # snapshot-generation bound: a MAJOR fold (whole-index rewrite)
+        # fires only when minor snapshots exceed this — the knob trading
+        # read amplification (dirs per probe scan) against write
+        # amplification (index rewrites); measured in SCALE.md round 11
+        self.major_after = major_after
 
     # -- manifest ------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -294,31 +300,81 @@ class _IndexSinkBase:
         ) > self.compact_after:
             self.compact(spark)
 
-    # -- compaction (KeyedDedupSink.compact's shape) --------------------
-    def compact(self, spark: SparkSession) -> dict:
-        """Fold each delta log into ONE snapshot dir; repoint all
-        stores + tombstone superseded dirs in a single os.replace.
-        Crash before the repoint leaves the old log current;
-        last_batch_id carries through, so the replay gate survives."""
-        meta = self.meta()
-        if max(len(meta.get(s, [])) for s in self.STORES) <= 1:
-            return {"compacted": False}
-        gen = meta.get("compact_gen", 0) + 1
+    # -- compaction (tiered, round 11) -----------------------------------
+    @staticmethod
+    def _is_snapshot(d: str) -> bool:
+        return os.path.basename(d).startswith("c")
+
+    # Small-files discipline (round 11, measured): the first tiered-288
+    # soak was SLOWER mid-run than the full-fold one — every probe read
+    # the index from ~17 snapshot dirs each holding ~32 shuffle-grain
+    # files (2003 files on disk). Delta writes are micro-batch-sized by
+    # definition → 1 file; fold outputs are index-grain → a few files.
+    FOLD_FILES = 8
+
+    def _fold(self, spark: SparkSession, meta: dict, gen: int,
+              pick) -> tuple:
+        """One fold pass: for each store, union the entries selected by
+        ``pick`` into a new c{gen} dir, keeping the rest in place (in
+        order). Returns (new_meta, dead_dirs); caller commits."""
         new_meta = dict(meta)
         new_meta["compact_gen"] = gen
         dead = []
         for store in self.STORES:
             entries = meta.get(store, [])
-            if len(entries) <= 1:
+            fold = [d for d in entries if pick(d)]
+            if len(fold) <= 1:
                 continue
+            keep = [d for d in entries if not pick(d)]
             cdir = os.path.join(self._store_base(store), f"c{gen}")
-            spark.read.parquet(*entries).write.mode(
-                "overwrite").parquet(cdir)
-            new_meta[store] = [cdir]
-            dead.extend(entries)
-        new_meta["tombstones"] = meta.get("tombstones", []) + dead
-        self._commit(new_meta)
-        return {"compacted": True, "gen": gen, "folded": len(dead)}
+            (spark.read.parquet(*fold).coalesce(self.FOLD_FILES)
+             .write.mode("overwrite").parquet(cdir))
+            new_meta[store] = keep + [cdir]
+            dead.extend(fold)
+        new_meta["tombstones"] = new_meta.get("tombstones", []) + dead
+        return new_meta, dead
+
+    def compact(self, spark: SparkSession) -> dict:
+        """TIERED compaction (round 11 — the 288-batch soak measured
+        the all-entries fold rewriting the WHOLE index every
+        compact_after batches, an O(index) amortized term that
+        dominated day-scale cost): a MINOR pass folds only the
+        per-batch tail dirs into one new snapshot generation —
+        O(tail), earlier snapshots untouched — then, only when the
+        snapshot count itself still exceeds compact_after, a MAJOR
+        pass folds the snapshots into one (amortized O(index /
+        compact_after²) per batch). Both passes are bag-union folds
+        (appends are disjoint by construction) committed by the same
+        single-os.replace repoint with superseded dirs TOMBSTONED;
+        crash between the two passes leaves a fully consistent minor
+        state; last_batch_id carries through, so the replay gate
+        survives. Post-compact entry count stays ≤ compact_after + 1,
+        preserving the round-9 bounded-listing contract."""
+        meta = self.meta()
+        if max(len(meta.get(s, [])) for s in self.STORES) <= 1:
+            return {"compacted": False}
+        gen = meta.get("compact_gen", 0) + 1
+        minor_meta, minor_dead = self._fold(
+            spark, meta, gen, lambda d: not self._is_snapshot(d))
+        if minor_dead:
+            self._commit(minor_meta)
+        out = {"compacted": bool(minor_dead), "gen": gen,
+               "folded": len(minor_dead), "major": False}
+        # effective major threshold: never above compact_after, so the
+        # bounded-listing contract (<= compact_after + 1 entries after
+        # compaction) holds at any knob setting
+        cap = (min(self.major_after, self.compact_after)
+               if self.compact_after is not None else 1)
+        if max(len(minor_meta.get(s, []))
+               for s in self.STORES) > cap:
+            gen += 1
+            major_meta, major_dead = self._fold(
+                spark, minor_meta, gen, self._is_snapshot)
+            if major_dead:
+                self._commit(major_meta)
+                out.update({"compacted": True, "gen": gen, "major": True,
+                            "folded": out["folded"] + len(major_dead)})
+        return out
 
     def vacuum(self) -> int:
         """Delete tombstoned dirs and clear the list — separate from
@@ -436,9 +492,10 @@ class VectorIndexSink(_IndexSinkBase):
             if meta["reps"]:
                 mig = os.path.join(self.index_path, "bands",
                                    f"m{batch_id}")
-                _emb_rep_bands(spark.read.parquet(*meta["reps"]),
-                               self.n_bands, self.bits
-                               ).write.mode("overwrite").parquet(mig)
+                (_emb_rep_bands(spark.read.parquet(*meta["reps"]),
+                                self.n_bands, self.bits)
+                 .coalesce(self.FOLD_FILES)
+                 .write.mode("overwrite").parquet(mig))
                 dirs = [mig]
         return self._read_log(spark, dirs), dirs
 
@@ -456,21 +513,24 @@ class VectorIndexSink(_IndexSinkBase):
         store = self.index(spark, batch, meta)
         store_bands, band_dirs = self._band_log(spark, meta, batch_id)
         pdir = os.path.join(self.out_path, f"b{batch_id}")
+        # coalesce(1): every delta is micro-batch-sized — without it
+        # each dir lands ~32 shuffle-grain files and probe scans pay
+        # O(dirs x 32) footers (the small-files note at _fold)
         (_probe_embedding_store(store, bmem, self.threshold,
                                 self.n_bands, self.bits,
                                 store_bands=store_bands)
-         .write.mode("overwrite").parquet(pdir))
+         .repartition(1).write.mode("overwrite").parquet(pdir))
         new_members, new_reps = merge_embedding_deltas(store, bmem)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
         bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
-        new_members.write.mode("overwrite").parquet(mdir)
-        new_reps.write.mode("overwrite").parquet(rdir)
+        new_members.repartition(1).write.mode("overwrite").parquet(mdir)
+        new_reps.repartition(1).write.mode("overwrite").parquet(rdir)
         # band the WRITTEN rep rows (no recompute of the merge plan):
         # the band log stays row-for-row derived from the committed
         # reps log, the invariant tests pin
-        _emb_rep_bands(spark.read.parquet(rdir), self.n_bands, self.bits
-                       ).write.mode("overwrite").parquet(bdir)
+        (_emb_rep_bands(spark.read.parquet(rdir), self.n_bands, self.bits)
+         .repartition(1).write.mode("overwrite").parquet(bdir))
         new_meta = dict(meta)
         new_meta.update({"out": meta["out"] + [pdir],
                          "members": meta["members"] + [mdir],
@@ -558,20 +618,22 @@ class SignatureIndexSink(_IndexSinkBase):
         store = self.index(spark, batch, meta)
         store_bands = self._read_log(spark, meta["bands"])
         pdir = os.path.join(self.out_path, f"b{batch_id}")
+        # coalesce(1): micro-batch-sized deltas, one file each (the
+        # small-files note at _fold)
         (_probe_signature_store(store, bmem, self.cap,
                                 store_bands=store_bands)
-         .write.mode("overwrite").parquet(pdir))
+         .repartition(1).write.mode("overwrite").parquet(pdir))
         new_members, new_reps = merge_signature_deltas(store, bmem)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
         bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
-        new_members.write.mode("overwrite").parquet(mdir)
-        new_reps.write.mode("overwrite").parquet(rdir)
+        new_members.repartition(1).write.mode("overwrite").parquet(mdir)
+        new_reps.repartition(1).write.mode("overwrite").parquet(rdir)
         # band the WRITTEN rep rows: the band log stays row-for-row
         # derived from the committed reps log (VectorIndexSink's
         # round-11 invariant, same rationale)
-        _rep_bands(spark.read.parquet(rdir).select(
-            "rep", *_SIG_COLS)).write.mode("overwrite").parquet(bdir)
+        (_rep_bands(spark.read.parquet(rdir).select("rep", *_SIG_COLS))
+         .repartition(1).write.mode("overwrite").parquet(bdir))
         new_meta = dict(meta)
         new_meta.update({"out": meta["out"] + [pdir],
                          "members": meta["members"] + [mdir],

@@ -174,3 +174,42 @@ def test_signature_sink_through_real_stream(spark, sf_dir, tmp_path):
                   for r in docs_minhash_lsh_pairs(spark, sf_dir).collect())
     assert _pairs(sink, spark) == want
     assert sink.meta()["last_batch_id"] >= 0
+
+
+def test_tiered_compaction_minor_keeps_earlier_snapshots(
+        spark, sf_dir, tmp_path):
+    """Round-11 tiered compaction: a MINOR pass folds only the
+    per-batch tail — earlier snapshot dirs must survive UNTOUCHED on
+    disk (the 288-batch soak measured the all-entries fold rewriting
+    the whole index every compact_after batches); a MAJOR pass fires
+    only when snapshots outnumber compact_after. Equivalence with the
+    uncompacted sink is asserted throughout."""
+    import os
+
+    batches = _batches(spark, sf_dir, 6)
+    plain = _drive(spark, tmp_path / "plain", batches)
+    want = _pairs(plain, spark)
+    sink = SignatureIndexSink(out_path=str(tmp_path / "t" / "pairs"),
+                              index_path=str(tmp_path / "t" / "index"),
+                              compact_after=2)
+    first_snapshot = None
+    first_mtime = None
+    for i, b in enumerate(batches):
+        sink.apply_batch(b, i)
+        snaps = [d for d in sink.meta()["reps"]
+                 if os.path.basename(d).startswith("c")]
+        if first_snapshot is None and snaps:
+            first_snapshot = snaps[0]
+            first_mtime = os.path.getmtime(first_snapshot)
+        elif first_snapshot is not None and first_snapshot in \
+                sink.meta()["reps"]:
+            # still referenced => a minor pass ran without rewriting it
+            assert os.path.getmtime(first_snapshot) == first_mtime
+    assert _pairs(sink, spark) == want
+    m = sink.meta()
+    # bounded-listing contract: <= compact_after + 1 entries per store
+    for s in ("out", "members", "reps", "bands"):
+        assert len(m[s]) <= 3, (s, m[s])
+    assert m.get("compact_gen", 0) >= 2
+    assert sink.vacuum() > 0
+    assert _pairs(sink, spark) == want
