@@ -22,9 +22,11 @@ never re-read.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -243,7 +245,8 @@ class _IndexSinkBase:
 
     def __init__(self, out_path: str, index_path: str,
                  compact_after: int | None = None,
-                 major_after: int = 4):
+                 major_after: int = 4,
+                 inline_major: bool = True):
         self.out_path = out_path
         self.index_path = index_path
         self.compact_after = compact_after
@@ -252,6 +255,17 @@ class _IndexSinkBase:
         # read amplification (dirs per probe scan) against write
         # amplification (index rewrites); measured in SCALE.md round 11
         self.major_after = major_after
+        # Round 12 (the one remaining r11 perf-weak item): the MAJOR
+        # fold rewrites the whole index — 22 s/batch compaction eras in
+        # the day-scale soak when it runs on the TRIGGER path. With
+        # inline_major=False apply_batch only ever folds its own tail
+        # (minor pass, O(tail)); the whole-index rewrite moves to a
+        # separately-run maintenance step (run_maintenance / tools/
+        # index_maintenance.py) against the same manifest — the 100 TB
+        # shape, where a background compactor owns write amplification
+        # and the trigger owns only per-batch work. Commits from the
+        # two writers are serialized by _locked_commit below.
+        self.inline_major = inline_major
 
     # -- manifest ------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -277,6 +291,34 @@ class _IndexSinkBase:
             json.dump(meta, f)
         os.replace(tmp, self._manifest_path())
 
+    def _locked_commit(self, mutate) -> dict | None:
+        """Serialized read-modify-write of the manifest (round 12):
+        with a background compactor, TWO writers commit against the
+        same manifest — the trigger (appends batch dirs, minor folds)
+        and the maintenance process (major folds). os.replace makes
+        each write atomic, but a blind write of a meta read earlier
+        would LOSE the other writer's commit (the classic lost
+        update), so every commit re-reads the manifest under an
+        exclusive flock and applies ``mutate(current) -> new | None``
+        to the freshest state; None aborts without writing. The lock
+        is held only around read+mutate+write — never around Spark
+        work — so contention is microseconds. flock is advisory and
+        host-local, which matches the sandbox (single box); on a real
+        cluster the manifest lives in a coordination service or a
+        table format with optimistic CAS commits (the same
+        verify-then-swap shape compact() uses below)."""
+        os.makedirs(self.out_path, exist_ok=True)
+        with open(self._manifest_path() + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                new_meta = mutate(self.meta())
+                if new_meta is None:
+                    return None
+                self._commit(new_meta)
+                return new_meta
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
     @staticmethod
     def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
         return spark.read.parquet(*dirs) if dirs else None
@@ -298,7 +340,9 @@ class _IndexSinkBase:
         if self.compact_after is not None and max(
                 len(meta.get(s, [])) for s in self.STORES
         ) > self.compact_after:
-            self.compact(spark)
+            # inline_major=False keeps the whole-index rewrite OFF the
+            # trigger path — run_maintenance owns it (class docstring)
+            self.compact(spark, major=self.inline_major)
 
     # -- compaction (tiered, round 11) -----------------------------------
     @staticmethod
@@ -312,82 +356,206 @@ class _IndexSinkBase:
     # definition → 1 file; fold outputs are index-grain → a few files.
     FOLD_FILES = 8
 
-    def _fold(self, spark: SparkSession, meta: dict, gen: int,
-              pick) -> tuple:
-        """One fold pass: for each store, union the entries selected by
-        ``pick`` into a new c{gen} dir, keeping the rest in place (in
-        order). Returns (new_meta, dead_dirs); caller commits."""
-        new_meta = dict(meta)
-        new_meta["compact_gen"] = gen
-        dead = []
-        for store in self.STORES:
-            entries = meta.get(store, [])
-            fold = [d for d in entries if pick(d)]
-            if len(fold) <= 1:
-                continue
-            keep = [d for d in entries if not pick(d)]
-            cdir = os.path.join(self._store_base(store), f"c{gen}")
-            (spark.read.parquet(*fold).coalesce(self.FOLD_FILES)
-             .write.mode("overwrite").parquet(cdir))
-            new_meta[store] = keep + [cdir]
-            dead.extend(fold)
-        new_meta["tombstones"] = new_meta.get("tombstones", []) + dead
-        return new_meta, dead
+    def _fold_pass(self, spark: SparkSession, pick) -> dict:
+        """One CLAIM → FOLD → SWAP pass (round 12 — the fold itself is
+        unchanged bag-union; the protocol around it now tolerates a
+        concurrent writer):
 
-    def compact(self, spark: SparkSession) -> dict:
+        1. CLAIM: snapshot the manifest, pick the fold set per store
+           (>1 entries matching ``pick``); under the lock, reserve a
+           unique generation number and record the would-be c{gen}
+           dirs in ``pending`` (so a crash mid-fold leaves reclaimable
+           breadcrumbs, never silent orphans — ADVICE r11's migration
+           finding generalized).
+        2. FOLD (heavy, unlocked): union each fold set into its c{gen}
+           dir. Concurrent appends/folds proceed freely.
+        3. SWAP: under the lock, re-read the manifest; verify every
+           claimed dir is STILL listed (a concurrent folder may have
+           claimed overlapping dirs — then abort: the c-dirs stay in
+           pending for vacuum(reclaim_pending=True)); replace the fold
+           set with the c-dir at the position of its first member,
+           preserving entries appended since the claim; tombstone the
+           folded dirs; clear pending.
+
+        Minor and major passes pick disjoint dir kinds (b* vs c*), so
+        a trigger-path minor fold and a maintenance-process major fold
+        never contend on the same entries — the swap verification is
+        the backstop, not the mechanism."""
+        snap = self.meta()
+        folds = {s: f for s in self.STORES
+                 if len(f := [d for d in snap.get(s, []) if pick(d)]) > 1}
+        if not folds:
+            return {"compacted": False, "folded": 0}
+        box: dict = {}
+
+        def reserve(cur: dict) -> dict:
+            gen = cur.get("compact_gen", 0) + 1
+            box["gen"] = gen
+            box["cdirs"] = {s: os.path.join(self._store_base(s), f"c{gen}")
+                            for s in folds}
+            new = dict(cur)
+            new["compact_gen"] = gen
+            new["pending"] = (new.get("pending", [])
+                              + sorted(box["cdirs"].values()))
+            return new
+
+        self._locked_commit(reserve)
+        gen, cdirs = box["gen"], box["cdirs"]
+        for store, fold in folds.items():
+            (spark.read.parquet(*fold).coalesce(self.FOLD_FILES)
+             .write.mode("overwrite").parquet(cdirs[store]))
+
+        def swap(cur: dict) -> dict | None:
+            new = dict(cur)
+            dead = []
+            for store, fold in folds.items():
+                entries = cur.get(store, [])
+                if any(d not in entries for d in fold):
+                    return None          # claimed by a concurrent fold
+                kept = [d for d in entries if d not in fold]
+                at = sum(1 for d in entries[:entries.index(fold[0])]
+                         if d not in fold)
+                kept.insert(at, cdirs[store])
+                new[store] = kept
+                dead.extend(fold)
+            # tombstones carry their commit time (round 12): with a
+            # CONCURRENT compactor, vacuum must not reclaim a dir an
+            # in-flight trigger may still be reading from an older
+            # manifest snapshot — vacuum(grace_s=...) only deletes
+            # tombstones older than the longest possible reader
+            # (a micro-batch), the retention-window discipline every
+            # snapshot-isolated table format uses
+            now = time.time()
+            new["tombstones"] = (new.get("tombstones", [])
+                                 + [[d, now] for d in dead])
+            new["pending"] = [p for p in new.get("pending", [])
+                              if p not in cdirs.values()]
+            return new
+
+        if self._locked_commit(swap) is None:
+            return {"compacted": False, "folded": 0, "gen": gen,
+                    "aborted": True}
+        return {"compacted": True, "gen": gen,
+                "folded": sum(len(f) for f in folds.values())}
+
+    def compact(self, spark: SparkSession, minor: bool = True,
+                major: bool = True) -> dict:
         """TIERED compaction (round 11 — the 288-batch soak measured
         the all-entries fold rewriting the WHOLE index every
         compact_after batches, an O(index) amortized term that
         dominated day-scale cost): a MINOR pass folds only the
         per-batch tail dirs into one new snapshot generation —
         O(tail), earlier snapshots untouched — then, only when the
-        snapshot count itself still exceeds compact_after, a MAJOR
-        pass folds the snapshots into one (amortized O(index /
+        snapshot count itself still exceeds the major threshold, a
+        MAJOR pass folds the snapshots into one (amortized O(index /
         compact_after²) per batch). Both passes are bag-union folds
-        (appends are disjoint by construction) committed by the same
-        single-os.replace repoint with superseded dirs TOMBSTONED;
-        crash between the two passes leaves a fully consistent minor
-        state; last_batch_id carries through, so the replay gate
-        survives. Post-compact entry count stays ≤ compact_after + 1,
-        preserving the round-9 bounded-listing contract."""
+        (appends are disjoint by construction) committed by the
+        claim→fold→swap protocol of _fold_pass; crash between the two
+        passes leaves a fully consistent minor state; last_batch_id
+        carries through, so the replay gate survives. Post-compact
+        entry count stays ≤ compact_after + 1, preserving the round-9
+        bounded-listing contract.
+
+        ``minor``/``major`` select the passes: the trigger path calls
+        compact(spark, major=self.inline_major) so an inline_major=
+        False sink never rewrites the whole index inside a trigger;
+        the background compactor calls compact(spark, minor=False)
+        (run_maintenance) and owns the major fold alone."""
         meta = self.meta()
         if max(len(meta.get(s, [])) for s in self.STORES) <= 1:
             return {"compacted": False}
-        gen = meta.get("compact_gen", 0) + 1
-        minor_meta, minor_dead = self._fold(
-            spark, meta, gen, lambda d: not self._is_snapshot(d))
-        if minor_dead:
-            self._commit(minor_meta)
-        out = {"compacted": bool(minor_dead), "gen": gen,
-               "folded": len(minor_dead), "major": False}
+        out = {"compacted": False, "folded": 0, "major": False}
+        if minor:
+            r = self._fold_pass(spark,
+                                lambda d: not self._is_snapshot(d))
+            out.update(compacted=r["compacted"], folded=r["folded"])
+            if "gen" in r:
+                out["gen"] = r["gen"]
         # effective major threshold: never above compact_after, so the
         # bounded-listing contract (<= compact_after + 1 entries after
         # compaction) holds at any knob setting
         cap = (min(self.major_after, self.compact_after)
                if self.compact_after is not None else 1)
-        if max(len(minor_meta.get(s, []))
-               for s in self.STORES) > cap:
-            gen += 1
-            major_meta, major_dead = self._fold(
-                spark, minor_meta, gen, self._is_snapshot)
-            if major_dead:
-                self._commit(major_meta)
-                out.update({"compacted": True, "gen": gen, "major": True,
-                            "folded": out["folded"] + len(major_dead)})
+        meta = self.meta()
+        if major and max(len([d for d in meta.get(s, [])
+                              if self._is_snapshot(d)])
+                         for s in self.STORES) > cap:
+            r = self._fold_pass(spark, self._is_snapshot)
+            if r["compacted"]:
+                out.update({"compacted": True, "gen": r["gen"],
+                            "major": True,
+                            "folded": out["folded"] + r["folded"]})
         return out
 
-    def vacuum(self) -> int:
+    def run_maintenance(self, spark: SparkSession, vacuum: bool = True,
+                        grace_s: float = 300.0) -> dict:
+        """One background-compactor step — what a 100 TB deployment
+        runs in its OWN process/session while the stream keeps
+        triggering (tools/index_maintenance.py is the CLI): the major
+        whole-index fold, off the trigger path, plus optional vacuum
+        of tombstoned dirs. Safe against the live trigger because
+        every manifest commit goes through _locked_commit's re-read-
+        merge and the swap verifies its claim; safe against crashes
+        because an interrupted fold leaves only ``pending`` dirs that
+        the next reclaim sweep removes. ``grace_s`` keeps tombstones
+        a reader might still hold (vacuum docstring); the default
+        comfortably exceeds a micro-batch."""
+        r = self.compact(spark, minor=False, major=True)
+        if vacuum:
+            r = dict(r, vacuumed=self.vacuum(grace_s=grace_s))
+        return r
+
+    @staticmethod
+    def _tomb_path(t) -> str:
+        """A tombstone is a bare path (pre-round-12 manifests) or a
+        [path, tombstoned_unix] pair (written by _fold_pass)."""
+        return t if isinstance(t, str) else t[0]
+
+    def vacuum(self, reclaim_pending: bool = False,
+               grace_s: float = 0.0) -> int:
         """Delete tombstoned dirs and clear the list — separate from
-        the compaction commit so a crash can never orphan LIVE data."""
+        the compaction commit so a crash can never orphan LIVE data.
+        Merge-aware (round 12): the commit drops exactly the dirs THIS
+        call deleted, preserving tombstones a concurrent fold added in
+        between.
+
+        ``grace_s`` is the reader-retention window: a tombstone
+        younger than this may still be READ by an in-flight trigger
+        that planned its probe from the pre-fold manifest, so a
+        CONCURRENT maintenance process must vacuum with grace_s above
+        the longest micro-batch (run_maintenance defaults to 300 s).
+        grace_s=0 (the default) keeps the single-writer behavior —
+        reclaim everything — for offline/sequential callers. Legacy
+        bare-path tombstones have no timestamp and are always
+        eligible.
+
+        ``reclaim_pending=True`` additionally deletes ``pending``
+        c-dirs — leftovers of a fold that crashed or lost its swap.
+        Only safe when no compactor is MID-FOLD on this index (a live
+        fold's c-dirs sit in pending until its swap commits), so it is
+        an operator-invoked sweep — e.g. maintenance-process startup —
+        never part of the trigger path."""
         meta = self.meta()
-        dead = meta.get("tombstones", [])
-        for d in dead:
+        cutoff = time.time() - grace_s
+        ripe = [t for t in meta.get("tombstones", [])
+                if isinstance(t, str) or t[1] <= cutoff]
+        dead = [self._tomb_path(t) for t in ripe]
+        pend = list(meta.get("pending", [])) if reclaim_pending else []
+        for d in dead + pend:
             shutil.rmtree(d, ignore_errors=True)
-        if dead:
-            meta = dict(meta)
-            meta["tombstones"] = []
-            self._commit(meta)
-        return len(dead)
+        if dead or pend:
+            def drop(cur: dict) -> dict:
+                gone = set(dead)
+                new = dict(cur)
+                new["tombstones"] = [
+                    t for t in cur.get("tombstones", [])
+                    if self._tomb_path(t) not in gone]
+                if pend:
+                    new["pending"] = [p for p in cur.get("pending", [])
+                                      if p not in pend]
+                return new
+            self._locked_commit(drop)
+        return len(dead) + len(pend)
 
     def writer(self):
         return self.apply_batch
@@ -443,14 +611,17 @@ class VectorIndexSink(_IndexSinkBase):
     def __init__(self, out_path: str, index_path: str,
                  threshold: float = 0.9,
                  compact_after: int | None = None,
-                 n_bands: int = 4, bits: int = 16):
+                 n_bands: int = 4, bits: int = 16,
+                 major_after: int = 4, inline_major: bool = True):
         # (4, 16) — NOT the one-shot queries' (8, 8): bits per band is
         # the candidate-volume knob (similarity._sign_band_structs
         # docstring); a long-lived index needs 2^16 buckets per band or
         # probe candidates grow as store/256 per batch (the soak's
         # 3.5x growth curve). Recall on exact duplicates is 1 under
         # any sign banding; near-dup recall trades 1-p^8 -> 1-p^4.
-        super().__init__(out_path, index_path, compact_after)
+        super().__init__(out_path, index_path, compact_after,
+                         major_after=major_after,
+                         inline_major=inline_major)
         self.threshold = threshold
         self.n_bands = n_bands
         self.bits = bits
@@ -471,12 +642,18 @@ class VectorIndexSink(_IndexSinkBase):
             reps = batch.select(F.col("id").alias("rep"), "q").limit(0)
         return (mem.select("id", "rep"), reps.select("rep", "q"))
 
-    def _band_log(self, spark: SparkSession, meta: dict,
-                  batch_id: int) -> tuple:
+    def _band_log(self, spark: SparkSession, meta: dict) -> tuple:
         """(committed band rows | None, band dir list) — migrating a
         pre-round-11 manifest (no "bands" key) by banding the whole
         committed reps log ONCE into an orphan-until-committed dir;
-        from then on each batch appends only its own new reps' bands."""
+        from then on each batch appends only its own new reps' bands.
+
+        The migration dir name is FIXED ("m0", not m{batch_id}): if
+        the commit crashes and the stream redelivers under a different
+        batch id, the retry overwrites the same dir instead of
+        orphaning one per attempt — m{batch_id} could leak a dir that
+        no manifest ever references and vacuum() cannot reclaim
+        (ADVICE r11)."""
         from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
 
         if meta.get("banding", [self.n_bands, self.bits]) != \
@@ -490,8 +667,7 @@ class VectorIndexSink(_IndexSinkBase):
         if dirs is None:
             dirs = []
             if meta["reps"]:
-                mig = os.path.join(self.index_path, "bands",
-                                   f"m{batch_id}")
+                mig = os.path.join(self.index_path, "bands", "m0")
                 (_emb_rep_bands(spark.read.parquet(*meta["reps"]),
                                 self.n_bands, self.bits)
                  .coalesce(self.FOLD_FILES)
@@ -511,11 +687,15 @@ class VectorIndexSink(_IndexSinkBase):
             return                      # committed replay: no-op
         bmem = _emb_collapsed(batch.select("id", "q")).localCheckpoint()
         store = self.index(spark, batch, meta)
-        store_bands, band_dirs = self._band_log(spark, meta, batch_id)
+        store_bands, band_dirs = self._band_log(spark, meta)
         pdir = os.path.join(self.out_path, f"b{batch_id}")
-        # coalesce(1): every delta is micro-batch-sized — without it
-        # each dir lands ~32 shuffle-grain files and probe scans pay
-        # O(dirs x 32) footers (the small-files note at _fold)
+        # repartition(1), NOT coalesce(1): every delta is micro-batch-
+        # sized — without it each dir lands ~32 shuffle-grain files and
+        # probe scans pay O(dirs x 32) footers (the small-files note at
+        # _fold). coalesce(1) would merge the FINAL stage to one task
+        # and serialize the whole probe/merge compute (measured in the
+        # round-11 tiered iterations); the extra one-file shuffle of a
+        # micro-batch-sized delta is noise by comparison.
         (_probe_embedding_store(store, bmem, self.threshold,
                                 self.n_bands, self.bits,
                                 store_bands=store_bands)
@@ -531,15 +711,27 @@ class VectorIndexSink(_IndexSinkBase):
         # reps log, the invariant tests pin
         (_emb_rep_bands(spark.read.parquet(rdir), self.n_bands, self.bits)
          .repartition(1).write.mode("overwrite").parquet(bdir))
-        new_meta = dict(meta)
-        new_meta.update({"out": meta["out"] + [pdir],
-                         "members": meta["members"] + [mdir],
-                         "reps": meta["reps"] + [rdir],
-                         "bands": band_dirs + [bdir],
-                         "banding": [self.n_bands, self.bits],
-                         "last_batch_id": batch_id})
-        self._commit(new_meta)
-        self._maybe_compact(spark, new_meta)
+        # merge-aware commit (round 12): a background compactor may
+        # have folded store entries between this batch's meta read and
+        # now — append the new dirs to the FRESHEST lists under the
+        # lock, never write back the stale snapshot
+        def commit(cur: dict) -> dict | None:
+            if batch_id <= cur["last_batch_id"]:
+                return None          # replay committed concurrently
+            new = dict(cur)
+            new.update({
+                "out": cur["out"] + [pdir],
+                "members": cur["members"] + [mdir],
+                "reps": cur["reps"] + [rdir],
+                "bands": (cur["bands"] if "bands" in cur
+                          else band_dirs) + [bdir],
+                "banding": [self.n_bands, self.bits],
+                "last_batch_id": batch_id})
+            return new
+
+        new_meta = self._locked_commit(commit)
+        if new_meta is not None:
+            self._maybe_compact(spark, new_meta)
 
 
 class SignatureIndexSink(_IndexSinkBase):
@@ -581,9 +773,12 @@ class SignatureIndexSink(_IndexSinkBase):
 
     def __init__(self, out_path: str, index_path: str,
                  compact_after: int | None = None,
-                 cap: int | None = None):
+                 cap: int | None = None,
+                 major_after: int = 4, inline_major: bool = True):
         from postgres_es_cdc_spark.llm.dedup import PAIR_BUCKET_CAP
-        super().__init__(out_path, index_path, compact_after)
+        super().__init__(out_path, index_path, compact_after,
+                         major_after=major_after,
+                         inline_major=inline_major)
         self.cap = PAIR_BUCKET_CAP if cap is None else cap
 
     def index(self, spark: SparkSession, batch: DataFrame,
@@ -618,8 +813,9 @@ class SignatureIndexSink(_IndexSinkBase):
         store = self.index(spark, batch, meta)
         store_bands = self._read_log(spark, meta["bands"])
         pdir = os.path.join(self.out_path, f"b{batch_id}")
-        # coalesce(1): micro-batch-sized deltas, one file each (the
-        # small-files note at _fold)
+        # repartition(1), NOT coalesce(1): micro-batch-sized deltas,
+        # one file each without serializing the probe compute into a
+        # single task (the small-files note at _fold)
         (_probe_signature_store(store, bmem, self.cap,
                                 store_bands=store_bands)
          .repartition(1).write.mode("overwrite").parquet(pdir))
@@ -634,11 +830,18 @@ class SignatureIndexSink(_IndexSinkBase):
         # round-11 invariant, same rationale)
         (_rep_bands(spark.read.parquet(rdir).select("rep", *_SIG_COLS))
          .repartition(1).write.mode("overwrite").parquet(bdir))
-        new_meta = dict(meta)
-        new_meta.update({"out": meta["out"] + [pdir],
-                         "members": meta["members"] + [mdir],
-                         "reps": meta["reps"] + [rdir],
-                         "bands": meta["bands"] + [bdir],
-                         "last_batch_id": batch_id})
-        self._commit(new_meta)
-        self._maybe_compact(spark, new_meta)
+        # merge-aware commit — same rationale as VectorIndexSink's
+        def commit(cur: dict) -> dict | None:
+            if batch_id <= cur["last_batch_id"]:
+                return None          # replay committed concurrently
+            new = dict(cur)
+            new.update({"out": cur["out"] + [pdir],
+                        "members": cur["members"] + [mdir],
+                        "reps": cur["reps"] + [rdir],
+                        "bands": cur["bands"] + [bdir],
+                        "last_batch_id": batch_id})
+            return new
+
+        new_meta = self._locked_commit(commit)
+        if new_meta is not None:
+            self._maybe_compact(spark, new_meta)

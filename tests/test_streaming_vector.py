@@ -272,10 +272,12 @@ def test_vector_sink_migrates_legacy_manifest(spark, sf_dir, tmp_path):
     # guarantees, not on this fixture (identical/near-identical vectors
     # collide under both), so the fold law still closes
     assert _pairs(sink, spark) == want
-    # the migration dir + the new batch dir are both committed
+    # the migration dir + the new batch dir are both committed; the
+    # migration dir name is FIXED (m0) so a crash-retry under another
+    # batch id overwrites it instead of orphaning one per attempt
     m2 = sink.meta()
     assert m2["banding"] == [4, 16]
-    assert any("/m2" in d or d.endswith("m2") for d in m2["bands"])
+    assert any(d.endswith("m0") for d in m2["bands"])
     from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
     _, reps = sink.index(spark, _q_corpus(spark, sf_dir))
     assert (sink.band_rows(spark).count()

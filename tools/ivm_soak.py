@@ -290,7 +290,17 @@ def _lsh_one_shot_count(members, reps) -> int:
     — at 600k distinct signatures with (sig_i, sig_j) band keys mod
     1,000,003 the birthday bound makes ~1 expected (the 120-batch sink
     soak caught exactly one: a REAL candidate the formula missed; the
-    engines agreed 714,001 == 714,001)."""
+    engines agreed 714,001 == 714,001).
+
+    CAP ASSUMPTION (ADVICE r11): this recompute is UNCAPPED while the
+    sink's probe applies PAIR_BUCKET_CAP (=1000) per bucket — valid
+    for these soak fixtures because the duplicate pool is 100 keys and
+    fresh signatures are unique, so no band bucket approaches the cap.
+    A fixture with >1000 reps in one bucket would report a false
+    pairs_ok mismatch; replicate the probe's arrival-ordered cap here
+    before using such a fixture (a one-shot row_number over rep ids is
+    NOT equivalent — the probe's cap binds in arrival order across the
+    store/batch union)."""
     from pyspark.sql import functions as F
 
     from postgres_es_cdc_spark.llm.dedup import _rep_bands
