@@ -497,6 +497,16 @@ GROUP BY 1
     f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)))
 
 
+_ATTACH_PUSHDOWN_MAX = 10_000
+"""Guard on _probe_embedding_store's candidate-rep pushdown: when a
+probe's verified-candidate rep set is at most this many ids, the
+vector-attach joins filter the reps log with an isin() that reaches the
+parquet scan (row-group pruning) instead of streaming every stored
+rep's q column (~520 B each) through the join; above it, the
+driver-side id set would cost more than the scan it saves, so the
+streaming join stays. 10k ids ≈ 80 KB of int64 on the driver — bounded
+regardless of index size."""
+
 _MUTANT_OFFSET = 100_000
 """Id offset separating _q_corpus's planted mutants (id >= offset) from
 base vec_ids (id < offset). Shared by the corpus builder, the
@@ -2822,8 +2832,6 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
                .distinct()
     )
     all_reps = store_reps.unionByName(batch_reps)
-    r1 = all_reps.select(F.col("rep").alias("pa"), F.col("q").alias("qa"))
-    r2 = all_reps.select(F.col("rep").alias("pb"), F.col("q").alias("qb"))
     cos = (
         dot_q(F.col("qa"), F.col("qb")).cast("double")
         / (F.sqrt(dot_q(F.col("qa"), F.col("qa")).cast("double"))
@@ -2839,6 +2847,27 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     # attach joins build on it and the rep table streams, without
     # recomputation.
     rep_pairs = rep_pairs.localCheckpoint()
+    # Candidate-rep pushdown (round 12): even with the band log, the
+    # two vector-attach joins STREAM the whole reps log per batch —
+    # reading the q column (~520 B/rep) for every stored rep when only
+    # the candidate reps' vectors are needed. rep_pairs is already
+    # materialized and rep-grain-tiny, so collecting its distinct rep
+    # ids is bounded; an isin filter on the reps log pushes to the
+    # parquet scan (In/range predicate → row-group pruning — delta
+    # dirs are arrival-ordered, so candidates prune well). Guarded:
+    # above _ATTACH_PUSHDOWN_MAX ids we keep the streaming join (a
+    # driver-side set that large costs more than it saves).
+    cand_reps = (rep_pairs.select(F.explode(F.array("pa", "pb"))
+                                   .alias("rep")).distinct())
+    cand_ids = [r.rep for r in
+                cand_reps.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()]
+    attach_reps = all_reps
+    if len(cand_ids) <= _ATTACH_PUSHDOWN_MAX:
+        attach_reps = all_reps.filter(F.col("rep").isin(cand_ids))
+    r1 = attach_reps.select(F.col("rep").alias("pa"),
+                            F.col("q").alias("qa"))
+    r2 = attach_reps.select(F.col("rep").alias("pb"),
+                            F.col("q").alias("qb"))
     verified = (
         rep_pairs.join(r1, "pa").join(r2, "pb")
                  .select("pa", "pb", cos.alias("cos_sim"))
