@@ -1683,8 +1683,30 @@ UNION ALL
 """
 
 
-def docs_dedup_routing_report(spark: SparkSession, sf_dir: str,
-                              cap: int = PAIR_BUCKET_CAP) -> DataFrame:
+def _rep_candidate_pairs(reps: DataFrame) -> DataFrame:
+    """(a, b) UNCAPPED candidate pairs over a rep-grain signature frame
+    — LSH banding + group-then-pair at representative grain, shared by
+    docs_dedup_routing_report and docs_incremental_cluster_fold. No
+    _cap_buckets: rep-grain buckets hold DISTINCT signature vectors
+    under md5-128 band keys (no accidental collisions), so bucket
+    sizes are small by construction — and both consumers' oracles are
+    uncapped, so the Spark side must be too."""
+    buckets = (
+        _rep_bands(reps)
+        .groupBy("band_idx", "band_key")
+        .agg(F.collect_list("rep").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+               .select("a", F.explode("ids").alias("b"))
+               .filter(F.col("a") < F.col("b"))
+               .distinct()
+    )
+
+
+def docs_dedup_routing_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
     """The MEMBER-vs-REP routing side channel (round-11, the
     dedup_bucket_overflow_report pattern): one row comparing the
     member-grain LSH candidate-pair graph (what docs_dedup_clusters
@@ -1699,24 +1721,20 @@ def docs_dedup_routing_report(spark: SparkSession, sf_dir: str,
 
     Scale shape: reuses the memoized banding/pair stages; the rep-grain
     side is one window collapse + rep-grain banding; output is four
-    1-row aggregates cross-joined (broadcast-scalar shape)."""
+    1-row aggregates cross-joined (broadcast-scalar shape).
+
+    NO _cap_buckets on the rep side (ADVICE r11): the oracle's rpairs
+    CTE is uncapped, and for a 1-row ROUTING diagnostic the true
+    rep-pair count is the number wanted — a cap would hide exactly the
+    expansion being measured. Rep-grain buckets hold DISTINCT
+    signature vectors (md5-128 band keys, no accidental collisions),
+    so bucket sizes are small by construction and the uncapped
+    group-then-pair stays bounded where the member grain would not."""
     member_pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
     mem = _sig_collapsed(sigs)
     reps = mem.filter(F.col("doc_id") == F.col("rep"))
-    buckets = (
-        _cap_buckets(_rep_bands(reps), ["band_idx", "band_key"], "rep",
-                     cap)
-        .groupBy("band_idx", "band_key")
-        .agg(F.collect_list("rep").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    rep_pairs = (
-        buckets.select(F.explode("ids").alias("a"), "ids")
-               .select("a", F.explode("ids").alias("b"))
-               .filter(F.col("a") < F.col("b"))
-               .distinct()
-    )
+    rep_pairs = _rep_candidate_pairs(reps)
     out = (sigs.agg(F.count(F.lit(1)).alias("n_docs"))
            .crossJoin(reps.agg(F.count(F.lit(1)).alias("n_reps")))
            .crossJoin(member_pairs.agg(
@@ -1773,6 +1791,167 @@ SELECT (SELECT COUNT(*) FROM sigs) AS n_docs,
        CASE WHEN (SELECT COUNT(*) FROM rpairs) = 0 THEN NULL
             ELSE (1000000 * (SELECT COUNT(*) FROM mpairs))
                  // (SELECT COUNT(*) FROM rpairs) END AS pair_expansion_q
+"""
+
+
+def _label_union_find(edges: list) -> dict:
+    """Min-wins union-find over a label-grain edge list: returns
+    {label -> component minimum} for every label that MOVES (identity
+    mappings omitted). Union by value (smaller label becomes the
+    root), with path compression — the root of a component is always
+    its minimum label, which is what keeps incremental labels equal to
+    the one-shot min-id-per-component convention."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: r for x in list(parent) if (r := find(x)) != x}
+
+
+MAX_LABEL_EDGES = 1_000_000
+
+
+def merge_cluster_labels(labels: DataFrame | None,
+                         delta_pairs: DataFrame,
+                         max_label_edges: int = MAX_LABEL_EDGES
+                         ) -> DataFrame:
+    """Incremental connected-component maintenance (round 12 — the
+    streaming triad's natural next operator: the index sinks emit
+    verified pairs continuously, but cluster labels were batch-only,
+    so a crawl loop re-clustered from scratch every cycle): fold ONE
+    batch of rep-grain candidate pairs (a, b) into a persisted
+    (rep, label) store, label = min rep of the component, without
+    touching historical pairs.
+
+    Per batch: (1) resolve the delta endpoints' CURRENT labels — new
+    endpoints provisionally label themselves; (2) contract the delta
+    to LABEL grain (≤ |delta| edges after distinct) and union-find it
+    driver-side — the classic incremental-CC split: member-grain work
+    stays distributed, while the merge decisions ride a delta-bounded
+    edge list (guarded by ``max_label_edges``; a batch that exceeds it
+    raises rather than silently collecting unbounded state); (3) apply
+    the resulting {old label -> new label} remap as one broadcast join
+    over the node-grain store plus the batch's new rows.
+
+    Cost shape: O(delta) shuffled + one NARROW store scan (two int64
+    columns) per batch — never O(pairs), never an iterative
+    propagation loop over history. The union-find sees only labels
+    touched by this delta; components merged long ago never resurface.
+    Equality law (pinned by docs_incremental_cluster_fold and its
+    recursive-CTE oracle): folding ANY partition of the pair set, in
+    any batch order, yields the one-shot true-connected-components
+    labels — min-label merging is confluent."""
+    ends = (delta_pairs.select(F.col("a").alias("rep"))
+                       .unionByName(delta_pairs.select(
+                           F.col("b").alias("rep")))
+                       .distinct())
+    if labels is None:
+        labels = ends.limit(0).withColumn("label", F.col("rep"))
+    cur = (ends.join(labels, "rep", "left")
+               .select("rep",
+                       F.coalesce("label", F.col("rep")).alias("label")))
+    ledges = (delta_pairs
+              .join(cur.select(F.col("rep").alias("a"),
+                               F.col("label").alias("la")), "a")
+              .join(cur.select(F.col("rep").alias("b"),
+                               F.col("label").alias("lb")), "b")
+              .filter(F.col("la") != F.col("lb"))
+              .select("la", "lb").distinct())
+    rows = ledges.limit(max_label_edges + 1).collect()
+    if len(rows) > max_label_edges:
+        raise ValueError(
+            f"label-grain delta exceeds max_label_edges="
+            f"{max_label_edges}; split the batch or raise the guard")
+    remap = _label_union_find([(r.la, r.lb) for r in rows])
+    new_rows = (ends.join(labels.select("rep"), "rep", "left_anti")
+                    .select("rep", F.col("rep").alias("label")))
+    if not remap:
+        return labels.unionByName(new_rows)
+    spark = delta_pairs.sparkSession
+    rm = F.broadcast(spark.createDataFrame(
+        list(remap.items()), "label long, new_label long"))
+
+    def apply(df: DataFrame) -> DataFrame:
+        return (df.join(rm, "label", "left")
+                  .select("rep", F.coalesce("new_label", "label")
+                                  .alias("label")))
+
+    return apply(labels).unionByName(apply(new_rows))
+
+
+def docs_incremental_cluster_fold(spark: SparkSession, sf_dir: str,
+                                  n_batches: int = 3) -> DataFrame:
+    """merge_cluster_labels' fold law exposed to the driver gate (the
+    streaming_dedup_first_event exposure pattern): split the rep-grain
+    LSH candidate-pair set into ``n_batches`` hash slices — components
+    deliberately straddle slices, so later batches MERGE components
+    built by earlier ones, including three-way old-old merges through
+    a new edge — fold them through the incremental label store, and
+    summarize the final clusters. The oracle is a recursive-CTE TRUE
+    connected components over the same (uncapped) rep-grain pair set:
+    unlike the fixed-5-round propagation queries, the incremental fold
+    has no depth bound, so the law compared is exact reachability."""
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+    reps = (_sig_collapsed(sigs)
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("rep", *_SIG_COLS))
+    pairs = _rep_candidate_pairs(reps).localCheckpoint(eager=True)
+    labels: DataFrame | None = None
+    for i in range(n_batches):
+        delta = pairs.filter((F.col("a") + F.col("b")) % n_batches == i)
+        # per-batch materialization: the store is node-grain tiny and
+        # the fold is the lineage-truncation point every incremental
+        # loop needs (the _build_cluster_labels barrier note)
+        labels = merge_cluster_labels(labels, delta).localCheckpoint(
+            eager=True)
+    return (labels.groupBy("label")
+                  .agg(F.count(F.lit(1)).alias("cluster_size"),
+                       F.max("rep").alias("max_member_rep")))
+
+
+DOCS_INCREMENTAL_CLUSTER_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_SIGS_SELECT_SQL}
+  FROM sh
+),
+repsigs AS (
+  SELECT {", ".join(f"sig{i}" for i in range(len(MINHASH_PERMS)))},
+         MIN(doc_id) AS rep
+  FROM sigs
+  GROUP BY {", ".join(f"sig{i}" for i in range(len(MINHASH_PERMS)))}
+),
+rbanded AS ({_REP_BANDS_SQL}),
+rpairs AS (
+  SELECT DISTINCT l.rep AS a, r.rep AS b
+  FROM rbanded l JOIN rbanded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.rep < r.rep
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM rpairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM rpairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, MIN(lab) AS label FROM reach GROUP BY id)
+SELECT label, COUNT(*) AS cluster_size, MAX(id) AS max_member_rep
+FROM lab GROUP BY label
 """
 
 

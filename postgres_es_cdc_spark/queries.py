@@ -142,6 +142,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # number that tells an operator when to route to the collapsed row
     "docs_dedup_routing_report": QuerySpec(
         dedup.docs_dedup_routing_report, dedup.DOCS_DEDUP_ROUTING_SQL),
+    # incremental connected-component maintenance: n-batch union-find
+    # fold over rep-grain pair deltas == one-shot TRUE components
+    # (recursive-CTE oracle — exact reachability, no depth bound)
+    "docs_incremental_cluster_fold": QuerySpec(
+        dedup.docs_incremental_cluster_fold,
+        dedup.DOCS_INCREMENTAL_CLUSTER_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),
