@@ -41,7 +41,7 @@ def main() -> None:
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
     ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh",
-                                       "lshsink"],
+                                       "lshsink", "clusters"],
                     default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
@@ -51,7 +51,19 @@ def main() -> None:
                          "protocol); lsh = the raw probe/merge compute "
                          "loop (no files); lshsink = SignatureIndexSink "
                          "(round-11: the durable text-LSH index with "
-                         "the persisted band log)")
+                         "the persisted band log); clusters = "
+                         "merge_cluster_labels (round-12: incremental "
+                         "connected components over pair deltas)")
+    ap.add_argument("--maintenance", action="store_true",
+                    help="vector/lshsink only: inline_major=False on "
+                         "the trigger sink and a CONCURRENT background "
+                         "compactor thread (separate sink object, the "
+                         "separate-process shape) owning major folds + "
+                         "grace-gated vacuum — the round-12 trigger-"
+                         "path claim: trigger times never see the "
+                         "whole-index-rewrite eras")
+    ap.add_argument("--grace", type=float, default=30.0,
+                    help="maintenance vacuum retention window (s)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -73,6 +85,9 @@ def main() -> None:
         return
     if args.sink == "lshsink":
         _lshsink_soak(spark, args)
+        return
+    if args.sink == "clusters":
+        _cluster_soak(spark, args)
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -348,10 +363,18 @@ def _lshsink_soak(spark, args) -> None:
         return dup.unionByName(fr)
 
     base = tempfile.mkdtemp(prefix="lshsink_soak_")
+    stop = mt = None
     try:
         sink = SignatureIndexSink(out_path=os.path.join(base, "pairs"),
                                   index_path=os.path.join(base, "index"),
-                                  compact_after=args.compact_after)
+                                  compact_after=args.compact_after,
+                                  inline_major=not args.maintenance)
+        merrs: list = []
+        if args.maintenance:
+            stop, mt, merrs = _start_maintenance(
+                spark, SignatureIndexSink,
+                dict(out_path=os.path.join(base, "pairs"),
+                     index_path=os.path.join(base, "index")), args)
         times = []
         max_files = 0
         for i in range(args.batches):
@@ -364,6 +387,9 @@ def _lshsink_soak(spark, args) -> None:
             n_files = sum(len(files) for _, _, files in os.walk(base))
             max_files = max(max_files, n_files)
 
+        if stop is not None:
+            stop.set()
+            mt.join()
         m = sink.meta()
         n_pairs = sink.pairs(spark).count()
         want = pool * args.batches * (args.batches - 1) // 2
@@ -376,6 +402,8 @@ def _lshsink_soak(spark, args) -> None:
             "batches": args.batches,
             "rows_per_batch": args.rows,
             "compact_after": args.compact_after,
+            "maintenance": args.maintenance,
+            "maintenance_errors": merrs,
             "vacuum": args.vacuum,
             "first10_avg_s": round(first10, 3),
             "last10_avg_s": round(last10, 3),
@@ -392,7 +420,101 @@ def _lshsink_soak(spark, args) -> None:
             "per_batch_s": times,
         }))
     finally:
+        if stop is not None:
+            stop.set()
+            mt.join()
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _start_maintenance(spark, sink_cls, kw, args):
+    """(stop_event, thread, errors): a concurrent background compactor
+    on a SEPARATE sink object — the separate-process shape (flock
+    serializes commits either way); major folds + grace-gated vacuum
+    run here while the soak loop only ever pays minor folds."""
+    import threading
+
+    maint = sink_cls(**kw, major_after=1)
+    stop = threading.Event()
+    errs: list = []
+
+    def loop():
+        while not stop.is_set():
+            try:
+                maint.run_maintenance(spark, grace_s=args.grace)
+            except Exception as e:          # pragma: no cover
+                errs.append(repr(e))
+                return
+            stop.wait(1.0)
+
+    t = threading.Thread(target=loop)
+    t.start()
+    return stop, t, errs
+
+
+def _cluster_soak(spark, args) -> None:
+    """merge_cluster_labels soak (round 12): per-batch incremental
+    component maintenance over synthetic pair deltas — each batch
+    adds fresh 3-node chains (new components), `pool` edges attaching
+    a fresh node to an old component (forcing label remaps through the
+    broadcast join), and one old-old merge edge (the late cross-
+    component case). Flatness claim: per-batch cost is O(delta + one
+    NARROW node-grain store scan), never O(accumulated pairs) and
+    never an iterative propagation over history. Correctness echo: the
+    final store equals a driver-side one-shot union-find over every
+    edge that arrived."""
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.dedup import (
+        _label_union_find, merge_cluster_labels)
+
+    pool = 100
+    fresh_edges = args.rows - pool - 1
+
+    def batch_edges(i: int):
+        # fresh chains: ids unique per batch, 10_000_000-offset space
+        lo = 10_000_000 + i * (fresh_edges + 1)
+        fresh = [(lo + k, lo + k + 1) for k in range(fresh_edges)]
+        # pool attachments: old component j gains fresh member
+        att = [(j, 20_000_000 + i * pool + j) for j in range(pool)]
+        # one old-old merge per batch: chain pool components together
+        # gradually (component i%pool merges into component i+1%pool)
+        merge = [(i % pool, (i + 1) % pool)] if i > 0 else []
+        return fresh + att + merge
+
+    def to_df(edges):
+        return spark.createDataFrame(
+            [(int(min(a, b)), int(max(a, b))) for a, b in edges],
+            "a long, b long")
+
+    labels = None
+    times = []
+    all_edges: list = []
+    for i in range(args.batches):
+        edges = batch_edges(i)
+        all_edges.extend(edges)
+        df = to_df(edges).localCheckpoint(eager=True)
+        t0 = time.time()
+        labels = merge_cluster_labels(labels, df).localCheckpoint(
+            eager=True)
+        times.append(round(time.time() - t0, 3))
+
+    got = sorted((r.rep, r.label) for r in labels.collect())
+    remap = _label_union_find(all_edges)
+    nodes = sorted({x for p in all_edges for x in p})
+    want = [(n, remap.get(n, n)) for n in nodes]
+    first10 = sum(times[:10]) / min(10, len(times))
+    last10 = sum(times[-10:]) / min(10, len(times))
+    print(json.dumps({
+        "metric": "incremental_cluster_labels_soak",
+        "batches": args.batches,
+        "edges_per_batch": args.rows,
+        "first10_avg_s": round(first10, 3),
+        "last10_avg_s": round(last10, 3),
+        "flatness_last_over_first": round(last10 / first10, 2),
+        "nodes_at_close": len(got),
+        "labels_ok": got == want,
+        "per_batch_s": times,
+    }))
 
 
 def _vector_soak(spark, args) -> None:
@@ -411,10 +533,18 @@ def _vector_soak(spark, args) -> None:
     from postgres_es_cdc_spark.streaming.dedup import VectorIndexSink
 
     base = tempfile.mkdtemp(prefix="vector_soak_")
+    stop = mt = None
     try:
         sink = VectorIndexSink(out_path=os.path.join(base, "pairs"),
                                index_path=os.path.join(base, "index"),
-                               compact_after=args.compact_after)
+                               compact_after=args.compact_after,
+                               inline_major=not args.maintenance)
+        merrs: list = []
+        if args.maintenance:
+            stop, mt, merrs = _start_maintenance(
+                spark, VectorIndexSink,
+                dict(out_path=os.path.join(base, "pairs"),
+                     index_path=os.path.join(base, "index")), args)
         pool = 100
         fresh_per = args.rows - pool
 
@@ -458,6 +588,9 @@ def _vector_soak(spark, args) -> None:
             n_files = sum(len(files) for _, _, files in os.walk(base))
             max_files = max(max_files, n_files)
 
+        if stop is not None:
+            stop.set()
+            mt.join()
         m = sink.meta()
         n_pairs = sink.pairs(spark).count()
         # every pool-key pair across batches, none among fresh vectors:
@@ -470,6 +603,8 @@ def _vector_soak(spark, args) -> None:
             "batches": args.batches,
             "rows_per_batch": args.rows,
             "compact_after": args.compact_after,
+            "maintenance": args.maintenance,
+            "maintenance_errors": merrs,
             "vacuum": args.vacuum,
             "first10_avg_s": round(first10, 3),
             "last10_avg_s": round(last10, 3),
@@ -485,6 +620,9 @@ def _vector_soak(spark, args) -> None:
             "per_batch_s": times,
         }))
     finally:
+        if stop is not None:
+            stop.set()
+            mt.join()
         shutil.rmtree(base, ignore_errors=True)
 
 
