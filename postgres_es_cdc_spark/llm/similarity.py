@@ -2729,7 +2729,9 @@ def load_embedding_store(spark: SparkSession, path: str) -> tuple:
             spark.read.parquet(path + "/reps").select("rep", "q"))
 
 
-def merge_embedding_deltas(store: tuple, batch_mem: DataFrame) -> tuple:
+def merge_embedding_deltas(store: tuple, batch_mem: DataFrame,
+                           store_bands: DataFrame | None = None,
+                           n_bands: int = 8, bits: int = 8) -> tuple:
     """The APPEND half of the crawl-loop merge: (new_members, new_reps)
     a batch adds to a (members, reps) store — pure appends, disjoint
     from everything already stored (an id arrives once; a rep is added
@@ -2742,17 +2744,39 @@ def merge_embedding_deltas(store: tuple, batch_mem: DataFrame) -> tuple:
     members remap to the store rep; an unseen vector becomes a new
     group under its own rep. One rep-grain equi-join on the array
     column; store cost stays O(distinct content), members grow by
-    exactly the batch."""
+    exactly the batch.
+
+    ``store_bands`` (round 12 — the last measured per-batch O(index)
+    term: at (2,32) banding, with candidates near zero and the probe's
+    attach joins pushed down, the day-scale soak STILL grew 1.88×, and
+    the residual was THIS join streaming every stored rep's ~520 B q
+    column per batch): equal vectors have equal band keys in EVERY
+    band, so when the persisted band log is given, the reps scan is
+    prefiltered by a narrow band-0 semi-join (3 int64 columns) against
+    the batch's band-0 keys before any vector is attached — exact, not
+    approximate (a true q == bq match always survives), with the same
+    (n_bands, bits) geometry the log was written under."""
     members, reps = store
     breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
         F.col("rep").alias("brep"), F.col("q").alias("bq"))
+    scan = reps
+    if store_bands is not None:
+        b0 = (breps.select(F.col("bq").alias("q"))
+                   .select(F.element_at(
+                       _sign_band_structs(n_bands, bits), 1)
+                       .getField("band_key").alias("band_key"))
+                   .distinct())
+        cand = (store_bands.filter(F.col("band_idx") == 0)
+                           .join(F.broadcast(b0), "band_key")
+                           .select("rep"))
+        scan = reps.join(cand, "rep", "left_semi")
     # INNER join with the batch side broadcast, so the store is
     # scanned/streamed, never shuffled (the left-outer draft forced a
     # sort-merge join on the array key — O(store shuffle) per batch,
     # the same growth the probe's soak caught); the outer semantics
     # are recovered by the left join against the batch-sized matched
     # set below.
-    matched = (reps.join(F.broadcast(breps), reps["q"] == breps["bq"])
+    matched = (scan.join(F.broadcast(breps), scan["q"] == breps["bq"])
                    .select("brep", F.col("rep").alias("srep")))
     remap = (breps.join(matched, "brep", "left")
                   .select("brep",

@@ -700,7 +700,13 @@ class VectorIndexSink(_IndexSinkBase):
                                 self.n_bands, self.bits,
                                 store_bands=store_bands)
          .repartition(1).write.mode("overwrite").parquet(pdir))
-        new_members, new_reps = merge_embedding_deltas(store, bmem)
+        # store_bands prefilters the merge's vector-equality scan too
+        # (round 12): the reps log's q column is only read for reps
+        # whose band-0 key collides with the batch — the last measured
+        # per-batch O(index·520B) term
+        new_members, new_reps = merge_embedding_deltas(
+            store, bmem, store_bands=store_bands,
+            n_bands=self.n_bands, bits=self.bits)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
         bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")

@@ -64,6 +64,13 @@ def main() -> None:
                          "whole-index-rewrite eras")
     ap.add_argument("--grace", type=float, default=30.0,
                     help="maintenance vacuum retention window (s)")
+    ap.add_argument("--bands", type=int, default=4,
+                    help="vector only: sign-LSH bands (bands*bits=64)")
+    ap.add_argument("--bits", type=int, default=16,
+                    help="vector only: bits per band — the CANDIDATE-"
+                         "VOLUME knob: accidental candidates/batch ~ "
+                         "bands*batch*index/2^bits, the day-scale "
+                         "residual the round-12 288 soak measured")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -538,13 +545,15 @@ def _vector_soak(spark, args) -> None:
         sink = VectorIndexSink(out_path=os.path.join(base, "pairs"),
                                index_path=os.path.join(base, "index"),
                                compact_after=args.compact_after,
-                               inline_major=not args.maintenance)
+                               inline_major=not args.maintenance,
+                               n_bands=args.bands, bits=args.bits)
         merrs: list = []
         if args.maintenance:
             stop, mt, merrs = _start_maintenance(
                 spark, VectorIndexSink,
                 dict(out_path=os.path.join(base, "pairs"),
-                     index_path=os.path.join(base, "index")), args)
+                     index_path=os.path.join(base, "index"),
+                     n_bands=args.bands, bits=args.bits), args)
         pool = 100
         fresh_per = args.rows - pool
 
@@ -603,6 +612,7 @@ def _vector_soak(spark, args) -> None:
             "batches": args.batches,
             "rows_per_batch": args.rows,
             "compact_after": args.compact_after,
+            "banding": [args.bands, args.bits],
             "maintenance": args.maintenance,
             "maintenance_errors": merrs,
             "vacuum": args.vacuum,
