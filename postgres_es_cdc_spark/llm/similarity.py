@@ -2751,11 +2751,17 @@ def merge_embedding_deltas(store: tuple, batch_mem: DataFrame,
     attach joins pushed down, the day-scale soak STILL grew 1.88×, and
     the residual was THIS join streaming every stored rep's ~520 B q
     column per batch): equal vectors have equal band keys in EVERY
-    band, so when the persisted band log is given, the reps scan is
-    prefiltered by a narrow band-0 semi-join (3 int64 columns) against
-    the batch's band-0 keys before any vector is attached — exact, not
+    band, so when the persisted band log is given, candidate reps are
+    found by a narrow band-0 match (3 int64 columns) against the
+    batch's band-0 keys BEFORE any vector is attached — exact, not
     approximate (a true q == bq match always survives), with the same
-    (n_bands, bits) geometry the log was written under."""
+    (n_bands, bits) geometry the log was written under. The candidate
+    ids then filter the reps scan the same way the probe's pushdown
+    does — a guarded collect into an isin() that reaches the parquet
+    scan; a semi-join would drop rows only AFTER the scan had already
+    read every q byte (measured: the semi-join draft saved nothing at
+    288 batches). Above the guard, the semi-join is still the fallback
+    (join-build savings without the driver cost)."""
     members, reps = store
     breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
         F.col("rep").alias("brep"), F.col("q").alias("bq"))
@@ -2769,7 +2775,12 @@ def merge_embedding_deltas(store: tuple, batch_mem: DataFrame,
         cand = (store_bands.filter(F.col("band_idx") == 0)
                            .join(F.broadcast(b0), "band_key")
                            .select("rep"))
-        scan = reps.join(cand, "rep", "left_semi")
+        ids = [r.rep for r in
+               cand.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()]
+        if len(ids) <= _ATTACH_PUSHDOWN_MAX:
+            scan = reps.filter(F.col("rep").isin(ids))
+        else:
+            scan = reps.join(cand, "rep", "left_semi")
     # INNER join with the batch side broadcast, so the store is
     # scanned/streamed, never shuffled (the left-outer draft forced a
     # sort-merge join on the array key — O(store shuffle) per batch,
