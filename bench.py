@@ -208,15 +208,29 @@ def main() -> None:
             history = json.load(f)
     except (OSError, ValueError):
         history = {}
-    hmins = history.setdefault(sf, {})
+    hist = history.setdefault(sf, {})
+    # The reference floor is the min over a ROLLING window of recent
+    # runs, not the all-time min (ADVICE r12): an all-time min ratchets
+    # monotonically downward, so one anomalously fast run (cache-warm
+    # box, fixture variance under the same sf label) would permanently
+    # inflate every later control ratio into a standing false "box
+    # drifted" verdict. With an 8-run window the anomaly ages out.
+    # Legacy ledgers stored a bare float per query — migrate to a
+    # 1-entry window on read.
+    WINDOW = 8
+
+    def _window(v) -> list:
+        return [v] if isinstance(v, (int, float)) else list(v)
+
+    ref = {q: min(w) for q, v in hist.items() if (w := _window(v))}
     controls = ["q1_pricing_summary", "join_left_outer",
                 "docs_minhash_lsh_pairs"]
-    ratios = {q: round(timings[q] / hmins[q], 2)
-              for q in timings if hmins.get(q, 0) > 0}
+    ratios = {q: round(timings[q] / ref[q], 2)
+              for q in timings if ref.get(q, 0) > 0}
     all_r = sorted(ratios.values())
     control_ratio = {q: ratios[q] for q in controls if q in ratios}
     for q, t in timings.items():
-        hmins[q] = min(hmins.get(q, t), t)
+        hist[q] = (_window(hist.get(q, [])) + [t])[-WINDOW:]
     with open(hist_path, "w") as f:
         json.dump(history, f, indent=1, sort_keys=True)
 

@@ -54,6 +54,18 @@ LSH_BANDS = tuple((i, i + 1) for i in range(0, len(MINHASH_PERMS), 2))
 # uncapped outputs are identical (the report proves it with zeros).
 PAIR_BUCKET_CAP = 1000
 
+# Loud-failure threshold for the UNCAPPED rep-grain pair generator
+# (_rep_candidate_pairs): rep buckets hold DISTINCT signature vectors
+# under md5-128 band keys, so sizes are small on every measured corpus
+# — but LSH bands collide similar-not-identical signatures by DESIGN,
+# so a degenerate future corpus (e.g. near-constant documents) could
+# still produce a hot bucket whose k² explode OOMs an executor. The
+# guard raises in-plan (F.assert_true before the explode) instead of
+# OOMing; at 10k reps the explode is 100M rows — far past any bucket
+# either consumer's oracle has ever seen, and an operator signal, not
+# a silent cap (ADVICE r12).
+REP_BUCKET_GUARD = 10_000
+
 
 def _cap_buckets(banded: DataFrame, keys: list, order_col: str,
                  cap: int) -> DataFrame:
@@ -1690,12 +1702,26 @@ def _rep_candidate_pairs(reps: DataFrame) -> DataFrame:
     _cap_buckets: rep-grain buckets hold DISTINCT signature vectors
     under md5-128 band keys (no accidental collisions), so bucket
     sizes are small by construction — and both consumers' oracles are
-    uncapped, so the Spark side must be too."""
+    uncapped, so the Spark side must be too. 'Small by construction'
+    is not GUARANTEED (bands collide similar-but-distinct signatures
+    by design), so a REP_BUCKET_GUARD assert fails loudly in-plan
+    before the k² explode instead of OOMing on a degenerate corpus;
+    it drops nothing (assert_true returns NULL on pass)."""
     buckets = (
         _rep_bands(reps)
         .groupBy("band_idx", "band_key")
         .agg(F.collect_list("rep").alias("ids"))
         .filter(F.size("ids") > 1)
+        .filter(F.assert_true(
+            F.size("ids") <= F.lit(REP_BUCKET_GUARD),
+            F.concat(F.lit("rep-grain LSH bucket over guard "
+                           f"({REP_BUCKET_GUARD}): band_idx="),
+                     F.col("band_idx").cast("string"),
+                     F.lit(" size="),
+                     F.size("ids").cast("string"),
+                     F.lit(" — k^2 pair explode would OOM; raise "
+                           "REP_BUCKET_GUARD deliberately or route "
+                           "via docs_dedup_routing_report"))).isNull())
     )
     return (
         buckets.select(F.explode("ids").alias("a"), "ids")
@@ -1953,6 +1979,53 @@ lab AS (SELECT id, MIN(lab) AS label FROM reach GROUP BY id)
 SELECT label, COUNT(*) AS cluster_size, MAX(id) AS max_member_rep
 FROM lab GROUP BY label
 """
+
+
+def docs_streaming_cluster_fold(spark: SparkSession, sf_dir: str,
+                                n_batches: int = 3) -> DataFrame:
+    """streaming.ClusterLabelSink's per-trigger algebra exposed to the
+    driver gate — docs_incremental_cluster_fold's law driven through
+    the DURABLE sink instead of in-memory folds (the round-13
+    completion of the crawl loop: index sinks keep the pair logs
+    current per trigger; the label sink tails them into a live
+    (rep, label) store). Same hash-sliced batch split (components
+    straddle slices; later batches merge earlier components), but
+    every fold commits through the sink's versioned-snapshot manifest
+    with its batch-id replay gate — one batch is REDELIVERED
+    mid-stream to prove the gate (a replay must be a strict no-op:
+    without the gate the new-endpoint rows would duplicate). The final
+    summary is localCheckpoint'd before the sink's files are removed,
+    so the returned frame survives cleanup. Oracle: the SAME
+    recursive-CTE TRUE-connected-components SQL — exact reachability,
+    no depth bound."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from postgres_es_cdc_spark.streaming.dedup import ClusterLabelSink
+
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+    reps = (_sig_collapsed(sigs)
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("rep", *_SIG_COLS))
+    pairs = _rep_candidate_pairs(reps).localCheckpoint(eager=True)
+    base = _tempfile.mkdtemp(prefix="cluster_sink_")
+    try:
+        sink = ClusterLabelSink(_os.path.join(base, "labels"))
+        for i in range(n_batches):
+            delta = pairs.filter(
+                (F.col("a") + F.col("b")) % n_batches == i)
+            sink.apply_batch(delta, i)
+            if i == 1:                  # mid-stream redelivery: no-op
+                sink.apply_batch(delta, i)
+        out = (sink.labels(spark)
+                   .groupBy("label")
+                   .agg(F.count(F.lit(1)).alias("cluster_size"),
+                        F.max("rep").alias("max_member_rep"))
+                   .localCheckpoint(eager=True))
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def docs_cluster_representatives(spark: SparkSession,

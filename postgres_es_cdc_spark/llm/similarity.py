@@ -2731,7 +2731,8 @@ def load_embedding_store(spark: SparkSession, path: str) -> tuple:
 
 def merge_embedding_deltas(store: tuple, batch_mem: DataFrame,
                            store_bands: DataFrame | None = None,
-                           n_bands: int = 8, bits: int = 8) -> tuple:
+                           n_bands: int | None = None,
+                           bits: int | None = None) -> tuple:
     """The APPEND half of the crawl-loop merge: (new_members, new_reps)
     a batch adds to a (members, reps) store — pure appends, disjoint
     from everything already stored (an id arrives once; a rep is added
@@ -2761,7 +2762,22 @@ def merge_embedding_deltas(store: tuple, batch_mem: DataFrame,
     scan; a semi-join would drop rows only AFTER the scan had already
     read every q byte (measured: the semi-join draft saved nothing at
     288 batches). Above the guard, the semi-join is still the fallback
-    (join-build savings without the driver cost)."""
+    (join-build savings without the driver cost).
+
+    Geometry is REQUIRED with the band log: a band log read under the
+    wrong (n_bands, bits) makes the band-0 prefilter silently miss
+    true q-equality matches — duplicate reps fork into the store with
+    no error. Callers passing ``store_bands`` must pass the exact
+    geometry the log was written under (VectorIndexSink reads it from
+    the manifest, which _band_log has already validated); a default
+    would be the silent-fork trap, so store_bands + None raises."""
+    if store_bands is not None and (n_bands is None or bits is None):
+        raise ValueError(
+            "store_bands requires the explicit (n_bands, bits) the "
+            "band log was written under — a defaulted geometry would "
+            "silently miss q-equality matches and fork duplicate reps")
+    if n_bands is None:
+        n_bands, bits = 8, 8    # no band log: geometry unused
     members, reps = store
     breps = batch_mem.filter(F.col("id") == F.col("rep")).select(
         F.col("rep").alias("brep"), F.col("q").alias("bq"))

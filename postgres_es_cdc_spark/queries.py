@@ -148,6 +148,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_incremental_cluster_fold": QuerySpec(
         dedup.docs_incremental_cluster_fold,
         dedup.DOCS_INCREMENTAL_CLUSTER_SQL),
+    # the same fold law driven through the DURABLE ClusterLabelSink
+    # (versioned-snapshot commits + batch-id replay gate, one batch
+    # redelivered mid-stream) — same TRUE-CC oracle
+    "docs_streaming_cluster_fold": QuerySpec(
+        dedup.docs_streaming_cluster_fold,
+        dedup.DOCS_INCREMENTAL_CLUSTER_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),

@@ -356,6 +356,22 @@ class _IndexSinkBase:
     # definition → 1 file; fold outputs are index-grain → a few files.
     FOLD_FILES = 8
 
+    # Fold-output CLUSTERED LAYOUT (round 13 — the 100 TB mechanism
+    # behind the attach pushdown): stores listed here are written
+    # range-partitioned + sorted by their key when folded, so each
+    # snapshot file covers a DISJOINT key range and the pushdown's
+    # In(rep, ...) predicate prunes whole files / row groups at the
+    # parquet footer. Without this, arrival-ordered snapshots spread
+    # every key range across every file (the soak fixture's
+    # anti-localized reps defeat min/max pruning entirely) and the
+    # "pushdown" still scans every data page. Delta dirs stay
+    # arrival-ordered: one micro-batch = one file = one row group,
+    # where internal order cannot change footer min/max. The sort
+    # rides the fold's existing shuffle slot — minor folds are
+    # tail-sized, major folds run off the trigger path.
+    FOLD_SORT: dict = {"reps": ["rep"],
+                       "bands": ["band_idx", "band_key"]}
+
     def _fold_pass(self, spark: SparkSession, pick) -> dict:
         """One CLAIM → FOLD → SWAP pass (round 12 — the fold itself is
         unchanged bag-union; the protocol around it now tolerates a
@@ -395,15 +411,28 @@ class _IndexSinkBase:
                             for s in folds}
             new = dict(cur)
             new["compact_gen"] = gen
+            # pending entries carry their claim time (ADVICE r12, the
+            # tombstone discipline): dirs parked by a crashed or
+            # lost-claim fold become age-eligible for the steady-state
+            # run_maintenance reclaim instead of leaking until an
+            # operator runs vacuum(reclaim_pending=True)
+            now = time.time()
             new["pending"] = (new.get("pending", [])
-                              + sorted(box["cdirs"].values()))
+                              + [[d, now]
+                                 for d in sorted(box["cdirs"].values())])
             return new
 
         self._locked_commit(reserve)
         gen, cdirs = box["gen"], box["cdirs"]
         for store, fold in folds.items():
-            (spark.read.parquet(*fold).coalesce(self.FOLD_FILES)
-             .write.mode("overwrite").parquet(cdirs[store]))
+            df = spark.read.parquet(*fold)
+            keys = self.FOLD_SORT.get(store)
+            if keys:
+                df = (df.repartitionByRange(self.FOLD_FILES, *keys)
+                        .sortWithinPartitions(*keys))
+            else:
+                df = df.coalesce(self.FOLD_FILES)
+            df.write.mode("overwrite").parquet(cdirs[store])
 
         def swap(cur: dict) -> dict | None:
             new = dict(cur)
@@ -429,7 +458,8 @@ class _IndexSinkBase:
             new["tombstones"] = (new.get("tombstones", [])
                                  + [[d, now] for d in dead])
             new["pending"] = [p for p in new.get("pending", [])
-                              if p not in cdirs.values()]
+                              if self._pend_path(p)
+                              not in cdirs.values()]
             return new
 
         if self._locked_commit(swap) is None:
@@ -488,7 +518,8 @@ class _IndexSinkBase:
         return out
 
     def run_maintenance(self, spark: SparkSession, vacuum: bool = True,
-                        grace_s: float = 300.0) -> dict:
+                        grace_s: float = 300.0,
+                        pending_grace_s: float = 3600.0) -> dict:
         """One background-compactor step — what a 100 TB deployment
         runs in its OWN process/session while the stream keeps
         triggering (tools/index_maintenance.py is the CLI): the major
@@ -499,10 +530,18 @@ class _IndexSinkBase:
         because an interrupted fold leaves only ``pending`` dirs that
         the next reclaim sweep removes. ``grace_s`` keeps tombstones
         a reader might still hold (vacuum docstring); the default
-        comfortably exceeds a micro-batch."""
+        comfortably exceeds a micro-batch. ``pending_grace_s`` lets
+        the STEADY-STATE loop reclaim pending c-dirs parked by a
+        crashed or lost-claim fold (ADVICE r12 — previously they
+        leaked until an operator ran vacuum(reclaim_pending=True)):
+        entries older than the window cannot belong to a live fold as
+        long as the window exceeds the longest possible fold pass —
+        the default hour is ~3 orders of magnitude above any measured
+        major fold; set it None-like high rather than low."""
         r = self.compact(spark, minor=False, major=True)
         if vacuum:
-            r = dict(r, vacuumed=self.vacuum(grace_s=grace_s))
+            r = dict(r, vacuumed=self.vacuum(
+                grace_s=grace_s, pending_grace_s=pending_grace_s))
         return r
 
     @staticmethod
@@ -511,8 +550,13 @@ class _IndexSinkBase:
         [path, tombstoned_unix] pair (written by _fold_pass)."""
         return t if isinstance(t, str) else t[0]
 
+    # pending entries share the tombstone encoding: bare path
+    # (pre-round-13 manifests) or [path, claimed_unix]
+    _pend_path = _tomb_path
+
     def vacuum(self, reclaim_pending: bool = False,
-               grace_s: float = 0.0) -> int:
+               grace_s: float = 0.0,
+               pending_grace_s: float | None = None) -> int:
         """Delete tombstoned dirs and clear the list — separate from
         the compaction commit so a crash can never orphan LIVE data.
         Merge-aware (round 12): the commit drops exactly the dirs THIS
@@ -529,30 +573,51 @@ class _IndexSinkBase:
         bare-path tombstones have no timestamp and are always
         eligible.
 
-        ``reclaim_pending=True`` additionally deletes ``pending``
+        ``reclaim_pending=True`` additionally deletes ALL ``pending``
         c-dirs — leftovers of a fold that crashed or lost its swap.
         Only safe when no compactor is MID-FOLD on this index (a live
         fold's c-dirs sit in pending until its swap commits), so it is
         an operator-invoked sweep — e.g. maintenance-process startup —
-        never part of the trigger path."""
+        never part of the trigger path.
+
+        ``pending_grace_s`` (ADVICE r12) is the CONCURRENT-SAFE
+        pending reclaim: only entries whose claim timestamp is older
+        than the window are deleted — a live fold cannot be older than
+        the longest fold pass, so a generous window (run_maintenance
+        defaults to an hour) makes this safe inside the steady-state
+        maintenance loop, where repeated lost claims would otherwise
+        leak disk indefinitely. Legacy bare-path pending entries (no
+        timestamp) are always eligible — by the time a manifest with
+        timestamped pendings exists, any bare entry predates the
+        upgrade and cannot be a live fold's."""
         meta = self.meta()
         cutoff = time.time() - grace_s
         ripe = [t for t in meta.get("tombstones", [])
                 if isinstance(t, str) or t[1] <= cutoff]
         dead = [self._tomb_path(t) for t in ripe]
-        pend = list(meta.get("pending", [])) if reclaim_pending else []
+        if reclaim_pending:
+            ripe_p = list(meta.get("pending", []))
+        elif pending_grace_s is not None:
+            pcut = time.time() - pending_grace_s
+            ripe_p = [p for p in meta.get("pending", [])
+                      if isinstance(p, str) or p[1] <= pcut]
+        else:
+            ripe_p = []
+        pend = [self._pend_path(p) for p in ripe_p]
         for d in dead + pend:
             shutil.rmtree(d, ignore_errors=True)
         if dead or pend:
             def drop(cur: dict) -> dict:
                 gone = set(dead)
+                gone_p = set(pend)
                 new = dict(cur)
                 new["tombstones"] = [
                     t for t in cur.get("tombstones", [])
                     if self._tomb_path(t) not in gone]
                 if pend:
-                    new["pending"] = [p for p in cur.get("pending", [])
-                                      if p not in pend]
+                    new["pending"] = [
+                        p for p in cur.get("pending", [])
+                        if self._pend_path(p) not in gone_p]
                 return new
             self._locked_commit(drop)
         return len(dead) + len(pend)
@@ -611,14 +676,20 @@ class VectorIndexSink(_IndexSinkBase):
     def __init__(self, out_path: str, index_path: str,
                  threshold: float = 0.9,
                  compact_after: int | None = None,
-                 n_bands: int = 4, bits: int = 16,
+                 n_bands: int = 2, bits: int = 32,
                  major_after: int = 4, inline_major: bool = True):
-        # (4, 16) — NOT the one-shot queries' (8, 8): bits per band is
-        # the candidate-volume knob (similarity._sign_band_structs
-        # docstring); a long-lived index needs 2^16 buckets per band or
-        # probe candidates grow as store/256 per batch (the soak's
-        # 3.5x growth curve). Recall on exact duplicates is 1 under
-        # any sign banding; near-dup recall trades 1-p^8 -> 1-p^4.
+        # (2, 32) — the MEASURED rule from the round-12 288-batch day
+        # soak: accidental candidates/batch ~ bands*batch*index/2^bits,
+        # an O(index) per-batch term. At (4,16) that reads ~300k
+        # accidental candidates/batch by batch 200 (and keeps the
+        # probe's id-pushdown guard permanently exceeded, deactivating
+        # it); at (2,32) accidental candidates are near zero, the
+        # pushdown stays active, and absolutes ran ~20% faster at the
+        # same recall gate (pairs bit-exact vs the one-shot recompute —
+        # SCALE.md, round-12 soak rows). Recall on exact duplicates is
+        # 1 under any sign banding; the manifest pins geometry, so
+        # existing indexes keep working by passing their committed
+        # (n_bands, bits) explicitly.
         super().__init__(out_path, index_path, compact_after,
                          major_after=major_after,
                          inline_major=inline_major)
@@ -851,3 +922,82 @@ class SignatureIndexSink(_IndexSinkBase):
         new_meta = self._locked_commit(commit)
         if new_meta is not None:
             self._maybe_compact(spark, new_meta)
+
+
+class ClusterLabelSink:
+    """foreachBatch sink maintaining LIVE connected-component cluster
+    labels over the candidate/verified-pair stream the index sinks
+    emit — the round-13 completion of the crawl loop: the triad
+    (KeyedDedupSink / VectorIndexSink / SignatureIndexSink) keeps the
+    INDEXES current per trigger and appends each batch's pairs to its
+    output log; this sink folds exactly those pair deltas into a
+    durable (rep, label) store, so cluster membership — the thing a
+    dedup ROUTING decision actually reads — is available continuously
+    instead of via a from-scratch re-cluster per cycle.
+
+    Per micro-batch of (a, b) pair rows (column names configurable —
+    VectorIndexSink logs (id1, id2), SignatureIndexSink (doc_a,
+    doc_b)): llm/dedup.merge_cluster_labels resolves the delta
+    endpoints' current labels, contracts the delta to LABEL grain
+    (≤ |delta| edges, guarded driver collect), min-wins union-finds
+    it, and applies the remap as ONE broadcast join over the
+    node-grain store — per-batch cost O(delta + narrow node-grain
+    scan), never O(historical pairs), no iterative propagation.
+
+    State commits through streaming/ivm._SnapshotState (versioned dir
+    + atomic manifest repoint + batch-id replay gate): label
+    maintenance is a WHOLE-STORE merge per batch — a remap may touch
+    any row — so the single-snapshot discipline applies, and every
+    batch's merge IS the compaction (the store never grows with
+    history, only with distinct nodes; the AggSink-family shape, not
+    the append-only-log shape of the index sinks). The replay gate
+    matters doubly here: merge_cluster_labels is idempotent on label
+    VALUES under redelivery, but new-endpoint rows would duplicate —
+    the gate makes redelivery a strict no-op.
+
+    Composition (the production wiring): tail an index sink's pair
+    log with readStream.parquet(out_path) → foreachBatch(writer()),
+    or call apply_batch inline after the index sink's own apply_batch
+    inside one trigger (tools/ivm_soak.py --sink clustersink drives
+    the latter). The fold law the driver gate pins
+    (docs_streaming_cluster_fold): folding ANY batch partition of the
+    pair set yields the one-shot recursive-CTE TRUE connected
+    components — min-label merging is confluent, so batch boundaries
+    change nothing.
+
+    Reference parity note: the reference (es.go:95-108) has no notion
+    of cluster state at all; this is [EXT] surface driven by SURVEY §2
+    Table B's training-pipeline rows."""
+
+    def __init__(self, path: str, a_col: str = "a", b_col: str = "b",
+                 max_label_edges: int | None = None):
+        from postgres_es_cdc_spark.llm.dedup import MAX_LABEL_EDGES
+        from postgres_es_cdc_spark.streaming.ivm import _SnapshotState
+        self.a_col = a_col
+        self.b_col = b_col
+        self.max_label_edges = (MAX_LABEL_EDGES if max_label_edges
+                                is None else max_label_edges)
+        self._st = _SnapshotState(path)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.llm.dedup import merge_cluster_labels
+
+        if self._st.applied(batch_id):
+            return                      # committed replay: no-op
+        delta = batch.select(
+            F.col(self.a_col).cast("long").alias("a"),
+            F.col(self.b_col).cast("long").alias("b"))
+        labels = self._st.read(batch.sparkSession)
+        new = merge_cluster_labels(labels, delta, self.max_label_edges)
+        # the commit's parquet write is ALSO the per-batch lineage
+        # barrier the incremental loop needs (the _build_cluster_labels
+        # note) — no extra localCheckpoint
+        self._st.commit(new.select("rep", "label"), batch_id)
+
+    def labels(self, spark: SparkSession) -> DataFrame | None:
+        """The committed node-grain (rep, label) store; None before
+        the first commit."""
+        return self._st.read(spark)
+
+    def writer(self):
+        return self.apply_batch

@@ -485,3 +485,33 @@ def test_routing_report_counts_are_consistent(spark, sf_dir):
     assert r.pair_expansion_q == (
         1_000_000 * r.member_candidate_pairs) // r.rep_candidate_pairs
     assert r.pair_expansion_q >= 1_000_000
+
+
+def test_rep_candidate_pairs_bucket_guard_fails_loudly(
+        spark, monkeypatch):
+    """_rep_candidate_pairs is UNCAPPED for oracle parity, so a
+    degenerate band bucket must fail LOUDLY (in-plan assert before the
+    k^2 explode) instead of OOMing an executor (ADVICE r12). Guard
+    shrunk via monkeypatch: building a genuinely over-guard bucket
+    (10k+ distinct signatures sharing a band) would be test abuse."""
+    from postgres_es_cdc_spark.llm import dedup as D
+
+    # 3 DISTINCT signature vectors colliding in band 0 (sig0,sig1
+    # equal), differing in the rest — the similar-but-distinct
+    # collision LSH bands produce by design
+    rows = [(i, 1, 2, 10 + i, 11 + i, 12 + i, 13 + i, 14 + i, 15 + i)
+            for i in range(3)]
+    reps = spark.createDataFrame(
+        rows, ["rep"] + [f"sig{j}" for j in range(8)])
+
+    # under the guard: pairs come back, nothing raises
+    assert D._rep_candidate_pairs(reps).count() == 3
+
+    monkeypatch.setattr(D, "REP_BUCKET_GUARD", 2)
+    try:
+        D._rep_candidate_pairs(reps).count()
+        raise AssertionError("expected in-plan bucket-guard failure")
+    except AssertionError:
+        raise
+    except Exception as e:  # Spark wraps the assert in its own error
+        assert "rep-grain LSH bucket over guard" in str(e)

@@ -164,12 +164,21 @@ def test_crashed_fold_is_invisible_and_reclaimable(
     for s in ("out", "members", "reps", "bands"):
         assert m[s] == before[s], s
     assert m.get("pending"), "crashed fold must leave breadcrumbs"
-    orphans = list(m["pending"])
-    assert any(os.path.isdir(d) for d in orphans)
+    orphans = [VectorIndexSink._pend_path(p) for p in m["pending"]]
+    # breadcrumbs carry their claim time (ADVICE r12): the steady-
+    # state maintenance loop age-gates on it
+    assert all(not isinstance(p, str) for p in m["pending"])
+    existing = [d for d in orphans if os.path.isdir(d)]
+    assert existing
     assert _pairs(sink, spark) == want
 
-    # startup reclaim removes the orphans; a retry then succeeds
-    assert sink.vacuum(reclaim_pending=True) >= len(orphans)
+    # steady-state maintenance does NOT touch young pendings (they
+    # could be a live fold's) ...
+    sink.vacuum(pending_grace_s=3600.0)
+    assert sink.meta().get("pending"), "young breadcrumbs must survive"
+    assert all(os.path.isdir(d) for d in existing)
+    # ... but reclaims them once aged past the window
+    assert sink.vacuum(pending_grace_s=0.0) >= len(orphans)
     m = sink.meta()
     assert m.get("pending", []) == []
     assert not any(os.path.isdir(d) for d in orphans)

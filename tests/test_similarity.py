@@ -461,3 +461,26 @@ def test_mutant_offset_clears_fixture_ids(spark, sf_dir):
     assert n_base + n_mut == c.count() and n_mut > 0
     # the DuckDB oracle carries the same boundary literally
     assert f">= {_MUTANT_OFFSET}" in EMB_INCR_NEAR_DUP_SQL
+
+
+def test_merge_deltas_requires_geometry_with_band_log(spark, sf_dir):
+    """merge_embedding_deltas + a band log + DEFAULTED geometry is the
+    silent-fork trap (ADVICE r12): a log read under the wrong
+    (n_bands, bits) misses true q-equality matches and forks duplicate
+    reps with no error — so omitting the geometry must raise, before
+    any Spark job runs."""
+    import pytest
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        _emb_collapsed, _emb_rep_bands, _q_corpus, embedding_store,
+        merge_embedding_deltas)
+
+    store = embedding_store(spark, sf_dir)
+    bmem = _emb_collapsed(_q_corpus(spark, sf_dir).limit(10))
+    bands = _emb_rep_bands(store[1], 2, 32)
+    with pytest.raises(ValueError, match="explicit"):
+        merge_embedding_deltas(store, bmem, store_bands=bands)
+    # explicit geometry: fine (and the no-log path needs none)
+    merge_embedding_deltas(store, bmem, store_bands=bands,
+                           n_bands=2, bits=32)
+    merge_embedding_deltas(store, bmem)

@@ -62,7 +62,7 @@ def test_vector_sink_compact_mid_stream_equals_uncompacted(
     plain = _drive(spark, tmp_path / "plain", batches)
     want = _pairs(plain, spark)
     sink = _drive(spark, tmp_path / "compact", batches, compact_after=1)
-    # default (4, 16) banding on BOTH sinks here: the law is
+    # default (2, 32) banding on BOTH sinks here: the law is
     # compaction-invariance, not blocking semantics
     assert _pairs(sink, spark) == want
     m = sink.meta()
@@ -268,20 +268,20 @@ def test_vector_sink_migrates_legacy_manifest(spark, sf_dir, tmp_path):
     want = sorted((r.id1, r.id2, r.cos_sim)
                   for r in emb_cosine_near_dup_pairs(spark, sf_dir)
                   .collect())
-    # (4,16) banding differs from the one-shot (8,8) only in RECALL
-    # guarantees, not on this fixture (identical/near-identical vectors
-    # collide under both), so the fold law still closes
+    # default (2,32) banding differs from the one-shot (8,8) only in
+    # RECALL guarantees, not on this fixture (identical/near-identical
+    # vectors collide under both), so the fold law still closes
     assert _pairs(sink, spark) == want
     # the migration dir + the new batch dir are both committed; the
     # migration dir name is FIXED (m0) so a crash-retry under another
     # batch id overwrites it instead of orphaning one per attempt
     m2 = sink.meta()
-    assert m2["banding"] == [4, 16]
+    assert m2["banding"] == [2, 32]
     assert any(d.endswith("m0") for d in m2["bands"])
     from postgres_es_cdc_spark.llm.similarity import _emb_rep_bands
     _, reps = sink.index(spark, _q_corpus(spark, sf_dir))
     assert (sink.band_rows(spark).count()
-            == _emb_rep_bands(reps, 4, 16).count())
+            == _emb_rep_bands(reps, 2, 32).count())
 
 
 def test_vector_sink_probe_reads_band_log_not_reps(spark, tmp_path):

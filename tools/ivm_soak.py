@@ -41,7 +41,8 @@ def main() -> None:
                     help="vacuum tombstones after every batch (the "
                          "operational steady state)")
     ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh",
-                                       "lshsink", "clusters"],
+                                       "lshsink", "clusters",
+                                       "clustersink"],
                     default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
@@ -53,7 +54,10 @@ def main() -> None:
                          "(round-11: the durable text-LSH index with "
                          "the persisted band log); clusters = "
                          "merge_cluster_labels (round-12: incremental "
-                         "connected components over pair deltas)")
+                         "connected components over pair deltas); "
+                         "clustersink = ClusterLabelSink (round-13: "
+                         "the same fold through the DURABLE "
+                         "versioned-snapshot store)")
     ap.add_argument("--maintenance", action="store_true",
                     help="vector/lshsink only: inline_major=False on "
                          "the trigger sink and a CONCURRENT background "
@@ -64,13 +68,14 @@ def main() -> None:
                          "whole-index-rewrite eras")
     ap.add_argument("--grace", type=float, default=30.0,
                     help="maintenance vacuum retention window (s)")
-    ap.add_argument("--bands", type=int, default=4,
+    ap.add_argument("--bands", type=int, default=2,
                     help="vector only: sign-LSH bands (bands*bits=64)")
-    ap.add_argument("--bits", type=int, default=16,
+    ap.add_argument("--bits", type=int, default=32,
                     help="vector only: bits per band — the CANDIDATE-"
                          "VOLUME knob: accidental candidates/batch ~ "
                          "bands*batch*index/2^bits, the day-scale "
-                         "residual the round-12 288 soak measured")
+                         "residual the round-12 288 soak measured; "
+                         "(2,32) is the measured sink default")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -93,8 +98,8 @@ def main() -> None:
     if args.sink == "lshsink":
         _lshsink_soak(spark, args)
         return
-    if args.sink == "clusters":
-        _cluster_soak(spark, args)
+    if args.sink in ("clusters", "clustersink"):
+        _cluster_soak(spark, args, durable=args.sink == "clustersink")
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -458,7 +463,7 @@ def _start_maintenance(spark, sink_cls, kw, args):
     return stop, t, errs
 
 
-def _cluster_soak(spark, args) -> None:
+def _cluster_soak(spark, args, durable: bool = False) -> None:
     """merge_cluster_labels soak (round 12): per-batch incremental
     component maintenance over synthetic pair deltas — each batch
     adds fresh 3-node chains (new components), `pool` edges attaching
@@ -468,7 +473,14 @@ def _cluster_soak(spark, args) -> None:
     NARROW node-grain store scan), never O(accumulated pairs) and
     never an iterative propagation over history. Correctness echo: the
     final store equals a driver-side one-shot union-find over every
-    edge that arrived."""
+    edge that arrived.
+
+    ``durable=True`` (round 13, --sink clustersink): the identical
+    fold through ClusterLabelSink — each batch commits the store to a
+    versioned parquet snapshot (manifest repoint + replay gate), so
+    per-batch time additionally carries one node-grain parquet
+    write+read cycle; the flatness law must survive the durable
+    path."""
     from pyspark.sql import functions as F
 
     from postgres_es_cdc_spark.llm.dedup import (
@@ -493,6 +505,11 @@ def _cluster_soak(spark, args) -> None:
             [(int(min(a, b)), int(max(a, b))) for a, b in edges],
             "a long, b long")
 
+    sink = base = None
+    if durable:
+        from postgres_es_cdc_spark.streaming.dedup import ClusterLabelSink
+        base = tempfile.mkdtemp(prefix="cluster_sink_soak_")
+        sink = ClusterLabelSink(os.path.join(base, "labels"))
     labels = None
     times = []
     all_edges: list = []
@@ -501,9 +518,14 @@ def _cluster_soak(spark, args) -> None:
         all_edges.extend(edges)
         df = to_df(edges).localCheckpoint(eager=True)
         t0 = time.time()
-        labels = merge_cluster_labels(labels, df).localCheckpoint(
-            eager=True)
+        if durable:
+            sink.apply_batch(df, i)
+        else:
+            labels = merge_cluster_labels(labels, df).localCheckpoint(
+                eager=True)
         times.append(round(time.time() - t0, 3))
+    if durable:
+        labels = sink.labels(spark)
 
     got = sorted((r.rep, r.label) for r in labels.collect())
     remap = _label_union_find(all_edges)
@@ -512,7 +534,8 @@ def _cluster_soak(spark, args) -> None:
     first10 = sum(times[:10]) / min(10, len(times))
     last10 = sum(times[-10:]) / min(10, len(times))
     print(json.dumps({
-        "metric": "incremental_cluster_labels_soak",
+        "metric": ("cluster_label_sink_soak" if durable
+                   else "incremental_cluster_labels_soak"),
         "batches": args.batches,
         "edges_per_batch": args.rows,
         "first10_avg_s": round(first10, 3),
@@ -522,6 +545,8 @@ def _cluster_soak(spark, args) -> None:
         "labels_ok": got == want,
         "per_batch_s": times,
     }))
+    if base is not None:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _vector_soak(spark, args) -> None:
