@@ -2830,8 +2830,8 @@ def merge_embedding_store(store: tuple, batch_mem: DataFrame) -> tuple:
 def _probe_embedding_store(store: tuple, bmem: DataFrame,
                            threshold: float, n_bands: int = 8,
                            bits: int = 8,
-                           store_bands: DataFrame | None = None
-                           ) -> DataFrame:
+                           store_bands: DataFrame | None = None,
+                           pushdown: bool = True) -> DataFrame:
     """Probe kernel shared by the one-shot query and the multibatch
     fold: verified near-dup member pairs for a collapsed batch frame
     (id, q, rep) against a (members, reps) store.
@@ -2905,16 +2905,23 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     # materialized and rep-grain-tiny, so collecting its distinct rep
     # ids is bounded; an isin filter on the reps log pushes to the
     # parquet scan (In/range predicate → row-group pruning — delta
-    # dirs are arrival-ordered, so candidates prune well). Guarded:
-    # above _ATTACH_PUSHDOWN_MAX ids we keep the streaming join (a
-    # driver-side set that large costs more than it saves).
-    cand_reps = (rep_pairs.select(F.explode(F.array("pa", "pb"))
-                                   .alias("rep")).distinct())
-    cand_ids = [r.rep for r in
-                cand_reps.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()]
+    # dirs are arrival-ordered, so candidates prune well). Guarded
+    # twice: above _ATTACH_PUSHDOWN_MAX ids we keep the streaming join
+    # (a driver-side set that large costs more than it saves), and
+    # ``pushdown=False`` skips the collect entirely — the isin only
+    # pays when the reps side is a FILE scan the predicate can reach;
+    # one-shot callers whose store is built in-plan (batch-sized,
+    # memory-backed) would pay the two driver jobs' fixed cost for
+    # nothing (the r12 verdict measured ~30% over control drift on
+    # emb_incremental_near_dup_pairs at sf0.1).
     attach_reps = all_reps
-    if len(cand_ids) <= _ATTACH_PUSHDOWN_MAX:
-        attach_reps = all_reps.filter(F.col("rep").isin(cand_ids))
+    if pushdown:
+        cand_reps = (rep_pairs.select(F.explode(F.array("pa", "pb"))
+                                       .alias("rep")).distinct())
+        cand_ids = [r.rep for r in
+                    cand_reps.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()]
+        if len(cand_ids) <= _ATTACH_PUSHDOWN_MAX:
+            attach_reps = all_reps.filter(F.col("rep").isin(cand_ids))
     r1 = attach_reps.select(F.col("rep").alias("pa"),
                             F.col("q").alias("qa"))
     r2 = attach_reps.select(F.col("rep").alias("pb"),
@@ -2979,7 +2986,13 @@ def emb_incremental_near_dup_pairs(spark: SparkSession, sf_dir: str,
     bmem = _emb_collapsed(
         _q_corpus(spark, sf_dir).filter(F.col("id") >= _MUTANT_OFFSET)
     ).localCheckpoint(eager=False)
-    return _probe_embedding_store(store, bmem, threshold)
+    # pushdown=False (round 13): this one-shot path builds the store
+    # in-plan — there is no parquet scan for the isin to reach, so the
+    # pushdown's two guarded driver collects are pure fixed cost here
+    # (~30% over control drift at sf0.1 per the r12 adjudication). The
+    # durable sinks, whose reps log IS a file scan, keep the default.
+    return _probe_embedding_store(store, bmem, threshold,
+                                  pushdown=False)
 
 
 EMB_INCR_NEAR_DUP_SQL = f"""
@@ -3015,7 +3028,10 @@ def emb_streaming_near_dup_fold(spark: SparkSession, sf_dir: str,
         bmem = _emb_collapsed(
             c.filter(F.col("id") % n_batches == i)
         ).localCheckpoint(eager=False)
-        pairs = _probe_embedding_store(store, bmem, threshold)
+        # in-plan store: no file scan for the isin to reach (see
+        # emb_incremental_near_dup_pairs' pushdown note)
+        pairs = _probe_embedding_store(store, bmem, threshold,
+                                       pushdown=False)
         out = pairs if out is None else out.unionByName(pairs)
         store = merge_embedding_store(store, bmem)
     return out

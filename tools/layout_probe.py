@@ -14,16 +14,23 @@ disabled (arrival order, the pre-round-13 layout) and once with it on —
 then, for a realistic probe-batch candidate set, walks the reps-store
 parquet footers (pyarrow, engine-independent) and counts how many
 files / row groups / data rows a min-max-honoring reader must touch.
-Two candidate regimes are reported:
 
-- ``spread``: candidates drawn uniformly over the whole rep id space —
-  the soak fixture's anti-localized worst case (one dup pool rep per
-  batch stride). Range layout cannot beat candidate spread when there
-  are more candidates than files; the honest number here is files
-  touched ≤ n_candidates instead of ALWAYS all files.
-- ``clustered``: candidates from a narrow recent-arrival window — the
-  continuous-crawl common case (new batches mostly collide with recent
-  content). This is where the layout pays: O(1) files touched.
+Fixture ids are a PERMUTED bijection of the arrival sequence
+(id' = a·seq mod P, P prime) — the 100 TB shape, where doc ids are
+content-hash-derived and thus decorrelated from arrival order. (The
+first draft used seq ids directly and "arrival order" came out
+accidentally range-clustered: a bag-union fold preserves input-file
+order, and monotone ids make every arrival-ordered file a contiguous
+id range. Hash ids kill that accident, which is exactly why the
+explicit sort is needed.) Two candidate regimes:
+
+- ``arrival_window``: candidates = one mid-horizon batch's ids — the
+  continuous-crawl common case (a probe mostly collides with content
+  that arrived together). Under hash ids these are SPREAD in id space:
+  the arrival layout must touch every file (each spans the whole id
+  range), the sorted layout touches ≤ n_candidates files.
+- ``id_range``: candidates contiguous in id space — the best case for
+  the sorted layout (O(1) files), included to bound the mechanism.
 
 Timing is NOT the headline here (at local scale the page cache hides
 skipped I/O); the footer walk is the deterministic evidence, the same
@@ -46,6 +53,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+PERM_P = 1_000_003          # prime > any fixture id space
+PERM_A = 700_001            # multiplier, coprime with PERM_P
+
+
+def _perm_py(seq: int) -> int:
+    return (seq * PERM_A) % PERM_P
 
 
 def _footer_stats(dirs: list, col: str) -> list:
@@ -106,13 +120,19 @@ def _build(spark, layout_on: bool, args) -> tuple:
         return F.transform(F.sequence(F.lit(1), F.lit(64)),
                            lambda d: F.xxhash64(key, d) % F.lit(1000003))
 
+    def perm(seq):
+        # content-hash-shaped ids: bijective over [0, P) for prime P,
+        # decorrelating id order from arrival order (module docstring)
+        return (seq * F.lit(PERM_A)) % F.lit(PERM_P)
+
     def batch_df(i: int):
         dup = spark.range(args.pool).select(F.col("id").alias("key")) \
-            .select((F.lit(i) * args.rows + F.col("key")).alias("id"),
+            .select(perm(F.lit(i) * args.rows + F.col("key"))
+                    .alias("id"),
                     vec(F.col("key")).alias("q"))
         fresh = spark.range(args.rows - args.pool) \
-            .select((F.lit(i) * args.rows + F.lit(args.pool)
-                     + F.col("id")).alias("id"),
+            .select(perm(F.lit(i) * args.rows + F.lit(args.pool)
+                         + F.col("id")).alias("id"),
                     vec(F.lit(i) * args.rows + F.lit(args.pool)
                         + F.col("id")).alias("q"))
         return dup.unionByName(fresh)
@@ -141,15 +161,16 @@ def main() -> None:
     from postgres_es_cdc_spark.session import get_spark
     spark = get_spark()
 
-    n_ids = args.batches * args.rows
-    # spread regime: the dup pool's reps — first-arrival ids 16..31 plus
-    # nothing else ever re-collides, so ALSO sample uniform ids across
-    # the whole space (the anti-localized shape the sf soak fixture has)
-    spread = set(range(0, n_ids, max(n_ids // args.cands, 1)))
-    # clustered regime: a recent-arrival window (last batch's fresh ids)
-    last0 = (args.batches - 1) * args.rows
-    clustered = set(range(last0 + args.pool, last0 + args.pool
-                          + args.cands))
+    # arrival-window regime: fresh reps of a MID-horizon batch (inside
+    # the folded snapshot, not the unfolded b-dir tail) — spread in id
+    # space because ids are hash-permuted
+    mid0 = (args.batches // 2) * args.rows
+    arrival_window = {_perm_py(mid0 + args.pool + k)
+                      for k in range(args.cands)}
+    # id-range regime: candidates contiguous in PERMUTED id space —
+    # take the id-space neighborhood around one known rep id
+    anchor = _perm_py(mid0 + args.pool)
+    id_range = set(range(anchor, anchor + args.cands * 7))
 
     out: dict = {"metric": "fold_layout_pruning",
                  "fold_files": args.fold_files,
@@ -166,8 +187,9 @@ def main() -> None:
             out["layouts"]["sorted" if layout_on else "arrival"] = {
                 "probe_batch_s": probe_s,
                 "snapshot_dirs": len(snaps),
-                "spread_candidates": _touch(stats, spread),
-                "clustered_candidates": _touch(stats, clustered),
+                "arrival_window_candidates": _touch(stats,
+                                                    arrival_window),
+                "id_range_candidates": _touch(stats, id_range),
             }
     finally:
         for b in bases:
