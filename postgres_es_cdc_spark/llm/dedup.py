@@ -1877,6 +1877,23 @@ def merge_cluster_labels(labels: DataFrame | None,
     recursive-CTE oracle): folding ANY partition of the pair set, in
     any batch order, yields the one-shot true-connected-components
     labels — min-label merging is confluent."""
+    store, _, _ = _cluster_label_step(labels, delta_pairs,
+                                      max_label_edges)
+    return store
+
+
+def _cluster_label_step(labels: DataFrame | None,
+                        delta_pairs: DataFrame,
+                        max_label_edges: int = MAX_LABEL_EDGES
+                        ) -> tuple:
+    """merge_cluster_labels' kernel, returning the parts a DERIVED
+    per-cluster store needs alongside the new label store (round 13 —
+    keeper maintenance): (new_labels, remap, new_rows) where ``remap``
+    is the {old label -> new label} dict this batch's union-find
+    decided (empty when no components merged) and ``new_rows`` is the
+    (rep, label) frame of endpoints first seen in this batch, with
+    their FINAL (post-remap) labels. Behavior of the returned store is
+    bit-identical to the pre-refactor merge_cluster_labels."""
     ends = (delta_pairs.select(F.col("a").alias("rep"))
                        .unionByName(delta_pairs.select(
                            F.col("b").alias("rep")))
@@ -1902,7 +1919,7 @@ def merge_cluster_labels(labels: DataFrame | None,
     new_rows = (ends.join(labels.select("rep"), "rep", "left_anti")
                     .select("rep", F.col("rep").alias("label")))
     if not remap:
-        return labels.unionByName(new_rows)
+        return labels.unionByName(new_rows), remap, new_rows
     spark = delta_pairs.sparkSession
     rm = F.broadcast(spark.createDataFrame(
         list(remap.items()), "label long, new_label long"))
@@ -1912,7 +1929,60 @@ def merge_cluster_labels(labels: DataFrame | None,
                   .select("rep", F.coalesce("new_label", "label")
                                   .alias("label")))
 
-    return apply(labels).unionByName(apply(new_rows))
+    fresh = apply(new_rows)
+    return apply(labels).unionByName(fresh), remap, fresh
+
+
+def merge_cluster_keepers(keepers: DataFrame | None, remap: dict,
+                          new_rows: DataFrame,
+                          quality: DataFrame) -> DataFrame:
+    """Incremental per-cluster KEEPER maintenance (round 13 — the
+    dedup DECISION step made continuous): fold one label-fold step's
+    outputs into a persisted (label, keep_id, keep_q) store holding,
+    per component, the highest-quality member seen so far (ties break
+    to the min id — docs_cluster_representatives' convention).
+
+    Inputs are _cluster_label_step's byproducts: ``remap`` ({old label
+    -> new label} — merged components' keepers max-combine under the
+    surviving label) and ``new_rows`` ((rep, label) endpoints first
+    seen this batch — each seeds a keeper candidate with its quality
+    from the ``quality`` lookup (id, quality); the caller guarantees
+    coverage of new endpoints — an upstream quality score is exactly
+    the kind of column a crawl pipeline lands next to the raw text).
+
+    Confluent by the same argument as min-label merging: quality is
+    static per doc, components only grow or merge, and argmax with a
+    total tiebreak is associative-commutative — so ANY batch order
+    yields the one-shot per-component argmax (the law
+    docs_streaming_cluster_keepers pins against a recursive-CTE
+    oracle). Per-batch cost: O(new endpoints + remapped labels) joined
+    against a LABEL-grain store — strictly smaller than the label
+    store the fold already scans; the argmax rides one groupBy over
+    (store + seeds) with lexicographic struct max, no window.
+    """
+    seeds = (new_rows.join(quality.select(F.col("id").alias("rep"),
+                                          "quality"), "rep")
+                     .select("label", F.col("rep").alias("keep_id"),
+                             F.col("quality").alias("keep_q")))
+    if keepers is None:
+        keepers = seeds.limit(0)
+    if remap:
+        spark = new_rows.sparkSession
+        rm = F.broadcast(spark.createDataFrame(
+            list(remap.items()), "label long, new_label long"))
+        keepers = (keepers.join(rm, "label", "left")
+                          .select(F.coalesce("new_label", "label")
+                                   .alias("label"),
+                                  "keep_id", "keep_q"))
+    # argmax(quality) with min-id tiebreak = lexicographic struct max
+    # over (q, -id): one partial-aggregable groupBy, no window
+    return (keepers.unionByName(seeds)
+            .groupBy("label")
+            .agg(F.max(F.struct(F.col("keep_q").alias("q"),
+                                (-F.col("keep_id")).alias("nid")))
+                 .alias("m"))
+            .select("label", (-F.col("m.nid")).alias("keep_id"),
+                    F.col("m.q").alias("keep_q")))
 
 
 def docs_incremental_cluster_fold(spark: SparkSession, sf_dir: str,
@@ -2028,6 +2098,57 @@ def docs_streaming_cluster_fold(spark: SparkSession, sf_dir: str,
     return out
 
 
+def docs_streaming_cluster_keepers(spark: SparkSession, sf_dir: str,
+                                   n_batches: int = 3) -> DataFrame:
+    """ClusterKeeperSink's per-trigger algebra exposed to the driver
+    gate (round 13): fold the rep-grain LSH pair set through the
+    DURABLE keeper sink in hash-sliced batches — components straddle
+    slices, so later batches MERGE earlier components and their
+    keepers must max-combine under the surviving label — and emit, per
+    final cluster, its size and its keeper (highest quality_expr, ties
+    to min id). The oracle is the recursive-CTE TRUE-connected-
+    components chain joined with the identical quality heuristic and a
+    per-component argmax window: exact reachability AND the exact
+    decision row, independent of batch boundaries (min-label merge and
+    quality argmax are both confluent folds). One batch is redelivered
+    mid-stream to prove the replay gate. Summary localCheckpoint'd
+    before the sink's files are removed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from postgres_es_cdc_spark.streaming.dedup import ClusterKeeperSink
+
+    sigs = _signatures_from_sh(_mutated_shingle_hashes(spark, sf_dir))
+    reps = (_sig_collapsed(sigs)
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("rep", *_SIG_COLS))
+    pairs = _rep_candidate_pairs(reps).localCheckpoint(eager=True)
+    quality = mutated_corpus(spark, sf_dir).select(
+        "doc_id", quality_expr(F.col("text")).alias("quality"))
+    base = _tempfile.mkdtemp(prefix="keeper_sink_")
+    try:
+        sink = ClusterKeeperSink(_os.path.join(base, "state"), quality)
+        for i in range(n_batches):
+            delta = pairs.filter(
+                (F.col("a") + F.col("b")) % n_batches == i)
+            sink.apply_batch(delta, i)
+            if i == 1:                  # mid-stream redelivery: no-op
+                sink.apply_batch(delta, i)
+        sizes = (sink.labels(spark)
+                     .groupBy("label")
+                     .agg(F.count(F.lit(1)).alias("cluster_size")))
+        out = (sink.keepers(spark)
+                   .join(sizes, "label")
+                   .select("label", "cluster_size",
+                           F.col("keep_id").alias("keep_doc_id"),
+                           F.col("keep_q").alias("keep_quality"))
+                   .localCheckpoint(eager=True))
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def docs_cluster_representatives(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The dedup DECISION step: for every near-dup cluster (label
@@ -2080,6 +2201,37 @@ FROM (
 )
 WHERE rn = 1
 """)
+
+
+def _keeper_oracle_sql() -> str:
+    """DOCS_INCREMENTAL_CLUSTER_SQL's CTE chain (recursive TRUE-CC
+    over the rep-grain pair set) with its final summary swapped for
+    the keeper decision: quality join + per-component argmax window.
+    Built by splitting at the one-shot summary SELECT so the CTE text
+    stays byte-identical with the green cluster-fold oracle."""
+    prefix, sep, _ = DOCS_INCREMENTAL_CLUSTER_SQL.partition(
+        "SELECT label, COUNT(*) AS cluster_size")
+    assert sep, "cluster oracle SQL changed shape"
+    toks = TOKENS_SQL.format(col="text")
+    return prefix + f""", q AS (
+  SELECT doc_id, {_QUALITY60_SQL} AS quality
+  FROM (SELECT doc_id, {toks} AS toks
+        FROM ({_MUTATED_SQL}))
+)
+SELECT label, cluster_size, keep_doc_id, keep_quality
+FROM (
+  SELECT l.label,
+         COUNT(*) OVER (PARTITION BY l.label) AS cluster_size,
+         l.id AS keep_doc_id, q.quality AS keep_quality,
+         ROW_NUMBER() OVER (PARTITION BY l.label
+                            ORDER BY q.quality DESC, l.id ASC) AS rn
+  FROM lab l JOIN q ON q.doc_id = l.id
+)
+WHERE rn = 1
+"""
+
+
+DOCS_STREAMING_KEEPERS_SQL = _keeper_oracle_sql()
 
 
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,6 +154,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_streaming_cluster_fold": QuerySpec(
         dedup.docs_streaming_cluster_fold,
         dedup.DOCS_INCREMENTAL_CLUSTER_SQL),
+    # per-cluster KEEPER maintenance through ClusterKeeperSink (labels
+    # + argmax-quality keepers in one two-frame snapshot commit) —
+    # TRUE-CC chain + quality argmax oracle
+    "docs_streaming_cluster_keepers": QuerySpec(
+        dedup.docs_streaming_cluster_keepers,
+        dedup.DOCS_STREAMING_KEEPERS_SQL),
     # --- LLM data pipeline: similarity search ---
     "emb_cosine_near_dup_pairs": QuerySpec(similarity.emb_cosine_near_dup_pairs, similarity.EMB_NEAR_DUP_SQL),
     "emb_cosine_topk": QuerySpec(similarity.emb_cosine_topk, similarity.EMB_COSINE_TOPK_SQL),

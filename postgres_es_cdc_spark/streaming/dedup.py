@@ -1001,3 +1001,105 @@ class ClusterLabelSink:
 
     def writer(self):
         return self.apply_batch
+
+
+class ClusterKeeperSink:
+    """foreachBatch sink maintaining, per live near-dup cluster, the
+    member a pipeline should KEEP — the round-13 continuation of
+    ClusterLabelSink: labels answer "which cluster is this doc in",
+    keepers answer the question the dedup decision actually asks,
+    "which doc survives" (highest quality, ties to min id —
+    docs_cluster_representatives' convention, now maintained per
+    trigger instead of recomputed per re-cluster cycle).
+
+    Per micro-batch of (a, b) pair rows: one _cluster_label_step
+    (label store fold + the {old->new} remap + first-seen endpoints),
+    then merge_cluster_keepers folds the LABEL-grain keeper store —
+    merged components' keepers max-combine under the surviving label,
+    new endpoints seed candidates with their quality from the static
+    ``quality`` lookup (id, quality) the sink is constructed with (a
+    quality score is upstream-landed state in a real pipeline, exactly
+    like the embeddings the vector sink probes).
+
+    BOTH stores commit in ONE manifest os.replace (labels.v{n} +
+    keepers.v{n} dirs, batch-id replay gate, superseded versions
+    deleted after the repoint) — a crash between the two writes leaves
+    the previous pair current, never a labels/keepers version skew;
+    the _SnapshotState discipline widened to a two-frame transaction.
+    Confluence (the driver-gate law, docs_streaming_cluster_keepers):
+    any batch partition of the pair set yields the one-shot
+    per-component argmax — min-label merge and quality argmax are both
+    associative-commutative folds."""
+
+    _MANIFEST = "_keeper_state.json"
+
+    def __init__(self, path: str, quality: DataFrame,
+                 a_col: str = "a", b_col: str = "b",
+                 max_label_edges: int | None = None):
+        from postgres_es_cdc_spark.llm.dedup import MAX_LABEL_EDGES
+        self.path = path
+        self.quality = quality.select(
+            F.col(quality.columns[0]).alias("id"),
+            F.col(quality.columns[1]).alias("quality"))
+        self.a_col = a_col
+        self.b_col = b_col
+        self.max_label_edges = (MAX_LABEL_EDGES if max_label_edges
+                                is None else max_label_edges)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self._MANIFEST)
+
+    def meta(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"labels": None, "keepers": None, "last_batch_id": -1}
+
+    def _read(self, spark: SparkSession, key: str) -> DataFrame | None:
+        cur = self.meta()[key]
+        return spark.read.parquet(cur) if cur else None
+
+    def labels(self, spark: SparkSession) -> DataFrame | None:
+        """The committed node-grain (rep, label) store."""
+        return self._read(spark, "labels")
+
+    def keepers(self, spark: SparkSession) -> DataFrame | None:
+        """The committed label-grain (label, keep_id, keep_q) store."""
+        return self._read(spark, "keepers")
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_es_cdc_spark.llm.dedup import (
+            _cluster_label_step, merge_cluster_keepers)
+
+        spark = batch.sparkSession
+        meta = self.meta()
+        if batch_id <= meta["last_batch_id"]:
+            return                      # committed replay: no-op
+        delta = batch.select(
+            F.col(self.a_col).cast("long").alias("a"),
+            F.col(self.b_col).cast("long").alias("b"))
+        labels2, remap, new_rows = _cluster_label_step(
+            self._read(spark, "labels"), delta, self.max_label_edges)
+        keepers2 = merge_cluster_keepers(
+            self._read(spark, "keepers"), remap, new_rows, self.quality)
+        ldir = os.path.join(self.path, f"labels.v{batch_id}")
+        kdir = os.path.join(self.path, f"keepers.v{batch_id}")
+        # both writes land BEFORE the single manifest repoint — the
+        # parquet writes double as the per-batch lineage barrier
+        labels2.select("rep", "label").write.mode("overwrite") \
+               .parquet(ldir)
+        keepers2.select("label", "keep_id", "keep_q") \
+                .write.mode("overwrite").parquet(kdir)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"labels": ldir, "keepers": kdir,
+                       "last_batch_id": batch_id}, f)
+        os.replace(tmp, self._manifest_path())
+        for old in (meta["labels"], meta["keepers"]):
+            if old and old not in (ldir, kdir) and os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+
+    def writer(self):
+        return self.apply_batch

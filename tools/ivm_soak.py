@@ -42,7 +42,7 @@ def main() -> None:
                          "operational steady state)")
     ap.add_argument("--sink", choices=["join", "dedup", "vector", "lsh",
                                        "lshsink", "clusters",
-                                       "clustersink"],
+                                       "clustersink", "keepersink"],
                     default="join",
                     help="join = JoinSink (round-9 soak); dedup = "
                          "KeyedDedupSink (round-10: the append-only "
@@ -98,8 +98,9 @@ def main() -> None:
     if args.sink == "lshsink":
         _lshsink_soak(spark, args)
         return
-    if args.sink in ("clusters", "clustersink"):
-        _cluster_soak(spark, args, durable=args.sink == "clustersink")
+    if args.sink in ("clusters", "clustersink", "keepersink"):
+        _cluster_soak(spark, args, durable=args.sink != "clusters",
+                      keepers=args.sink == "keepersink")
         return
 
     base = tempfile.mkdtemp(prefix="ivm_soak_")
@@ -463,7 +464,8 @@ def _start_maintenance(spark, sink_cls, kw, args):
     return stop, t, errs
 
 
-def _cluster_soak(spark, args, durable: bool = False) -> None:
+def _cluster_soak(spark, args, durable: bool = False,
+                  keepers: bool = False) -> None:
     """merge_cluster_labels soak (round 12): per-batch incremental
     component maintenance over synthetic pair deltas — each batch
     adds fresh 3-node chains (new components), `pool` edges attaching
@@ -480,7 +482,11 @@ def _cluster_soak(spark, args, durable: bool = False) -> None:
     versioned parquet snapshot (manifest repoint + replay gate), so
     per-batch time additionally carries one node-grain parquet
     write+read cycle; the flatness law must survive the durable
-    path."""
+    path. ``keepers=True`` (--sink keepersink): ClusterKeeperSink —
+    labels PLUS the label-grain argmax-quality keeper store in one
+    two-frame snapshot commit; per-node quality is a deterministic
+    hash-derived double, and the echo additionally checks the keeper
+    store against a driver-side per-component argmax."""
     from pyspark.sql import functions as F
 
     from postgres_es_cdc_spark.llm.dedup import (
@@ -505,11 +511,27 @@ def _cluster_soak(spark, args, durable: bool = False) -> None:
             [(int(min(a, b)), int(max(a, b))) for a, b in edges],
             "a long, b long")
 
+    def qual(n: int) -> float:
+        # deterministic hash-derived quality per node id
+        return ((n * 2654435761) % 1000003) / 1000003.0
+
     sink = base = None
     if durable:
-        from postgres_es_cdc_spark.streaming.dedup import ClusterLabelSink
         base = tempfile.mkdtemp(prefix="cluster_sink_soak_")
-        sink = ClusterLabelSink(os.path.join(base, "labels"))
+        if keepers:
+            from postgres_es_cdc_spark.streaming.dedup import (
+                ClusterKeeperSink)
+            # quality lookup covering the whole id space the generator
+            # can emit (fresh chains, pool, attachments)
+            qdf = (spark.range(30_000_000)
+                   .selectExpr("id AS doc_id",
+                               "CAST((id * 2654435761) % 1000003 AS "
+                               "DOUBLE) / 1000003.0 AS quality"))
+            sink = ClusterKeeperSink(os.path.join(base, "state"), qdf)
+        else:
+            from postgres_es_cdc_spark.streaming.dedup import (
+                ClusterLabelSink)
+            sink = ClusterLabelSink(os.path.join(base, "labels"))
     labels = None
     times = []
     all_edges: list = []
@@ -531,10 +553,22 @@ def _cluster_soak(spark, args, durable: bool = False) -> None:
     remap = _label_union_find(all_edges)
     nodes = sorted({x for p in all_edges for x in p})
     want = [(n, remap.get(n, n)) for n in nodes]
+    keepers_ok = None
+    if keepers:
+        comp: dict = {}
+        for n in nodes:
+            comp.setdefault(remap.get(n, n), []).append(n)
+        want_k = sorted(
+            (lab, max(ms, key=lambda m: (qual(m), -m)))
+            for lab, ms in comp.items())
+        got_k = sorted((r.label, r.keep_id)
+                       for r in sink.keepers(spark).collect())
+        keepers_ok = got_k == want_k
     first10 = sum(times[:10]) / min(10, len(times))
     last10 = sum(times[-10:]) / min(10, len(times))
     print(json.dumps({
-        "metric": ("cluster_label_sink_soak" if durable
+        "metric": ("cluster_keeper_sink_soak" if keepers
+                   else "cluster_label_sink_soak" if durable
                    else "incremental_cluster_labels_soak"),
         "batches": args.batches,
         "edges_per_batch": args.rows,
@@ -543,6 +577,7 @@ def _cluster_soak(spark, args, durable: bool = False) -> None:
         "flatness_last_over_first": round(last10 / first10, 2),
         "nodes_at_close": len(got),
         "labels_ok": got == want,
+        "keepers_ok": keepers_ok,
         "per_batch_s": times,
     }))
     if base is not None:
