@@ -154,6 +154,8 @@ HEADLINE = [
     "docs_dedup_routing_report",
     # round-12 flagship
     "docs_incremental_cluster_fold",
+    "docs_streaming_cluster_fold",
+    "docs_streaming_cluster_keepers",
 ]
 
 
