@@ -127,3 +127,46 @@ def test_sink_replay_restart_and_crash_atomicity(spark, tmp_path):
     sink2 = ClusterKeeperSink(str(tmp_path / "k"), qdf)
     sink2.apply_batch(_pairs_df(spark, [(2, 3)]), 2)
     assert _keepers(sink2, spark) == [(1, 3, 0.8)]
+
+
+def test_keeper_sink_tails_vector_index_pair_log(spark, sf_dir,
+                                                 tmp_path):
+    """The vector-side production wiring (the text-side twin lives in
+    test_cluster_sink.py): per trigger, VectorIndexSink commits its
+    verified-pair delta dir, then ClusterKeeperSink folds exactly that
+    delta — final labels must equal TRUE components over the one-shot
+    emb_cosine_near_dup_pairs set, and keepers the per-component
+    argmax of a synthetic id-derived quality."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postgres_es_cdc_spark.llm.similarity import (
+        _q_corpus, emb_cosine_near_dup_pairs)
+    from postgres_es_cdc_spark.streaming.dedup import VectorIndexSink
+
+    c = _q_corpus(spark, sf_dir)
+    qdf = c.select(F.col("id").alias("doc_id"),
+                   (F.pmod(F.col("id") * 2654435761, F.lit(1000003))
+                    .cast("double") / 1000003.0).alias("quality"))
+    idx = VectorIndexSink(out_path=str(tmp_path / "pairs"),
+                          index_path=str(tmp_path / "index"),
+                          n_bands=8, bits=8)
+    keep = ClusterKeeperSink(str(tmp_path / "state"), qdf,
+                             a_col="id1", b_col="id2")
+    for i in range(3):
+        idx.apply_batch(c.filter(F.col("id") % 3 == i), i)
+        keep.apply_batch(
+            spark.read.parquet(os.path.join(str(tmp_path / "pairs"),
+                                            f"b{i}")), i)
+
+    pairs = [(r.id1, r.id2)
+             for r in emb_cosine_near_dup_pairs(spark, sf_dir)
+             .collect()]
+    q = {r.doc_id: r.quality for r in qdf.collect()}
+    labels = sorted((r.rep, r.label)
+                    for r in keep.labels(spark).collect())
+    remap = _label_union_find(list(pairs))
+    nodes = sorted({x for p in pairs for x in p})
+    assert labels == [(n, remap.get(n, n)) for n in nodes]
+    assert _keepers(keep, spark) == _one_shot_keepers(pairs, q)
