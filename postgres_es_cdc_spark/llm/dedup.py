@@ -2124,8 +2124,13 @@ def docs_streaming_cluster_keepers(spark: SparkSession, sf_dir: str,
             .filter(F.col("doc_id") == F.col("rep"))
             .select("rep", *_SIG_COLS))
     pairs = _rep_candidate_pairs(reps).localCheckpoint(eager=True)
-    quality = mutated_corpus(spark, sf_dir).select(
-        "doc_id", quality_expr(F.col("text")).alias("quality"))
+    # materialized once: the sink joins this lookup EVERY trigger, and
+    # without the checkpoint each batch re-ran the corpus scan +
+    # tokenize + quality_expr (3x per query here; in production the
+    # lookup is an upstream-landed table, which this models)
+    quality = (mutated_corpus(spark, sf_dir)
+               .select("doc_id", quality_expr(F.col("text")).alias("quality"))
+               .localCheckpoint(eager=False))
     base = _tempfile.mkdtemp(prefix="keeper_sink_")
     try:
         sink = ClusterKeeperSink(_os.path.join(base, "state"), quality)

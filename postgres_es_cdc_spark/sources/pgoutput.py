@@ -210,53 +210,110 @@ def decode_messages(messages: DataFrame, relcache: dict,
               "payload string, txn_id long")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Hot loop (guide §4.2: the per-task work IS this function —
+        # once the plan shape is one pipelined Arrow pass, the decode
+        # cost is pure Python per-row work). Local-bound unpackers,
+        # int tag compares (no per-row 1-byte slices), direct appends
+        # instead of a closure, and the TupleData walk inlined straight
+        # into the payload dict (skipping discarded old-tuples without
+        # materializing their values). Byte semantics are identical to
+        # _parse_tuple/_payload_json (golden-wire tests pin them).
+        u32 = struct.Struct(">I").unpack_from
+        u16 = struct.Struct(">H").unpack_from
+        dumps = json.dumps
+        sep = (",", ":")
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in
-                                    ("offset", "operationType", "tableName",
-                                     "payload", "txn_id")}
-
-            def emit(off, op, tbl, payload, txn):
-                out["offset"].append(off)
-                out["operationType"].append(op)
-                out["tableName"].append(tbl)
-                out["payload"].append(payload)
-                out["txn_id"].append(txn)
-
+            offs_in = pdf["offset"].tolist()
+            raws = pdf[data_col].tolist()
+            offs: list = []
+            ops: list = []
+            tbls: list = []
+            pays: list = []
+            txns: list = []
+            ap_off, ap_op, ap_tbl = offs.append, ops.append, tbls.append
+            ap_pay, ap_txn = pays.append, txns.append
             # the select below aliases offset_col to "offset" before
             # mapInPandas, so the batch always carries these two names
-            for off, raw in zip(pdf["offset"], pdf[data_col]):
+            for off, raw in zip(offs_in, raws):
                 data = bytes(raw)
-                tag = data[:1]
-                if tag == b"B":
-                    (xid,) = struct.unpack_from(">I", data, 17)
-                    emit(off, "BEGIN", None, None, xid)
-                elif tag == b"C":
-                    emit(off, "COMMIT", None, None, None)
-                elif tag in (b"I", b"U", b"D"):
-                    (oid,) = struct.unpack_from(">I", data, 1)
+                tag = data[0]
+                if tag == 73 or tag == 85 or tag == 68:   # I / U / D
+                    (oid,) = u32(data, 1)
                     name, cols = relcache[oid]
                     pos = 5
-                    if tag == b"I":
-                        pos += 1                       # 'N'
-                        vals, _ = _parse_tuple(data, pos)
-                        emit(off, "INSERT", name, _payload_json(cols, vals), None)
-                    elif tag == b"U":
-                        if data[pos:pos + 1] in (b"K", b"O"):
-                            _, pos = _parse_tuple(data, pos + 1)  # old tuple
-                        pos += 1                       # 'N'
-                        vals, _ = _parse_tuple(data, pos)
-                        emit(off, "UPDATE", name, _payload_json(cols, vals), None)
+                    if tag == 85:
+                        k = data[5]
+                        if k == 75 or k == 79:            # 'K'/'O': skip
+                            (ncols,) = u16(data, 6)
+                            pos = 8
+                            for _ in range(ncols):
+                                kind = data[pos]
+                                pos += 1
+                                if kind != 110 and kind != 117:  # not n/u
+                                    (ln,) = u32(data, pos)
+                                    pos += 4 + ln
+                        pos += 1                          # 'N'
+                        op = "UPDATE"
+                    elif tag == 73:
+                        pos += 1                          # 'N'
+                        op = "INSERT"
                     else:
-                        pos += 1                       # 'K'/'O'
-                        vals, _ = _parse_tuple(data, pos)
-                        emit(off, "DELETE", name, _payload_json(cols, vals), None)
-                elif tag == b"T":
-                    (nrels,) = struct.unpack_from(">I", data, 1)
+                        pos += 1                          # 'K'/'O'
+                        op = "DELETE"
+                    (ncols,) = u16(data, pos)
+                    pos += 2
+                    ncl = len(cols)
+                    d: dict = {}
+                    for ci in range(ncols):
+                        kind = data[pos]
+                        pos += 1
+                        if kind == 116:                   # 't' text
+                            (ln,) = u32(data, pos)
+                            pos += 4
+                            if ci < ncl:                  # zip truncation
+                                d[cols[ci]] = data[pos:pos + ln].decode()
+                            pos += ln
+                        elif kind == 110:                 # 'n' SQL null
+                            if ci < ncl:
+                                d[cols[ci]] = None
+                        elif kind == 117:                 # 'u': key ABSENT
+                            pass
+                        else:                             # 'b' binary
+                            (ln,) = u32(data, pos)
+                            pos += 4 + ln
+                            if ci < ncl:
+                                d[cols[ci]] = None
+                    ap_off(off)
+                    ap_op(op)
+                    ap_tbl(name)
+                    ap_pay(dumps(d, separators=sep))
+                    ap_txn(None)
+                elif tag == 66:                           # 'B'
+                    (xid,) = u32(data, 17)
+                    ap_off(off)
+                    ap_op("BEGIN")
+                    ap_tbl(None)
+                    ap_pay(None)
+                    ap_txn(xid)
+                elif tag == 67:                           # 'C'
+                    ap_off(off)
+                    ap_op("COMMIT")
+                    ap_tbl(None)
+                    ap_pay(None)
+                    ap_txn(None)
+                elif tag == 84:                           # 'T'
+                    (nrels,) = u32(data, 1)
                     for i in range(nrels):
-                        (oid,) = struct.unpack_from(">I", data, 6 + 4 * i)
-                        emit(off, "TRUNCATE", relcache[oid][0], None, None)
+                        (oid,) = u32(data, 6 + 4 * i)
+                        ap_off(off)
+                        ap_op("TRUNCATE")
+                        ap_tbl(relcache[oid][0])
+                        ap_pay(None)
+                        ap_txn(None)
                 # 'R' and unknown tags produce no envelope rows
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({"offset": offs, "operationType": ops,
+                                "tableName": tbls, "payload": pays,
+                                "txn_id": txns})
 
     return messages.select(F.col(offset_col).alias("offset"), data_col) \
                    .mapInPandas(parse, schema)
@@ -309,48 +366,58 @@ def encode_typed_events(events: DataFrame, oid: int,
     field_kinds = [(f.name, f.dataType.simpleString())
                    for f in value_schema.fields]
 
-    def _fmt(v, kind: str) -> str:
-        if kind in ("bigint", "int", "smallint", "tinyint"):
-            # Arrow hands nullable integer struct fields to pandas as
-            # float64, which is lossy above 2^53 — a silent str(int(v))
-            # would corrupt keys on the wire at realistic id ranges.
-            # Fail loudly at the boundary instead.
-            if isinstance(v, float) and (v != int(v) or abs(v) >= 2 ** 53):
-                raise ValueError(
-                    f"integer value {v!r} not exactly representable after "
-                    "Arrow float64 conversion; pass ids as strings or "
-                    "re-chunk the batch to avoid nulls in this column")
-            return str(int(v))
-        if kind == "double" or kind == "float":
-            return repr(float(v))  # shortest repr: exact round trip
-        return str(v)
-
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Hot loop (guide §4.2): tuple-data byte assembly inlined with
+        # local-bound packers and direct list iteration — the wire
+        # bytes are identical to encode_insert/update/delete over the
+        # same values (pinned by the golden-wire tests and the
+        # roundtrip oracle hash).
+        p_u32 = struct.Struct(">I").pack
+        p_u16 = struct.Struct(">H").pack
+        head = {"INSERT": b"I" + p_u32(oid) + b"N",
+                "UPDATE": b"U" + p_u32(oid) + b"N",
+                "DELETE": b"D" + p_u32(oid) + b"K"}
+        nfields = p_u16(len(field_kinds))
+        int_kinds = frozenset(("bigint", "int", "smallint", "tinyint"))
         for pdf in batches:
-            offs, blobs = [], []
-            for off, op, pay, fields in zip(pdf["offset"],
-                                            pdf["operationType"],
-                                            pdf["payload"],
-                                            pdf["payload_fields"]):
+            offs = pdf["offset"].tolist()
+            blobs = []
+            ap = blobs.append
+            for op, pay, fields in zip(pdf["operationType"].tolist(),
+                                       pdf["payload"].tolist(),
+                                       pdf["payload_fields"].tolist()):
                 present = set(fields)
-                vals = []
+                parts = [head[op], nfields]
+                app = parts.append
                 for c, kind in field_kinds:
                     if c not in present:
-                        vals.append(UNCHANGED)
+                        app(b"u")
+                        continue
+                    v = pay[c]
+                    if v is None or (isinstance(v, float) and v != v):
+                        app(b"n")
+                        continue
+                    if kind in int_kinds:
+                        # Arrow hands nullable integer struct fields to
+                        # pandas as float64, lossy above 2^53 — a silent
+                        # str(int(v)) would corrupt keys on the wire.
+                        if isinstance(v, float) and (v != int(v)
+                                                     or abs(v) >= 2 ** 53):
+                            raise ValueError(
+                                f"integer value {v!r} not exactly "
+                                "representable after Arrow float64 "
+                                "conversion; pass ids as strings or "
+                                "re-chunk the batch to avoid nulls in "
+                                "this column")
+                        b = str(int(v)).encode()
+                    elif kind == "double" or kind == "float":
+                        b = repr(float(v)).encode()  # shortest repr
                     else:
-                        v = pay[c]
-                        if v is None or (isinstance(v, float) and v != v):
-                            vals.append(None)
-                        else:
-                            vals.append(_fmt(v, kind))
-                if op == "INSERT":
-                    blob = encode_insert(oid, vals)
-                elif op == "UPDATE":
-                    blob = encode_update(oid, vals)
-                else:
-                    blob = encode_delete(oid, vals)
-                offs.append(off)
-                blobs.append(blob)
+                        b = str(v).encode()
+                    app(b"t")
+                    app(p_u32(len(b)))
+                    app(b)
+                ap(b"".join(parts))
             yield pd.DataFrame({"offset": offs, "data": blobs})
 
     return events.select("offset", "operationType", "payload",

@@ -48,6 +48,47 @@ def test_decode_insert_update_delete_and_toast(spark):
     assert ev[3].payload == '{"id":"1"}'
 
 
+def test_decode_edge_kinds_and_column_drift(spark):
+    """Edge paths of the r13 inlined decode loop (perf rewrite of the
+    per-row parse — the behaviors below were previously carried by
+    _parse_tuple/_payload_json and must survive the inlining):
+    (1) an UPDATE's discarded old tuple containing text/null/TOAST
+    values is skipped without affecting the new tuple; (2) a tuple
+    WIDER than the relation's column list truncates (zip semantics);
+    (3) a tuple NARROWER than the column list leaves trailing columns
+    absent; (4) multi-relation TRUNCATE emits one row per oid."""
+    import struct as _s
+
+    wide_oid, narrow_oid = 16401, 16402
+    msgs = [
+        encode_relation(OID, "t", COLS),
+        encode_relation(wide_oid, "w", ["id"]),          # 1 declared col
+        encode_relation(narrow_oid, "n", COLS),          # 3 declared cols
+        # old tuple K with a text value + null + TOAST — must be skipped
+        encode_update(OID, [2, "new", None], key_values=[1, "old", None]),
+        # tuple has MORE values than declared columns -> extras dropped
+        b"I" + _s.pack(">I", wide_oid) + b"N"
+        + _s.pack(">H", 3) + b"t" + _s.pack(">I", 1) + b"7"
+        + b"n" + b"t" + _s.pack(">I", 1) + b"x",
+        # tuple has FEWER values than declared columns -> trailing absent
+        b"I" + _s.pack(">I", narrow_oid) + b"N"
+        + _s.pack(">H", 1) + b"t" + _s.pack(">I", 1) + b"9",
+        encode_truncate([OID, wide_oid]),
+    ]
+    df = _wal_df(spark, msgs)
+    cache = relation_cache(df)
+    ev = sorted(decode_messages(df, cache).collect(),
+                key=lambda r: (r.offset, r.tableName or ""))
+    upd = [r for r in ev if r.operationType == "UPDATE"][0]
+    assert upd.payload == '{"id":"2","name":"new","qty":null}'
+    wide = [r for r in ev if r.tableName == "w"][0]
+    assert wide.payload == '{"id":"7"}'
+    narrow = [r for r in ev if r.tableName == "n"][0]
+    assert narrow.payload == '{"id":"9"}'
+    truncs = [r for r in ev if r.operationType == "TRUNCATE"]
+    assert sorted(t.tableName for t in truncs) == ["t", "w"]
+
+
 def test_truncate_and_txn_markers(spark):
     msgs = [
         encode_relation(OID, "t", COLS),
