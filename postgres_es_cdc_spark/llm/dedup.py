@@ -827,7 +827,7 @@ def _build_cluster_labels(spark: SparkSession, sf_dir: str,
         # the materialized result. This is the per-iteration barrier
         # every Pregel-style loop needs; on a cluster it would be a
         # checkpoint to reliable storage.
-        labels = _prop_round(edges, labels).localCheckpoint(eager=True)
+        labels = _prop_round(edges, labels).localCheckpoint(eager=False)
     return labels
 
 
@@ -912,7 +912,7 @@ def docs_dedup_clusters_collapsed(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy(*sigcols)
     mem = (sigs.select("doc_id", *sigcols)
                .withColumn("rep", F.min("doc_id").over(w))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     reps = mem.filter(F.col("doc_id") == F.col("rep"))
     bands = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
@@ -937,7 +937,7 @@ def docs_dedup_clusters_collapsed(spark: SparkSession, sf_dir: str,
                   .unionByName(pairs.select(
                       F.col("doc_b").alias("src"),
                       F.col("doc_a").alias("dst")))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     nodes = edges.select(F.col("src").alias("rep_id")).distinct()
     labels = nodes.withColumn("label", F.col("rep_id"))
     for _ in range(max_iters):
@@ -949,7 +949,7 @@ def docs_dedup_clusters_collapsed(spark: SparkSession, sf_dir: str,
                                 F.least(F.col("label"),
                                         F.coalesce("nlabel", F.col("label")))
                                  .alias("label"))
-                        .localCheckpoint(eager=True))
+                        .localCheckpoint(eager=False))
     out = (mem.select("doc_id", "rep")
               .join(labels, mem.rep == labels.rep_id, "left")
               .select("doc_id",

@@ -49,6 +49,13 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t"), t2,
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
     bg_col = F.slice(bg_full, 1, F.greatest(F.col("n") - 1, F.lit(0)))
+    # bg feeds three consumers (the scoring join, c12, c1 via c12) and
+    # is deliberately NOT checkpointed: the r13 optimization pass
+    # A/B-measured materializing the exploded bigram rows (job-stats
+    # CPU 30-35s vs 13-17s, replicated both orders) — re-running the
+    # tokenize+explode per consumer is ~2x cheaper than writing and
+    # re-reading 2.2M string rows of checkpoint blocks at sf0.1, and
+    # the same trade holds wherever bigram rows dwarf the text scan.
     bg = (base.select("doc_id", F.explode(bg_col).alias("b"))
               .select("doc_id", "b.w1", "b.w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

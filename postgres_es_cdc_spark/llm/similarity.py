@@ -69,6 +69,35 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _list_matrix(col, dtype):
+    """2-D matrix from an Arrow list-typed array (list / large_list /
+    fixed_size_list of numbers) — the r13 input path of the GEMM
+    kernels. Equal-length, null-free rows (every quantized-embedding
+    column here) reshape the flat Arrow values buffer directly: one
+    O(1) view + one C copy, no per-row Python objects (the pandas
+    list() path measured ~1.6s per 60k×64 batch; this is ~1000× less).
+    Ragged or null rows fall back to the row-wise conversion with
+    identical semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    if col.null_count == 0 and len(col):
+        if pa.types.is_fixed_size_list(col.type):
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(vals, dtype=dtype).reshape(
+                len(col), -1)
+        offs = col.offsets.to_numpy()
+        widths = np.diff(offs)
+        if (widths == widths[0]).all() and widths[0] > 0:
+            w = int(widths[0])
+            vals = col.values.to_numpy(zero_copy_only=False)
+            start = int(offs[0])
+            return np.ascontiguousarray(
+                vals[start:start + w * len(col)], dtype=dtype
+            ).reshape(len(col), w)
+    return np.array([list(v) for v in col.to_pylist()], dtype=dtype)
+
+
 def _bq_scores(qrows: list, cdf: DataFrame, cid_col: str, vec_col: str,
                metric: str, prefix: int | None = None) -> DataFrame:
     """Broadcast-queries × corpus-scan scoring as an Arrow-batched int64
@@ -103,12 +132,17 @@ def _bq_scores(qrows: list, cdf: DataFrame, cid_col: str, vec_col: str,
     out_field = "cos_sim double" if metric == "cos" else "d long"
     val_col = "cos_sim" if metric == "cos" else "d"
 
+    # mapInArrow (r13): the candidate matrix reshapes straight out of
+    # the Arrow values buffer (_list_matrix) — the mapInPandas draft
+    # spent more time building per-row Python lists than in the GEMM.
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            ids = pdf[cid_col].to_numpy()
-            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.int64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            x = _list_matrix(rb.column(1), np.int64)
             if prefix is not None:
                 x = x[:, :prefix]
             dot = x @ qm.T
@@ -119,13 +153,13 @@ def _bq_scores(qrows: list, cdf: DataFrame, cid_col: str, vec_col: str,
                           * np.sqrt(c2.astype(np.float64))[:, None]))
             else:
                 val = q2[None, :] + c2[:, None] - 2 * dot
-            yield pd.DataFrame({
-                "qid": np.tile(qids, len(ids)),
-                cid_col: np.repeat(ids, len(qids)),
-                val_col: val.ravel(),
-            })
+            yield pa.record_batch(
+                [pa.array(np.tile(qids, len(ids))),
+                 pa.array(np.repeat(ids, len(qids))),
+                 pa.array(val.ravel())],
+                names=["qid", cid_col, val_col])
 
-    return cdf.select(cid_col, vec_col).mapInPandas(
+    return cdf.select(cid_col, vec_col).mapInArrow(
         score, f"qid long, {cid_col} long, {out_field}")
 
 
@@ -1454,11 +1488,13 @@ def _route_hier(c: DataFrame, carr: DataFrame, k1: int,
         return out
 
     def route(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            ids = pdf["id"].to_numpy()
-            X = np.array([list(v) for v in pdf["q"]], dtype=np.int64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            X = _list_matrix(rb.column(1), np.int64)
             n2o = (X * X).sum(axis=1).astype(object)
             ti = np.argmin(_d2(n2o, X @ sqt_mat.T, top_ids), axis=1)
             oid, oscid, ocid, orouted = [], [], [], []
@@ -1484,12 +1520,14 @@ def _route_hier(c: DataFrame, carr: DataFrame, k1: int,
                                          dtype=np.int64))
                     orouted.append(np.full(int(mask.sum()), len(ch),
                                            dtype=np.int64))
-            yield pd.DataFrame({"id": np.concatenate(oid),
-                                "scid": np.concatenate(oscid),
-                                "cid": np.concatenate(ocid),
-                                "routed": np.concatenate(orouted)})
+            yield pa.record_batch(
+                [pa.array(np.concatenate(oid)),
+                 pa.array(np.concatenate(oscid)),
+                 pa.array(np.concatenate(ocid)),
+                 pa.array(np.concatenate(orouted))],
+                names=["id", "scid", "cid", "routed"])
 
-    return c.select("id", "q").mapInPandas(
+    return c.select("id", "q").mapInArrow(
         route, "id long, scid long, cid long, routed long")
 
 
@@ -2387,17 +2425,21 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str,
     q = e.select(quantize(F.col("embedding")).alias("q"))
 
     def gram(batches):
-        idx = np.arange(1, 65, dtype=np.int64)
+        import pyarrow as pa
+
+        idx = np.arange(1, 65, dtype=np.int32)
         ii = np.repeat(idx, 64)
         jj = np.tile(idx, 64)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            X = np.array([list(v) for v in pdf["q"]], dtype=np.int64)
+            X = _list_matrix(rb.column(0), np.int64)
             M = X.T @ X
-            yield pd.DataFrame({"i": ii, "j": jj, "m": M.ravel()})
+            yield pa.record_batch(
+                [pa.array(ii), pa.array(jj), pa.array(M.ravel())],
+                names=["i", "j", "m"])
 
-    M = (q.mapInPandas(gram, "i int, j int, m long")
+    M = (q.mapInArrow(gram, "i int, j int, m long")
           .groupBy("i", "j").agg(F.sum("m").alias("m"))
           .select("i", "j", F.expr(f"m div {PCA_DIV}").alias("mq")))
 

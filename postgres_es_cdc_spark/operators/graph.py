@@ -204,7 +204,7 @@ def _forward_tri(edges: DataFrame):
     deg = (edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     e = (edges
          .join(deg.select(F.col("node").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -215,9 +215,9 @@ def _forward_tri(edges: DataFrame):
     ori = e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     adj = (ori.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     # dst may have no out-edges: left join + empty-array default.
     t = (ori.join(adj.select(F.col("src"), F.col("nbrs").alias("nu")),
                   "src")
@@ -310,7 +310,7 @@ def graph_triangle_estimate(spark: SparkSession, sf_dir: str,
         raise ValueError("pnum must divide pden (integer 1/p)")
     edges = _copurchase_edges(spark, sf_dir)
     keep = (h32(F.concat_ws("_", F.col("u"), F.col("v"))) % pden) < pnum
-    se = edges.filter(keep).localCheckpoint(eager=True)
+    se = edges.filter(keep).localCheckpoint(eager=False)
     _deg, _tcnt, tri = _forward_tri(se)
     s = (pden // pnum) ** 3
     ne = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
@@ -431,7 +431,7 @@ def graph_local_clustering_estimate(
         raise ValueError("pnum must divide pden (integer 1/p)")
     edges = _copurchase_edges(spark, sf_dir)
     keep = (h32(F.concat_ws("_", F.col("u"), F.col("v"))) % pden) < pnum
-    se = edges.filter(keep).localCheckpoint(eager=True)
+    se = edges.filter(keep).localCheckpoint(eager=False)
     _sdeg, stcnt, _tri = _forward_tri(se)
     deg = (edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
@@ -546,7 +546,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str,
                     F.lit(0).cast("long").alias("dist")))
     frontier = dist.select("node")
     seen = frontier
-    settled = [dist.localCheckpoint(eager=True)]
+    settled = [dist.localCheckpoint(eager=False)]
     for i in range(iters):
         reached = (frontier.join(edges, frontier.node == edges.src)
                            .select(F.col("dst").alias("node"))
@@ -554,7 +554,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str,
         new = (reached.join(seen, "node", "left_anti")
                       .select("node",
                               F.lit(i + 1).cast("long").alias("dist"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         settled.append(new)
         frontier = new.select("node")
         seen = seen.unionByName(frontier)
@@ -649,7 +649,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str,
                                 F.least(F.col("label"), F.col("jlabel"),
                                         F.coalesce("nlabel", F.col("label")))
                                 .alias("label")))
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
     return (labels.groupBy(F.col("label").alias("component"))
                   .agg(F.count(F.lit(1)).alias("n_nodes"),
                        F.min("node").alias("min_node"),
@@ -829,7 +829,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
     decade at sf3; this one does O(|E|) shuffle work once."""
     base = _edges(spark, sf_dir)  # session-memoized, already checkpointed
     deg = (base.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     while True:
         removed = deg.filter(F.col("deg") < k).select("src")
         if removed.limit(1).count() == 0:
@@ -842,7 +842,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str,
                   .select("src", (F.col("deg")
                                   - F.coalesce("dec", F.lit(0)))
                           .alias("deg"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     nodes = base.select("src").distinct()
     cd = F.coalesce(F.col("deg"), F.lit(0)).cast("long")
     return (nodes.join(deg, "src", "left")

@@ -110,18 +110,19 @@ def test_pmi_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_semdedup_assign_is_arrow_kernel(spark, sf_dir):
-    """Round-7 fix guard: emb_semdedup_prune's assign stage is the
-    Arrow-batched numpy routing kernel (mapInPandas int64 GEMM) and its
-    pair verify is the per-cluster GEMM (applyInPandas) — the
-    expression/higher-order-function forms were interpreted
-    (CodegenFallback) and measured 15.1s + 29M interpreted pair dots
-    at sf3."""
+    """Round-7 fix guard (node updated r13): emb_semdedup_prune's assign
+    stage is the Arrow-batched numpy routing kernel (int64 GEMM — since
+    r13 a mapInArrow whose matrix intake reshapes the Arrow values
+    buffer directly) and its pair verify is the per-cluster GEMM
+    (applyInPandas) — the expression/higher-order-function forms were
+    interpreted (CodegenFallback) and measured 15.1s + 29M interpreted
+    pair dots at sf3."""
     from postgres_es_cdc_spark.llm.similarity import (emb_hier_assign,
                                                       emb_semdedup_prune)
 
     # the shared route frame (emb_hier_assign returns it un-checkpointed;
     # inside emb_semdedup_prune it hides behind the eager checkpoint)
-    assert "MapInPandas" in _plan(emb_hier_assign(spark, sf_dir))
+    assert "MapInArrow" in _plan(emb_hier_assign(spark, sf_dir))
     plan = _plan(emb_semdedup_prune(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan, plan[:3000]
 
