@@ -158,6 +158,44 @@ HEADLINE = [
     "docs_streaming_cluster_keepers",
 ]
 
+# Queries whose timings are printed in the one-line stdout JSON. The
+# driver keeps only the LAST 2000 CHARS of stdout (measured: every
+# BENCH_r01..r13 driver artifact records exactly a 2000-char tail, and
+# r01/r04/r05 — which printed the full map — were truncated into
+# unparseable fragments), so the full 123-query map (3.7 KB serialized;
+# the query NAMES alone are 2.7 KB) physically cannot fit. Printing the
+# "10 slowest" rotated run-to-run and made the driver's round-over-round
+# diff report phantom "dropped" queries (PERF_r13), so the printed set
+# is now FIXED: the union of every query ever printed in a driver
+# artifact (53 queries — a superset of every past comparison row, so a
+# query can never again disappear from the printed map), sized to fit
+# the 2000-char tail with headroom. The remaining 70 queries are in
+# BENCH_LOCAL.json (committed) under the same schema.
+PRINTED = [
+    "cdc_apply_changes", "cdc_apply_changes_typed", "cdc_pgoutput_roundtrip",
+    "cdc_schema_evolution_fold", "cdc_truncate_restart_fold",
+    "docs_bigram_lm_score", "docs_chunk_dedup", "docs_decontaminate",
+    "docs_duplicate_span_removal", "docs_exact_dedup",
+    "docs_incremental_cluster_fold", "docs_minhash_lsh_pairs",
+    "docs_perplexity_filter_report", "docs_pmi_collocations",
+    "docs_rrf_fusion", "docs_streaming_cluster_fold",
+    "docs_streaming_cluster_keepers", "docs_streaming_lsh_fold",
+    "docs_token_stats", "docs_winnowing_overlap", "emb_cosine_topk",
+    "emb_incremental_near_dup_pairs", "emb_ivf_topk", "emb_ivf_trained_topk",
+    "emb_ivfpq_topk", "emb_label_knn_accuracy", "emb_pq_adc_topk",
+    "emb_semdedup_prune", "events_asof_join", "events_gap_fill",
+    "events_hll_distinct_users", "events_interval_join", "events_session",
+    "graph_bfs_distances", "graph_clustering_coefficient",
+    "graph_common_neighbors_topk", "graph_connected_components",
+    "graph_kcore_peel", "graph_local_clustering_estimate",
+    "graph_triangle_estimate", "having_big_orders",
+    "ivm_join_view_compacted_rollup", "ivm_join_view_rollup",
+    "ivm_session_rollup", "join_left_outer", "multimodal_embed_topk",
+    "orders_basket_affinity", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "range_join_price_bands", "topk_per_group",
+    "window_running_sum",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,20 +293,34 @@ def main() -> None:
         "control_ratio_vs_hist_min": control_ratio,
         "drift_median_ratio": (round(all_r[len(all_r) // 2], 2)
                                if all_r else None),
+        # versioned control-floor methodology: "w8" = min over the
+        # 8-run rolling window above (was all-time min through r12;
+        # ratios across the two schemes are not comparable)
+        "control_floor": f"w{WINDOW}",
     }
-    # Full per-query map -> file (the driver keeps only the tail of
-    # stdout, and 80+ query entries overflow it — BENCH_r04/r05 were
-    # recorded as unparseable fragments). The FINAL stdout line is a
-    # compact summary in the same schema, bounded at the 10 slowest
-    # queries, so the driver's record always parses.
+    # Full per-query map -> file; the FIXED printed set (see PRINTED)
+    # goes on the final stdout line, which must stay under the driver's
+    # 2000-char tail or the whole artifact becomes unparseable.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    compact = dict(full, queries=slowest,
-                   n_queries=len(timings),
-                   full_map="BENCH_LOCAL.json")
-    print(json.dumps(compact))
+
+    def line_for(prec: int, names: list) -> str:
+        qmap = {k: round(timings[k], prec) for k in names if k in timings}
+        return json.dumps(dict(full, queries=qmap, n_queries=len(timings),
+                               full_map="BENCH_LOCAL.json"),
+                          separators=(",", ":"))
+    # Budget guard (should never fire with the 53-query set at ~1.9 KB):
+    # drop precision first, then trim fastest-first so a slow query —
+    # the kind the driver compares — is the last thing to go.
+    out = line_for(2, PRINTED)
+    if len(out) > 1950:
+        out = line_for(1, PRINTED)
+    names = sorted(PRINTED, key=lambda k: -timings.get(k, 0.0))
+    while len(out) > 1950 and names:
+        names.pop()
+        out = line_for(1, names)
+    print(out)
 
 
 if __name__ == "__main__":

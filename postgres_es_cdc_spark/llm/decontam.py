@@ -30,11 +30,11 @@ GRAM_N = 5
 BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark member
 
 
-def gram5_hashes(text_col: Column) -> Column:
-    """Distinct hashed word 5-grams, zip-based (same performance
-    contract as text.shingles3: no outer column inside a lambda, shifted
-    copies built once; tail positions concat to null and slice away)."""
-    toks = tokens(text_col)
+def gram5_hashes_from_tokens(toks: Column) -> Column:
+    """Distinct hashed word 5-grams over an already-tokenized array,
+    zip-based (same performance contract as text.shingles3: no outer
+    column inside a lambda, shifted copies built once; tail positions
+    concat to null and slice away)."""
     n = F.size(toks)
     shifted = [
         F.slice(toks, k + 1, F.greatest(n - k, F.lit(0)))
@@ -46,6 +46,11 @@ def gram5_hashes(text_col: Column) -> Column:
                             lambda acc, nxt: F.concat(acc, F.lit(" "), nxt))
     grams = F.slice(joined, 1, F.greatest(n - (GRAM_N - 1), F.lit(0)))
     return F.array_distinct(F.transform(grams, h32))
+
+
+def gram5_hashes(text_col: Column) -> Column:
+    """gram5_hashes_from_tokens over tokens(text)."""
+    return gram5_hashes_from_tokens(tokens(text_col))
 
 
 # DuckDB twin: slide a window over the token list.
@@ -61,14 +66,27 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contaminated training docs: mutants sharing >= 1 distinct 5-gram
     with any benchmark doc. Output (doc_id, n_shared_grams) per
     contaminated doc — the removal list a corpus pass anti-joins on."""
-    corpus = scan_parallel(spark, mutated_corpus(spark, sf_dir)
-                           .filter(F.col("doc_id") >= 1000000))
+    # Mutant grams straight from the token array (r14, guide §1.2):
+    # mutated_corpus renders each mutant's text as
+    # array_join(slice(tokens(text), 1, n-1), " ") and gram5_hashes
+    # would re-trim + re-split it — but tokens() is split-on-\s+ of a
+    # trimmed string, so re-tokenizing a " "-joined token list yields
+    # exactly that list (tokens carry no whitespace; the empty-mutant
+    # edge produces [""] whose gram windows are empty either way, same
+    # as []). Building grams from slice(tokens(text), ...) drops one
+    # full join+trim+split pass per mutant; gram output is identical,
+    # and the oracle SQL is unchanged (it re-derives from mutant text).
+    d = scan_parallel(spark, table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
+    toks = tokens(F.col("text"))
+    mut_toks = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    corpus_grams = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.explode(gram5_hashes_from_tokens(mut_toks)).alias("g"))
     bench = (table(spark, sf_dir, "documents")
              .filter(F.col("doc_id") % BENCH_MOD == 0)
              .select(F.explode(gram5_hashes(F.col("text"))).alias("g"))
              .distinct())
-    corpus_grams = corpus.select(
-        "doc_id", F.explode(gram5_hashes(F.col("text"))).alias("g"))
     return (corpus_grams.join(F.broadcast(bench), "g")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shared_grams")))

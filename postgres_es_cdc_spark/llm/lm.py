@@ -62,13 +62,22 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (base.select(F.explode("t").alias("tok"))
                  .agg(F.countDistinct("tok").alias("v")))
-    j = (bg.join(c12, ["w1", "w2"]).join(c1, "w1")
-           .crossJoin(F.broadcast(vocab))
-           .select("doc_id",
-                   (F.col("c1") + F.col("v")).alias("lm_a"),
-                   (F.col("c12") + F.lit(1)).alias("lm_b")))
-    scored = apply_stages_spark(j, ln_ratio_stages("lm_a", "lm_b"))
-    q = scored.select("doc_id", F.expr(_TERM_Q).alias("term_q"))
+    # Score at bigram-TYPE grain, then attach to occurrences (r14,
+    # guide §1.2 per-task work): term_q depends only on (c1+V, c12+1),
+    # i.e. on the bigram TYPE — running the detlog ln pipeline (a long
+    # correctly-rounded IEEE stage chain) once per distinct bigram
+    # instead of once per occurrence cuts its row count by the corpus'
+    # type/token ratio, and the occurrence join then carries ONE int64
+    # (term_q) instead of two counts into the per-doc rollup.
+    # Per-occurrence values are bit-identical by construction.
+    types = (c12.join(c1, "w1")
+                .crossJoin(F.broadcast(vocab))
+                .select("w1", "w2",
+                        (F.col("c1") + F.col("v")).alias("lm_a"),
+                        (F.col("c12") + F.lit(1)).alias("lm_b")))
+    tscored = apply_stages_spark(types, ln_ratio_stages("lm_a", "lm_b"))
+    tq = tscored.select("w1", "w2", F.expr(_TERM_Q).alias("term_q"))
+    q = bg.join(tq, ["w1", "w2"]).select("doc_id", "term_q")
     return (q.groupBy("doc_id")
              .agg(F.count(F.lit(1)).alias("n_bigrams"),
                   (F.sum("term_q").cast("double") / F.lit(1.0e9)

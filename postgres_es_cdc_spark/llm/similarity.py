@@ -81,20 +81,32 @@ def _list_matrix(col, dtype):
     import numpy as np
     import pyarrow as pa
 
+    # Fast path only when NO nulls exist at either level: a null ELEMENT
+    # inside a list would come out of to_numpy as NaN and an int64 cast
+    # would silently produce INT64_MIN (ADVICE r13) — inner-null rows
+    # must fall back to the row-wise conversion, which fails loudly.
     if col.null_count == 0 and len(col):
         if pa.types.is_fixed_size_list(col.type):
-            vals = col.values.to_numpy(zero_copy_only=False)
-            return np.ascontiguousarray(vals, dtype=dtype).reshape(
-                len(col), -1)
-        offs = col.offsets.to_numpy()
-        widths = np.diff(offs)
-        if (widths == widths[0]).all() and widths[0] > 0:
-            w = int(widths[0])
-            vals = col.values.to_numpy(zero_copy_only=False)
-            start = int(offs[0])
-            return np.ascontiguousarray(
-                vals[start:start + w * len(col)], dtype=dtype
-            ).reshape(len(col), w)
+            # flatten() is slice-aware (col.values ignores a slice's
+            # offset/length and would reshape the wrong rows); width
+            # asserted so a surprise layout fails loudly, not silently.
+            flat = col.flatten()
+            if flat.null_count == 0:
+                w = col.type.list_size
+                vals = flat.to_numpy(zero_copy_only=False)
+                assert len(vals) == w * len(col)
+                return np.ascontiguousarray(vals, dtype=dtype).reshape(
+                    len(col), w)
+        elif col.values.null_count == 0:
+            offs = col.offsets.to_numpy()
+            widths = np.diff(offs)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                w = int(widths[0])
+                vals = col.values.to_numpy(zero_copy_only=False)
+                start = int(offs[0])
+                return np.ascontiguousarray(
+                    vals[start:start + w * len(col)], dtype=dtype
+                ).reshape(len(col), w)
     return np.array([list(v) for v in col.to_pylist()], dtype=dtype)
 
 
@@ -532,6 +544,19 @@ GROUP BY 1
 
 
 _ATTACH_PUSHDOWN_MAX = 10_000
+
+# Hash-bucketed reps-store layout (r14 — tools/bucketed_reps.py
+# graduated): MAJOR index folds write the reps snapshot partitionBy
+# this bucket of rep, so a k-candidate attach enumerates <= k bucket
+# DIRECTORIES instead of footer-walking every snapshot file —
+# independent of candidate spread, unlike range layout. The expression
+# is the writer/reader contract: both sides must hash identically.
+REP_BUCKETS = 64
+
+
+def _rep_bucket_expr():
+    return F.pmod(F.xxhash64(F.col("rep")),
+                  F.lit(REP_BUCKETS)).cast("int")
 """Guard on _probe_embedding_store's candidate-rep pushdown: when a
 probe's verified-candidate rep set is at most this many ids, the
 vector-attach joins filter the reps log with an isin() that reaches the
@@ -2873,7 +2898,8 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
                            threshold: float, n_bands: int = 8,
                            bits: int = 8,
                            store_bands: DataFrame | None = None,
-                           pushdown: bool = True) -> DataFrame:
+                           pushdown: bool = True,
+                           store_reps_loader=None) -> DataFrame:
     """Probe kernel shared by the one-shot query and the multibatch
     fold: verified near-dup member pairs for a collapsed batch frame
     (id, q, rep) against a (members, reps) store.
@@ -2959,11 +2985,29 @@ def _probe_embedding_store(store: tuple, bmem: DataFrame,
     attach_reps = all_reps
     if pushdown:
         cand_reps = (rep_pairs.select(F.explode(F.array("pa", "pb"))
-                                       .alias("rep")).distinct())
-        cand_ids = [r.rep for r in
-                    cand_reps.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()]
+                                       .alias("rep")).distinct()
+                              .select("rep",
+                                      _rep_bucket_expr().alias("_bk")))
+        rows = cand_reps.limit(_ATTACH_PUSHDOWN_MAX + 1).collect()
+        cand_ids = [r.rep for r in rows]
         if len(cand_ids) <= _ATTACH_PUSHDOWN_MAX:
-            attach_reps = all_reps.filter(F.col("rep").isin(cand_ids))
+            if store_reps_loader is not None:
+                # r14 bucketed-layout pruning: re-enumerate the STORE
+                # scan restricted to the candidate ids' bucket
+                # directories (computed by Spark above — same hash
+                # expression the fold writer uses), then apply the
+                # exact isin on top. Bucket pruning is a SUPERSET
+                # restriction, so rows are identical to the unpruned
+                # filter; flat (pre-bucketing) dirs are read whole and
+                # the isin still reaches their parquet scans.
+                pruned = store_reps_loader(
+                    sorted({r._bk for r in rows}))
+                base = (pruned.select("rep", "q")
+                        if pruned is not None else store_reps)
+                attach_reps = (base.unionByName(batch_reps)
+                                   .filter(F.col("rep").isin(cand_ids)))
+            else:
+                attach_reps = all_reps.filter(F.col("rep").isin(cand_ids))
     r1 = attach_reps.select(F.col("rep").alias("pa"),
                             F.col("q").alias("qa"))
     r2 = attach_reps.select(F.col("rep").alias("pb"),

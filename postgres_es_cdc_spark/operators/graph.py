@@ -626,9 +626,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str,
     operator is the deep-graph variant.
 
     Per round: one join keyed by label (the jump), one edge join + min
-    aggregate (the hop), lineage cut per round (localCheckpoint — the
-    Pregel barrier). All arithmetic is integer min — bit-exact against
-    the unrolled-CTE oracle by construction.
+    aggregate (the hop), and a LAZY localCheckpoint that truncates the
+    logical plan per round while deferring materialization
+    (persist-on-first-compute) to the final action — the plan-side cut a
+    Pregel barrier would make, without its per-round blocking driver
+    job. All arithmetic is integer min — bit-exact against the
+    unrolled-CTE oracle by construction.
     """
     edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))

@@ -461,11 +461,96 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+_PKG = __package__  # "postgres_es_cdc_spark"
+_PKG_DIR = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+_FILE_AST_SHA: dict[str, str] = {}   # module file path -> sha of ast.dump
+_MOD_DEPS: dict[str, set] = {}       # module name -> direct first-party deps
+_DEP_DIGEST: dict[str, str] = {}     # module name -> transitive closure digest
+
+
+def _module_file(modname: str) -> str | None:
+    import os
+    parts = modname.split(".")
+    if parts[0] != _PKG:
+        return None
+    base = os.path.join(_PKG_DIR, *parts[1:])
+    for p in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _ast_sha(path: str) -> str:
+    """sha256 of the module's *parsed* AST dump: whitespace/comment-only
+    edits don't change it; any code or docstring change does."""
+    if path not in _FILE_AST_SHA:
+        import ast
+        import hashlib
+        with open(path, "rb") as f:
+            src = f.read()
+        try:
+            norm = ast.dump(ast.parse(src))
+        except SyntaxError:
+            norm = src.decode("utf-8", "replace")
+        _FILE_AST_SHA[path] = hashlib.sha256(norm.encode()).hexdigest()
+    return _FILE_AST_SHA[path]
+
+
+def _direct_deps(modname: str) -> set:
+    """First-party modules imported by modname, found by SOURCE scan so
+    function-local (lazy) imports count too."""
+    if modname not in _MOD_DEPS:
+        import re
+        deps: set = set()
+        path = _module_file(modname)
+        if path is not None:
+            with open(path, encoding="utf-8", errors="replace") as f:
+                src = f.read()
+            for m in re.finditer(
+                    rf"from\s+({_PKG}[\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)",
+                    src):
+                base, names = m.group(1), m.group(2)
+                deps.add(base)
+                for tok in names.strip("()").split(","):
+                    sub = tok.split("#")[0].strip().split(" as ")[0].strip()
+                    if sub and _module_file(f"{base}.{sub}"):
+                        deps.add(f"{base}.{sub}")
+            for m in re.finditer(rf"^\s*import\s+({_PKG}[\w.]*)", src,
+                                 re.MULTILINE):
+                deps.add(m.group(1))
+        _MOD_DEPS[modname] = deps
+    return _MOD_DEPS[modname]
+
+
+def _dep_digest(root: str) -> str:
+    """Digest of the transitive first-party module closure reachable from
+    ``root`` (including itself): the 'engine code this query runs on'."""
+    if root not in _DEP_DIGEST:
+        import hashlib
+        seen: set = set()
+        todo = [root]
+        while todo:
+            mod = todo.pop()
+            if mod in seen or _module_file(mod) is None:
+                continue
+            seen.add(mod)
+            todo.extend(_direct_deps(mod))
+        parts = sorted(f"{m}\x00{_ast_sha(_module_file(m))}" for m in seen)
+        _DEP_DIGEST[root] = hashlib.sha256(
+            "\x01".join(parts).encode()).hexdigest()
+    return _DEP_DIGEST[root]
+
+
 def query_fingerprint(spec: QuerySpec) -> str:
     """Identity of a query's *implementation*: sha256 over the registered
-    function's source plus its oracle SQL. Helper-function edits don't
-    change it (documented limitation — force re-validation of such
-    queries by dropping their QUERY_FINGERPRINTS.json entry)."""
+    function's source, its oracle SQL, and the AST digest of every
+    first-party module transitively imported by the function's defining
+    module (source-scanned, so function-local imports count). A helper
+    edit anywhere in the query's engine closure therefore invalidates its
+    recorded fingerprint and rotates it back into the driver's evaluation
+    window (the r13 verdict's gap: helper-level rewrites shipped without
+    fresh driver-oracle rows). Comment/format-only edits don't invalidate
+    (the closure hashes parsed ASTs, not raw bytes)."""
     import hashlib
     import inspect
 
@@ -473,8 +558,50 @@ def query_fingerprint(spec: QuerySpec) -> str:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = repr(spec.fn)
+    mod = getattr(spec.fn, "__module__", "") or ""
+    dep = _dep_digest(mod) if mod.startswith(_PKG) else ""
     return hashlib.sha256(
-        (src + "\x00" + (spec.oracle or "")).encode()).hexdigest()
+        (src + "\x00" + (spec.oracle or "") + "\x00" + dep).encode()
+    ).hexdigest()
+
+
+# When more queries need (re-)verification than the driver's 50-row
+# window holds — the r14 situation: transitive-helper fingerprints
+# (query_fingerprint above) invalidate every consumer of an edited
+# engine module — this list decides WHICH unverified queries the
+# window samples first: the queries whose engine paths were actually
+# rewritten this round (wire codec, IVM join sink, keeper store,
+# bucketed reps layout, GEMM intake, LM/decontam plan rewrites),
+# then one representative slice per touched family. Names not listed
+# keep their authored relative order behind these; verified-green
+# queries stay rotated to the back regardless.
+REVERIFY_PRIORITY: list = [
+    "cdc_pgoutput_roundtrip", "cdc_schema_evolution_fold",
+    "cdc_apply_changes", "cdc_truncate_restart_fold",
+    "ivm_join_view_compacted_rollup", "ivm_join_view_rollup",
+    "ivm_topk_orders_by_segment", "ivm_watermark_rollup",
+    "ivm_watermark_late_report", "ivm_session_rollup", "ivm_hll_rollup",
+    "ivm_qsketch_rollup", "ivm_orders_priority_rollup",
+    "docs_streaming_cluster_keepers", "docs_streaming_cluster_fold",
+    "docs_incremental_cluster_fold", "docs_dedup_clusters_collapsed",
+    "docs_dedup_routing_report",
+    "docs_streaming_lsh_fold", "emb_streaming_near_dup_fold",
+    "emb_incremental_near_dup_pairs", "docs_incremental_lsh_pairs",
+    "docs_incremental_lsh_multibatch", "streaming_dedup_first_event",
+    "docs_bigram_lm_score", "docs_perplexity_filter_report",
+    "docs_pmi_collocations", "docs_decontaminate", "docs_ngram_coverage",
+    "graph_connected_components", "graph_clustering_coefficient",
+    "graph_triangle_estimate", "graph_kcore_fixpoint",
+    "graph_bfs_distances",
+    "emb_cosine_topk", "emb_hier_assign", "emb_pca_top_component",
+    "emb_ivf_recall", "emb_matryoshka_recall",
+    "emb_binary_quantize_topk", "emb_semdedup_prune", "emb_pq_adc_topk",
+    "docs_exact_dedup", "docs_minhash_lsh_pairs",
+    "docs_minhash_signatures", "docs_near_dup_rate_by_source",
+    "part_name_fuzzy_pairs",
+    "multimodal_embed_topk", "multimodal_frame_dedup",
+    "docs_winnowing_overlap",
+]
 
 
 def rotate_by_correctness(registry: dict[str, QuerySpec],
@@ -516,7 +643,11 @@ def rotate_by_correctness(registry: dict[str, QuerySpec],
         green = {n for n in green
                  if n in registry
                  and recorded.get(n) == query_fingerprint(registry[n])}
-    front = {k: v for k, v in registry.items() if k not in green}
+    prio = {n: i for i, n in enumerate(REVERIFY_PRIORITY)}
+    names = [k for k in registry if k not in green]
+    authored = {k: i for i, k in enumerate(registry)}
+    names.sort(key=lambda k: (prio.get(k, len(prio)), authored[k]))
+    front = {k: registry[k] for k in names}
     back = {k: v for k, v in registry.items() if k in green}
     return {**front, **back}
 

@@ -194,129 +194,412 @@ def _payload_json(cols: list[str], vals: list) -> str:
                       separators=(",", ":"))
 
 
+# --- Vectorized decode internals (guide §4.2: offset-array re-slicing
+# over the Arrow binary buffer instead of per-row Python byte walks).
+# An Arrow binary column is ONE contiguous data buffer plus an offsets
+# array; every fixed-width wire field (tags, oids, u16/u32 lengths) is
+# a vectorized gather, the variable-length TupleData walk is a wave per
+# column index (data-dependent positions advanced as int64 arrays), and
+# the payload JSON is assembled by computing each output byte's source
+# index and doing ONE fancy-gather — no per-row Python objects. Rows
+# whose text values contain JSON-escape-worthy bytes (control chars,
+# quotes, backslashes, non-ASCII — absent from typed wire traffic) fall
+# back to the scalar parser, which is also the byte-semantics reference
+# (golden-wire tests pin both against _parse_tuple/_payload_json).
+
+
+def _esc_tab():
+    """needs-JSON-escape lookup per byte (json.dumps ensure_ascii)."""
+    import numpy as np
+    tab = np.zeros(256, np.uint8)
+    tab[:0x20] = 1
+    tab[0x22] = 1            # '"'
+    tab[0x5C] = 1            # '\\'
+    tab[0x80:] = 1           # non-ASCII -> \uXXXX escapes
+    return tab
+
+
+_ESC_TAB = None
+_KEYBUF_CACHE: dict = {}     # tuple(cols) -> (keybuf bytes, offs, lens)
+
+
+def _key_pieces(cols: tuple):
+    """Per-relation JSON key pieces ',"col":' (comma dropped for a
+    row's first present field by slicing 1 byte off), escaped once with
+    the same encoder json.dumps uses."""
+    import numpy as np
+    from json.encoder import encode_basestring_ascii
+    ent = _KEYBUF_CACHE.get(cols)
+    if ent is None:
+        pieces = [b"," + encode_basestring_ascii(c).encode("ascii") + b":"
+                  for c in cols]
+        lens = np.array([len(p) for p in pieces], np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        ent = (b"".join(pieces), offs, lens)
+        _KEYBUF_CACHE[cols] = ent
+    return ent
+
+
+def _be32(buf, pos):
+    import numpy as np
+    return ((buf[pos].astype(np.int64) << 24)
+            | (buf[pos + 1].astype(np.int64) << 16)
+            | (buf[pos + 2].astype(np.int64) << 8)
+            | buf[pos + 3])
+
+
+def _be16(buf, pos):
+    import numpy as np
+    return (buf[pos].astype(np.int64) << 8) | buf[pos + 1]
+
+
+def _bin_view(arr):
+    """(uint8 buffer, starts, ends) view of an Arrow binary array —
+    slice-aware (offsets are read at the array's offset)."""
+    import numpy as np
+    import pyarrow as pa
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=dt, count=len(arr) + 1,
+                         offset=arr.offset * width).astype(np.int64)
+    buf = np.frombuffer(bufs[2], dtype=np.uint8)
+    return buf, offs[:-1], offs[1:]
+
+
+def _walk_tuple(buf, pos, record: bool):
+    """Wave-parse TupleData for every row in ``pos`` (positions of the
+    u16 ncols). Returns (ncols, kind2d, vstart2d, vlen2d, endpos);
+    the 2-D field arrays only when ``record``."""
+    import numpy as np
+    n = pos.size
+    ncols = _be16(buf, pos)
+    p = pos + 2
+    maxc = int(ncols.max()) if n else 0
+    kind2d = np.zeros((n, maxc), np.uint8) if record else None
+    vs2d = np.zeros((n, maxc), np.int64) if record else None
+    vl2d = np.zeros((n, maxc), np.int64) if record else None
+    for ci in range(maxc):
+        act = np.flatnonzero(ncols > ci)
+        k = buf[p[act]]
+        if record:
+            kind2d[act, ci] = k
+        pnew = p[act] + 1
+        tb = (k == 116) | (k == 98)            # 't' text / 'b' binary
+        ti = act[tb]
+        if ti.size:
+            q = pnew[tb]
+            ln = _be32(buf, q)
+            if record:
+                vs2d[ti, ci] = q + 4
+                vl2d[ti, ci] = ln
+            pnew[tb] = q + 4 + ln
+        p[act] = pnew
+    return ncols, kind2d, vs2d, vl2d, p
+
+
+def _payload_scalar(data: bytes, cols: list) -> str:
+    """Reference scalar parse of ONE I/U/D message -> payload JSON
+    (identical semantics to the vectorized path; used for rows whose
+    values need JSON escaping, and pinned by the golden-wire tests)."""
+    u32 = struct.Struct(">I").unpack_from
+    u16 = struct.Struct(">H").unpack_from
+    tag = data[0]
+    pos = 5
+    if tag == 85:
+        k = data[5]
+        if k == 75 or k == 79:                  # 'K'/'O': skip old tuple
+            (ncols,) = u16(data, 6)
+            pos = 8
+            for _ in range(ncols):
+                kind = data[pos]
+                pos += 1
+                if kind != 110 and kind != 117:
+                    (ln,) = u32(data, pos)
+                    pos += 4 + ln
+        pos += 1                                # 'N'
+    else:
+        pos += 1                                # 'N' or 'K'/'O'
+    (ncols,) = u16(data, pos)
+    pos += 2
+    ncl = len(cols)
+    d: dict = {}
+    for ci in range(ncols):
+        kind = data[pos]
+        pos += 1
+        if kind == 116:                         # 't' text
+            (ln,) = u32(data, pos)
+            pos += 4
+            if ci < ncl:
+                d[cols[ci]] = data[pos:pos + ln].decode()
+            pos += ln
+        elif kind == 110:                       # 'n' SQL null
+            if ci < ncl:
+                d[cols[ci]] = None
+        elif kind == 117:                       # 'u': key ABSENT
+            pass
+        else:                                   # 'b' binary
+            (ln,) = u32(data, pos)
+            pos += 4 + ln
+            if ci < ncl:
+                d[cols[ci]] = None
+    return json.dumps(d, separators=(",", ":"))
+
+
+def _gather_concat(src, srcs, lens):
+    """Concatenate many (start, len) slices of ``src`` into one buffer:
+    the gather-index trick — every output byte's source index computed
+    vectorized, one fancy-gather, no Python loop. int32 throughout
+    (Arrow binary buffers are < 2 GiB by construction) to halve the
+    memory traffic of the repeat/arange."""
+    import numpy as np
+    flat_lens = lens.ravel().astype(np.int32, copy=False)
+    flat_srcs = srcs.ravel().astype(np.int32, copy=False)
+    nz = flat_lens > 0                # ~40% of slots are empty; np.repeat
+    flat_lens = flat_lens[nz]         # pays per PIECE, so drop them first
+    flat_srcs = flat_srcs[nz]
+    total = int(flat_lens.sum())
+    ends = np.cumsum(flat_lens, dtype=np.int32)
+    begins = ends - flat_lens
+    idx = (np.repeat(flat_srcs - begins, flat_lens)
+           + np.arange(total, dtype=np.int32))
+    return src[idx], begins, ends
+
+
+def _assemble_json(buf, cols, kind2d, vs2d, vl2d):
+    """Fast-path payload JSON for a relation's rows: pieces are
+    precomputed key fragments, value byte ranges and constants; one
+    gather builds every row's JSON at once. Byte-identical to
+    json.dumps(d, separators=(",", ":")) for ASCII-clean values (rows
+    needing escapes never reach here)."""
+    import numpy as np
+    import pyarrow as pa
+    keybuf, koffs, klens = _key_pieces(tuple(cols))
+    ng, maxc = kind2d.shape
+    usec = min(maxc, len(cols))
+    kind = kind2d[:, :usec]
+    vs2d = vs2d[:, :usec]        # fields beyond the declared columns are
+    vl2d = vl2d[:, :usec]        # walked (position advance) but ignored
+    present = (kind != 0) & (kind != 117)
+    is_text = kind == 116
+    const = b'{}"null' + keybuf
+    cnp = np.frombuffer(const, np.uint8)
+    base = np.int64(len(buf))
+    # slots per row: '{', then per field (key, quote, content, quote),
+    # then '}' — zero-length slots are dropped inside _gather_concat.
+    # All slot arrays are filled by BROADCAST np.where into a strided
+    # 3-D view — no per-column boolean fancy writes (measured ~3x the
+    # assembly cost of the whole-array form).
+    nslots = 2 + 4 * usec
+    srcs = np.zeros((ng, nslots), np.int32)
+    lens = np.zeros((ng, nslots), np.int32)
+    srcs[:, 0] = base + 0                      # '{'
+    lens[:, 0] = 1
+    srcs[:, -1] = base + 1                     # '}'
+    lens[:, -1] = 1
+    sv = srcs[:, 1:-1].reshape(ng, usec, 4)
+    lv = lens[:, 1:-1].reshape(ng, usec, 4)
+    tnm = present & ~is_text                   # present nulls ('n'/'b')
+    sv[:, :, 0] = np.where(present, base + 7 + koffs[None, :usec], 0)
+    lv[:, :, 0] = np.where(present, klens[None, :usec], 0)
+    sv[:, :, 1] = np.where(is_text, base + 2, 0)          # '"'
+    lv[:, :, 1] = np.where(is_text, 1, 0)
+    sv[:, :, 2] = np.where(is_text, vs2d,
+                           np.where(tnm, base + 3, 0))    # value | 'null'
+    lv[:, :, 2] = np.where(is_text, vl2d, np.where(tnm, 4, 0))
+    sv[:, :, 3] = sv[:, :, 1]
+    lv[:, :, 3] = lv[:, :, 1]
+    # drop the leading comma of each row's FIRST present field
+    anyp = present.any(axis=1)
+    r = np.flatnonzero(anyp)
+    if r.size:
+        c = 1 + 4 * present[r].argmax(axis=1)
+        srcs[r, c] += 1
+        lens[r, c] -= 1
+    src = np.concatenate([buf, cnp])
+    out, _, _ = _gather_concat(src, srcs, lens)
+    row_lens = lens.sum(axis=1)
+    offsets = np.zeros(ng + 1, np.int32)
+    np.cumsum(row_lens, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        ng, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes()))
+
+
+def _decode_batch_arrow(rb, relcache: dict):
+    """One Arrow record batch of (offset, data) wire messages ->
+    envelope RecordBatch, fully vectorized (module comment above)."""
+    global _ESC_TAB
+    import numpy as np
+    import pyarrow as pa
+    n = rb.num_rows
+    offs_col, data_arr = rb.column(0), rb.column(1)
+    if data_arr.null_count:
+        raise TypeError("null wire message")
+    offs_np = offs_col.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    buf, starts, ends = _bin_view(data_arr)
+    if n and int((ends - starts).min()) <= 0:
+        raise IndexError("empty wire message")
+    tags = buf[starts]
+    m_iud = (tags == 73) | (tags == 85) | (tags == 68)
+    m_b = tags == 66
+    m_c = tags == 67
+    m_t = tags == 84
+    counts = np.zeros(n, np.int64)
+    counts[m_iud | m_b | m_c] = 1
+
+    name_vocab: list = []
+    name_code: dict = {}
+
+    def code_of(nm: str) -> int:
+        c = name_code.get(nm)
+        if c is None:
+            c = name_code[nm] = len(name_vocab)
+            name_vocab.append(nm)
+        return c
+
+    # --- I/U/D: header walk + tuple waves + JSON assembly ---
+    iud = np.flatnonzero(m_iud)
+    pay_chunks: list = []
+    pos_chunks: list = []
+    name_code_iud = np.empty(iud.size, np.int64)
+    if iud.size:
+        s = starts[iud]
+        oid = _be32(buf, s + 1)
+        pos = s + 5
+        u_idx = np.flatnonzero(tags[iud] == 85)
+        if u_idx.size:
+            k = buf[pos[u_idx]]
+            has_old = u_idx[(k == 75) | (k == 79)]
+            if has_old.size:                    # skip the old tuple
+                _, _, _, _, endp = _walk_tuple(buf, pos[has_old] + 1,
+                                               record=False)
+                pos[has_old] = endp
+        pos = pos + 1                           # 'N' (or 'K'/'O' for D)
+        ncols, kind2d, vs2d, vl2d, _ = _walk_tuple(buf, pos, record=True)
+        # rows whose text values need JSON escaping -> scalar fallback
+        if _ESC_TAB is None:
+            _ESC_TAB = _esc_tab()
+        cs = np.zeros(len(buf) + 1, np.int32)
+        np.cumsum(_ESC_TAB[buf], out=cs[1:])
+        tmask = kind2d == 116
+        esc_any = np.zeros(iud.size, bool)
+        if tmask.any():
+            e = np.zeros_like(vs2d)
+            e[tmask] = cs[(vs2d + vl2d)[tmask]] - cs[vs2d[tmask]]
+            esc_any = (e > 0).any(axis=1)
+        uo, inv = np.unique(oid, return_inverse=True)
+        for gi, o in enumerate(uo.tolist()):
+            name, cols = relcache[o]
+            gcode = code_of(name)
+            g = np.flatnonzero(inv == gi)
+            name_code_iud[g] = gcode
+            fast = g[~esc_any[g]]
+            if fast.size:
+                pay_chunks.append(_assemble_json(
+                    buf, cols, kind2d[fast], vs2d[fast], vl2d[fast]))
+                pos_chunks.append(fast)
+            slow = g[esc_any[g]]
+            for r in slow.tolist():
+                data = buf[starts[iud[r]]:ends[iud[r]]].tobytes()
+                pay_chunks.append(pa.array([_payload_scalar(data, cols)],
+                                           pa.utf8()))
+                pos_chunks.append(np.array([r], np.int64))
+
+    # --- B / C / T markers ---
+    b_rows = np.flatnonzero(m_b)
+    xids = _be32(buf, starts[b_rows] + 17) if b_rows.size else None
+    t_rows = np.flatnonzero(m_t)
+    t_codes: list = []                          # name code per T out-row
+    for r in t_rows.tolist():
+        st = starts[r]
+        nrels = int(_be32(buf, np.array([st + 1]))[0])
+        counts[r] = nrels
+        for i in range(nrels):
+            o = int(_be32(buf, np.array([st + 6 + 4 * i]))[0])
+            t_codes.append(code_of(relcache[o][0]))
+
+    # --- merge in original row order (runs expand in place) ---
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    out_in = np.repeat(np.arange(n, dtype=np.int64), counts)
+    run_start = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+        np.int64)
+    offset_out = offs_np[out_in]
+    opc = np.zeros(n, np.int64)
+    opc[tags == 73] = 0
+    opc[tags == 85] = 1
+    opc[tags == 68] = 2
+    opc[m_b] = 3
+    opc[m_c] = 4
+    opc[m_t] = 5
+    ops_out = pa.array(
+        ["INSERT", "UPDATE", "DELETE", "BEGIN", "COMMIT", "TRUNCATE"]
+    ).take(pa.array(opc[out_in]))
+    # tableName via vocab + trailing null slot (take never sees a null
+    # index, -1 slots are pointed at the null element)
+    null_code = len(name_vocab)
+    names_vocab_arr = pa.array(name_vocab + [None], pa.utf8())
+    name_idx = np.full(total, null_code, np.int64)
+    if iud.size:
+        name_idx[run_start[iud]] = name_code_iud
+    if t_rows.size:
+        texp = np.flatnonzero(m_t[out_in])
+        name_idx[texp] = np.array(t_codes, np.int64)
+    names_out = names_vocab_arr.take(pa.array(name_idx))
+    # payload: group chunks concatenated, reordered to iud order, then
+    # scattered through the same null-slot trick
+    if iud.size:
+        merged = pa.concat_arrays(
+            pay_chunks + [pa.array([None], pa.utf8())])
+        posall = np.concatenate(pos_chunks)
+        invp = np.empty(iud.size, np.int64)
+        invp[posall] = np.arange(iud.size, dtype=np.int64)
+        pay_idx = np.full(total, len(merged) - 1, np.int64)
+        pay_idx[run_start[iud]] = invp
+        pay_out = merged.take(pa.array(pay_idx))
+    else:
+        pay_out = pa.nulls(total, pa.utf8())
+    txn_np = np.zeros(total, np.int64)
+    txn_mask = np.ones(total, bool)             # True = null
+    if b_rows.size:
+        txn_np[run_start[b_rows]] = xids
+        txn_mask[run_start[b_rows]] = False
+    txn_out = pa.array(txn_np, mask=txn_mask)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(offset_out), ops_out, names_out, pay_out, txn_out],
+        names=["offset", "operationType", "tableName", "payload",
+               "txn_id"])
+
+
 def decode_messages(messages: DataFrame, relcache: dict,
                     data_col: str = "data",
                     offset_col: str = "offset") -> DataFrame:
     """Pass 2: binary pgoutput messages -> envelope rows
     (offset, operationType, tableName, payload, txn_id).
 
-    Arrow-batched mapInPandas: format parsing is per-row byte fiddling
-    no built-in expression covers; the relation cache rides the closure
-    (broadcast by task serialization — it is O(tables) small). Data
-    rows carry txn_id null under protocol v1 (use assign_txn_ids);
+    mapInArrow (r14; was mapInPandas with a per-row Python loop):
+    format parsing is byte fiddling no built-in expression covers, but
+    it IS vectorizable — every fixed-width field is a numpy gather over
+    the Arrow binary buffer and the payload JSON is one fancy-gather
+    assembly (_decode_batch_arrow). The relation cache rides the
+    closure (broadcast by task serialization — it is O(tables) small).
+    Data rows carry txn_id null under protocol v1 (use assign_txn_ids);
     Begin markers carry their xid.
     """
     schema = ("offset long, operationType string, tableName string, "
               "payload string, txn_id long")
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Hot loop (guide §4.2: the per-task work IS this function —
-        # once the plan shape is one pipelined Arrow pass, the decode
-        # cost is pure Python per-row work). Local-bound unpackers,
-        # int tag compares (no per-row 1-byte slices), direct appends
-        # instead of a closure, and the TupleData walk inlined straight
-        # into the payload dict (skipping discarded old-tuples without
-        # materializing their values). Byte semantics are identical to
-        # _parse_tuple/_payload_json (golden-wire tests pin them).
-        u32 = struct.Struct(">I").unpack_from
-        u16 = struct.Struct(">H").unpack_from
-        dumps = json.dumps
-        sep = (",", ":")
-        for pdf in batches:
-            offs_in = pdf["offset"].tolist()
-            raws = pdf[data_col].tolist()
-            offs: list = []
-            ops: list = []
-            tbls: list = []
-            pays: list = []
-            txns: list = []
-            ap_off, ap_op, ap_tbl = offs.append, ops.append, tbls.append
-            ap_pay, ap_txn = pays.append, txns.append
-            # the select below aliases offset_col to "offset" before
-            # mapInPandas, so the batch always carries these two names
-            for off, raw in zip(offs_in, raws):
-                data = bytes(raw)
-                tag = data[0]
-                if tag == 73 or tag == 85 or tag == 68:   # I / U / D
-                    (oid,) = u32(data, 1)
-                    name, cols = relcache[oid]
-                    pos = 5
-                    if tag == 85:
-                        k = data[5]
-                        if k == 75 or k == 79:            # 'K'/'O': skip
-                            (ncols,) = u16(data, 6)
-                            pos = 8
-                            for _ in range(ncols):
-                                kind = data[pos]
-                                pos += 1
-                                if kind != 110 and kind != 117:  # not n/u
-                                    (ln,) = u32(data, pos)
-                                    pos += 4 + ln
-                        pos += 1                          # 'N'
-                        op = "UPDATE"
-                    elif tag == 73:
-                        pos += 1                          # 'N'
-                        op = "INSERT"
-                    else:
-                        pos += 1                          # 'K'/'O'
-                        op = "DELETE"
-                    (ncols,) = u16(data, pos)
-                    pos += 2
-                    ncl = len(cols)
-                    d: dict = {}
-                    for ci in range(ncols):
-                        kind = data[pos]
-                        pos += 1
-                        if kind == 116:                   # 't' text
-                            (ln,) = u32(data, pos)
-                            pos += 4
-                            if ci < ncl:                  # zip truncation
-                                d[cols[ci]] = data[pos:pos + ln].decode()
-                            pos += ln
-                        elif kind == 110:                 # 'n' SQL null
-                            if ci < ncl:
-                                d[cols[ci]] = None
-                        elif kind == 117:                 # 'u': key ABSENT
-                            pass
-                        else:                             # 'b' binary
-                            (ln,) = u32(data, pos)
-                            pos += 4 + ln
-                            if ci < ncl:
-                                d[cols[ci]] = None
-                    ap_off(off)
-                    ap_op(op)
-                    ap_tbl(name)
-                    ap_pay(dumps(d, separators=sep))
-                    ap_txn(None)
-                elif tag == 66:                           # 'B'
-                    (xid,) = u32(data, 17)
-                    ap_off(off)
-                    ap_op("BEGIN")
-                    ap_tbl(None)
-                    ap_pay(None)
-                    ap_txn(xid)
-                elif tag == 67:                           # 'C'
-                    ap_off(off)
-                    ap_op("COMMIT")
-                    ap_tbl(None)
-                    ap_pay(None)
-                    ap_txn(None)
-                elif tag == 84:                           # 'T'
-                    (nrels,) = u32(data, 1)
-                    for i in range(nrels):
-                        (oid,) = u32(data, 6 + 4 * i)
-                        ap_off(off)
-                        ap_op("TRUNCATE")
-                        ap_tbl(relcache[oid][0])
-                        ap_pay(None)
-                        ap_txn(None)
-                # 'R' and unknown tags produce no envelope rows
-            yield pd.DataFrame({"offset": offs, "operationType": ops,
-                                "tableName": tbls, "payload": pays,
-                                "txn_id": txns})
+    def parse(batches):
+        for rb in batches:
+            if rb.num_rows:
+                out = _decode_batch_arrow(rb, relcache)
+                if out is not None:
+                    yield out
 
     return messages.select(F.col(offset_col).alias("offset"), data_col) \
-                   .mapInPandas(parse, schema)
+                   .mapInArrow(parse, schema)
 
 
 def assign_txn_ids(events: DataFrame,
@@ -366,62 +649,158 @@ def encode_typed_events(events: DataFrame, oid: int,
     field_kinds = [(f.name, f.dataType.simpleString())
                    for f in value_schema.fields]
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Hot loop (guide §4.2): tuple-data byte assembly inlined with
-        # local-bound packers and direct list iteration — the wire
-        # bytes are identical to encode_insert/update/delete over the
-        # same values (pinned by the golden-wire tests and the
-        # roundtrip oracle hash).
-        p_u32 = struct.Struct(">I").pack
-        p_u16 = struct.Struct(">H").pack
-        head = {"INSERT": b"I" + p_u32(oid) + b"N",
-                "UPDATE": b"U" + p_u32(oid) + b"N",
-                "DELETE": b"D" + p_u32(oid) + b"K"}
-        nfields = p_u16(len(field_kinds))
-        int_kinds = frozenset(("bigint", "int", "smallint", "tinyint"))
-        for pdf in batches:
-            offs = pdf["offset"].tolist()
-            blobs = []
-            ap = blobs.append
-            for op, pay, fields in zip(pdf["operationType"].tolist(),
-                                       pdf["payload"].tolist(),
-                                       pdf["payload_fields"].tolist()):
-                present = set(fields)
-                parts = [head[op], nfields]
-                app = parts.append
-                for c, kind in field_kinds:
-                    if c not in present:
-                        app(b"u")
-                        continue
-                    v = pay[c]
-                    if v is None or (isinstance(v, float) and v != v):
-                        app(b"n")
-                        continue
-                    if kind in int_kinds:
-                        # Arrow hands nullable integer struct fields to
-                        # pandas as float64, lossy above 2^53 — a silent
-                        # str(int(v)) would corrupt keys on the wire.
-                        if isinstance(v, float) and (v != int(v)
-                                                     or abs(v) >= 2 ** 53):
-                            raise ValueError(
-                                f"integer value {v!r} not exactly "
-                                "representable after Arrow float64 "
-                                "conversion; pass ids as strings or "
-                                "re-chunk the batch to avoid nulls in "
-                                "this column")
-                        b = str(int(v)).encode()
-                    elif kind == "double" or kind == "float":
-                        b = repr(float(v)).encode()  # shortest repr
-                    else:
-                        b = str(v).encode()
-                    app(b"t")
-                    app(p_u32(len(b)))
-                    app(b)
-                ap(b"".join(parts))
-            yield pd.DataFrame({"offset": offs, "data": blobs})
+    def enc(batches):
+        for rb in batches:
+            if rb.num_rows:
+                yield _encode_batch_arrow(rb, oid, field_kinds)
 
     return events.select("offset", "operationType", "payload",
-                         "payload_fields").mapInPandas(enc, schema)
+                         "payload_fields").mapInArrow(enc, schema)
+
+
+def _encode_batch_arrow(rb, oid: int, field_kinds: list):
+    """Vectorized wire assembly for one Arrow batch (guide §4.2):
+    integer columns format via Arrow's exact int64->string cast (the
+    mapInPandas float64 detour — and its 2^53 corruption hazard — is
+    gone entirely: Arrow hands int64 through losslessly), doubles keep
+    Python's shortest-repr semantics in a bulk pass over just the
+    needed rows, strings pass through as raw buffer slices, and the
+    length-prefixed tuple pieces are laid out by ONE fancy-gather
+    (_gather_concat). Wire bytes are identical to
+    encode_insert/update/delete over the same values (golden-wire tests
+    + the roundtrip oracle hash pin this)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = rb.num_rows
+    p_u32 = struct.Struct(">I").pack
+    heads = (b"I" + p_u32(oid) + b"N",
+             b"U" + p_u32(oid) + b"N",
+             b"D" + p_u32(oid) + b"K")
+    nf = len(field_kinds)
+    int_kinds = frozenset(("bigint", "int", "smallint", "tinyint"))
+
+    ops = rb.column(1)
+    opc_arr = pc.index_in(ops, value_set=pa.array(
+        ["INSERT", "UPDATE", "DELETE"]))
+    if opc_arr.null_count:
+        bad = ops.filter(pc.is_null(opc_arr))[0].as_py()
+        raise KeyError(bad)
+    opc = opc_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ps = rb.column(2)
+    pf = rb.column(3)
+    if ps.null_count or pf.null_count:
+        raise TypeError("null payload / payload_fields row")
+
+    # presence matrix from the payload_fields lists (unknown names are
+    # simply never matched — same as the old `c in set(fields)` test)
+    flat = pf.flatten()
+    row_of = np.repeat(
+        np.arange(n, dtype=np.int64),
+        pf.value_lengths().to_numpy(zero_copy_only=False))
+    fidx_arr = pc.index_in(flat, value_set=pa.array(
+        [name for name, _ in field_kinds]))
+    known = fidx_arr.is_valid().to_numpy(zero_copy_only=False)
+    fidx = fidx_arr.fill_null(0).to_numpy(zero_copy_only=False)
+    present = np.zeros((n, nf), bool)
+    present[row_of[known], fidx[known].astype(np.int64)] = True
+
+    # const buffer: heads ×3, 'u', 'n', 't', nfields u16
+    const = b"".join(heads) + b"unt" + struct.pack(">H", nf)
+    base_heads = 0
+    base_u = 18
+    base_nf = 21
+    # per-(row,field) content sources; buffers collected then concat'd
+    bufs = [np.frombuffer(const, np.uint8)]
+    bases = [0]
+
+    def add_buf(b) -> int:
+        bases.append(bases[-1] + len(bufs[-1]))
+        bufs.append(b)
+        return bases[-1]
+
+    c_src = np.zeros((n, nf), np.int64)
+    c_len = np.zeros((n, nf), np.int64)
+    is_text = np.zeros((n, nf), bool)
+    for ci, (name, kind) in enumerate(field_kinds):
+        pm = present[:, ci]
+        if not pm.any():
+            continue
+        child = ps.field(ci)
+        if kind == "double" or kind == "float":
+            vals = child.to_numpy(zero_copy_only=False)
+            ok = pm & ~np.isnan(vals)          # None and NaN both -> 'n'
+            sel = np.flatnonzero(ok)
+            if sel.size:
+                parts = [repr(x).encode() for x in vals[sel].tolist()]
+                lens = np.fromiter((len(p) for p in parts), np.int64,
+                                   sel.size)
+                base = add_buf(np.frombuffer(b"".join(parts), np.uint8))
+                offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                c_src[sel, ci] = base + offs
+                c_len[sel, ci] = lens
+        else:
+            ok = pm & child.is_valid().to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(ok)
+            if sel.size:
+                if kind in int_kinds:
+                    sa = pc.cast(child, pa.string())
+                elif pa.types.is_string(child.type):
+                    sa = child
+                else:                           # rare types: str() parity
+                    sa = pa.array([str(v) for v in child.to_pylist()],
+                                  pa.utf8())
+                sbufs = sa.buffers()
+                soffs = np.frombuffer(sbufs[1], np.int32,
+                                      count=len(sa) + 1,
+                                      offset=sa.offset * 4
+                                      ).astype(np.int64)
+                base = add_buf(np.frombuffer(sbufs[2], np.uint8)
+                               if sbufs[2] is not None
+                               else np.zeros(0, np.uint8))
+                c_src[sel, ci] = base + soffs[sel]
+                c_len[sel, ci] = soffs[sel + 1] - soffs[sel]
+        is_text[:, ci] = ok
+
+    # big-endian u32 length prefixes for every text piece, one buffer
+    be_lens = np.ascontiguousarray(
+        c_len.astype(">u4")).view(np.uint8).reshape(n, nf * 4)
+    base_be = add_buf(be_lens.ravel())
+
+    # slots per row: head, nfields, then per field (tag, len4, content)
+    nslots = 2 + 3 * nf
+    srcs = np.zeros((n, nslots), np.int64)
+    lens = np.zeros((n, nslots), np.int64)
+    srcs[:, 0] = base_heads + 6 * opc
+    lens[:, 0] = 6
+    srcs[:, 1] = base_nf
+    lens[:, 1] = 2
+    for ci in range(nf):
+        s = 2 + 3 * ci
+        pm = present[:, ci]
+        tm = is_text[:, ci]
+        # tag: 'u' absent, 'n' present-null, 't' text
+        srcs[:, s] = base_u                    # 'u'
+        srcs[pm, s] = base_u + 1               # 'n'
+        srcs[tm, s] = base_u + 2               # 't'
+        lens[:, s] = 1
+        srcs[tm, s + 1] = base_be + 4 * (np.flatnonzero(tm) * nf + ci)
+        lens[tm, s + 1] = 4
+        srcs[tm, s + 2] = c_src[tm, ci]
+        lens[tm, s + 2] = c_len[tm, ci]
+
+    src = np.concatenate(bufs)
+    out, _, _ = _gather_concat(src, srcs, lens)
+    row_lens = lens.sum(axis=1)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(row_lens, out=offsets[1:])
+    data = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()),
+                         pa.py_buffer(out.tobytes())])
+    return pa.RecordBatch.from_arrays([rb.column(0), data],
+                                      names=["offset", "data"])
 
 
 def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

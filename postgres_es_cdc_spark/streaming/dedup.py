@@ -323,6 +323,58 @@ class _IndexSinkBase:
     def _read_log(spark: SparkSession, dirs: list) -> DataFrame | None:
         return spark.read.parquet(*dirs) if dirs else None
 
+    # -- bucketed reps layout (r14: tools/bucketed_reps.py graduated) --
+    @staticmethod
+    def _is_bucketed(d: str) -> bool:
+        """A bucketed snapshot is recognizable by CONTENT (its
+        `_bucket=*` partition subdirs), so manifest entries stay plain
+        dir strings and every existing fold/tombstone/vacuum path is
+        untouched. One listdir per dir — the same listStatus a parquet
+        read performs anyway."""
+        try:
+            return any(f.startswith("_bucket=")
+                       for f in os.listdir(d))
+        except OSError:
+            return False
+
+    def _read_reps(self, spark: SparkSession, dirs: list,
+                   buckets: list | None = None) -> DataFrame | None:
+        """Reps-store reader for the MIXED log: flat dirs (delta tails
+        and minor range-sorted snapshots) read whole; bucketed MAJOR
+        snapshots read via recursiveFileLookup (the `_bucket` column
+        lives only in directory names, never in data files — so the
+        schema is uniform across layouts, the reconciliation blocker
+        that parked tools/bucketed_reps.py as a prototype). With a
+        candidate ``buckets`` list, bucketed snapshots are restricted
+        to exactly those `_bucket=i` subdirs — directory-grain pruning
+        BEFORE any footer is read; a scattered probe (most buckets
+        touched) falls back to whole-dir roots, JoinSink's measured
+        heuristic."""
+        from postgres_es_cdc_spark.llm.similarity import REP_BUCKETS
+        flat, bkt = [], []
+        for d in dirs:
+            (bkt if self._is_bucketed(d) else flat).append(d)
+        parts = []
+        if flat:
+            parts.append(spark.read.parquet(*flat))
+        if bkt:
+            if buckets is not None and 2 * len(buckets) < REP_BUCKETS:
+                paths = [p for d in bkt for b in buckets
+                         if os.path.isdir(
+                             p := os.path.join(d, f"_bucket={b}"))]
+            else:
+                paths = bkt
+            if paths:
+                parts.append(spark.read
+                             .option("recursiveFileLookup", "true")
+                             .parquet(*paths))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _store_base(self, store: str) -> str:
         return (self.out_path if store == "out"
                 else os.path.join(self.index_path, store))
@@ -372,7 +424,8 @@ class _IndexSinkBase:
     FOLD_SORT: dict = {"reps": ["rep"],
                        "bands": ["band_idx", "band_key"]}
 
-    def _fold_pass(self, spark: SparkSession, pick) -> dict:
+    def _fold_pass(self, spark: SparkSession, pick,
+                   bucket_reps: bool = False) -> dict:
         """One CLAIM → FOLD → SWAP pass (round 12 — the fold itself is
         unchanged bag-union; the protocol around it now tolerates a
         concurrent writer):
@@ -425,7 +478,30 @@ class _IndexSinkBase:
         self._locked_commit(reserve)
         gen, cdirs = box["gen"], box["cdirs"]
         for store, fold in folds.items():
-            df = spark.read.parquet(*fold)
+            if store == "reps":
+                # mixed-layout aware (a prior MAJOR snapshot in the
+                # fold set is bucketed); the fold itself stays bag union
+                df = self._read_reps(spark, fold)
+                if bucket_reps:
+                    # MAJOR folds graduate the reps snapshot to the
+                    # hash-bucketed table layout (r14): partition dirs
+                    # by _bucket, rep-sorted within, so attach probes
+                    # prune whole DIRECTORIES by candidate bucket.
+                    # Only the (one) major snapshot pays the
+                    # REP_BUCKETS-dir layout — minor snapshots keep
+                    # the 8-file range layout, bounding file count
+                    # (the r11 small-files lesson): L0 arrival deltas,
+                    # L1 range-sorted minors, L2 bucketed major.
+                    from postgres_es_cdc_spark.llm.similarity import (
+                        REP_BUCKETS, _rep_bucket_expr)
+                    (df.withColumn("_bucket", _rep_bucket_expr())
+                       .repartition(REP_BUCKETS, F.col("_bucket"))
+                       .sortWithinPartitions(*self.FOLD_SORT["reps"])
+                       .write.mode("overwrite").partitionBy("_bucket")
+                       .parquet(cdirs[store]))
+                    continue
+            else:
+                df = spark.read.parquet(*fold)
             keys = self.FOLD_SORT.get(store)
             if keys:
                 df = (df.repartitionByRange(self.FOLD_FILES, *keys)
@@ -510,7 +586,8 @@ class _IndexSinkBase:
         if major and max(len([d for d in meta.get(s, [])
                               if self._is_snapshot(d)])
                          for s in self.STORES) > cap:
-            r = self._fold_pass(spark, self._is_snapshot)
+            r = self._fold_pass(spark, self._is_snapshot,
+                                bucket_reps=True)
             if r["compacted"]:
                 out.update({"compacted": True, "gen": r["gen"],
                             "major": True,
@@ -706,7 +783,7 @@ class VectorIndexSink(_IndexSinkBase):
         from the batch schema when no state is committed yet."""
         meta = meta or self.meta()
         mem = self._read_log(spark, meta["members"])
-        reps = self._read_log(spark, meta["reps"])
+        reps = self._read_reps(spark, meta["reps"])
         if mem is None:
             mem = batch.select("id", F.col("id").alias("rep")).limit(0)
         if reps is None:
@@ -739,7 +816,7 @@ class VectorIndexSink(_IndexSinkBase):
             dirs = []
             if meta["reps"]:
                 mig = os.path.join(self.index_path, "bands", "m0")
-                (_emb_rep_bands(spark.read.parquet(*meta["reps"]),
+                (_emb_rep_bands(self._read_reps(spark, meta["reps"]),
                                 self.n_bands, self.bits)
                  .coalesce(self.FOLD_FILES)
                  .write.mode("overwrite").parquet(mig))
@@ -769,7 +846,12 @@ class VectorIndexSink(_IndexSinkBase):
         # micro-batch-sized delta is noise by comparison.
         (_probe_embedding_store(store, bmem, self.threshold,
                                 self.n_bands, self.bits,
-                                store_bands=store_bands)
+                                store_bands=store_bands,
+                                # r14 bucketed layout: the attach scan
+                                # re-enumerates the reps log pruned to
+                                # the candidates' bucket dirs
+                                store_reps_loader=lambda bks:
+                                self._read_reps(spark, meta["reps"], bks))
          .repartition(1).write.mode("overwrite").parquet(pdir))
         # store_bands prefilters the merge's vector-equality scan too
         # (round 12): the reps log's q column is only read for reps
@@ -865,7 +947,7 @@ class SignatureIndexSink(_IndexSinkBase):
         from postgres_es_cdc_spark.llm.dedup import _SIG_COLS
         meta = meta or self.meta()
         mem = self._read_log(spark, meta["members"])
-        reps = self._read_log(spark, meta["reps"])
+        reps = self._read_reps(spark, meta["reps"])
         if mem is None:
             mem = batch.select("doc_id",
                                F.col("doc_id").alias("rep")).limit(0)
@@ -1054,7 +1136,8 @@ class ClusterKeeperSink:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
-        return {"labels": None, "keepers": None, "last_batch_id": -1}
+        return {"labels": None, "keepers": None, "quality": None,
+                "last_batch_id": -1}
 
     def _read(self, spark: SparkSession, key: str) -> DataFrame | None:
         cur = self.meta()[key]
@@ -1070,19 +1153,51 @@ class ClusterKeeperSink:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_es_cdc_spark.llm.dedup import (
-            _cluster_label_step, merge_cluster_keepers)
+            N_QUALITY_BUCKETS, _cluster_label_step, _quality_bucket,
+            merge_cluster_keepers)
 
         spark = batch.sparkSession
         meta = self.meta()
         if batch_id <= meta["last_batch_id"]:
             return                      # committed replay: no-op
+        # Quality store landed ONCE as a hash-bucketed parquet layout
+        # (r14, guide §3/§6): each trigger's seeds join then reads only
+        # the buckets its new endpoints hash into (dynamic partition
+        # pruning on _qb) — per-trigger lookup I/O O(delta), where the
+        # r13 checkpoint was rescanned O(corpus) per trigger. Landing
+        # is crash-safe: the dir is only trusted once the manifest
+        # commit below records it; a crash before that rewrites it.
+        qdir = meta.get("quality")
+        if qdir is None:
+            qdir = os.path.join(self.path, "quality_store")
+            (self.quality.withColumn("_qb", _quality_bucket("id"))
+                 .repartition(N_QUALITY_BUCKETS, F.col("_qb"))
+                 .write.mode("overwrite").partitionBy("_qb")
+                 .parquet(qdir))
+        qstore = spark.read.parquet(qdir)
         delta = batch.select(
             F.col(self.a_col).cast("long").alias("a"),
             F.col(self.b_col).cast("long").alias("b"))
+        # Literal partition pruning: the batch's endpoint ids hash to a
+        # bucket SUBSET (new endpoints ⊆ delta endpoints, so this can
+        # never drop a row the seeds join needs); one tiny O(delta)
+        # collect buys a quality scan restricted to touched buckets —
+        # PartitionFilters carries the In(_qb, ...) literals, so the
+        # untouched corpus partitions are never listed or read. On the
+        # FIRST batch every endpoint is new (the whole key space is
+        # touched), so the collect is skipped outright.
+        if meta["labels"] is not None:
+            bks = [r[0] for r in
+                   (delta.select(F.col("a").alias("id"))
+                         .unionByName(delta.select(F.col("b").alias("id")))
+                         .select(_quality_bucket("id").alias("b"))
+                         .distinct().collect())]
+            if len(bks) < N_QUALITY_BUCKETS:
+                qstore = qstore.filter(F.col("_qb").isin(bks))
         labels2, remap, new_rows = _cluster_label_step(
             self._read(spark, "labels"), delta, self.max_label_edges)
         keepers2 = merge_cluster_keepers(
-            self._read(spark, "keepers"), remap, new_rows, self.quality)
+            self._read(spark, "keepers"), remap, new_rows, qstore)
         ldir = os.path.join(self.path, f"labels.v{batch_id}")
         kdir = os.path.join(self.path, f"keepers.v{batch_id}")
         # both writes land BEFORE the single manifest repoint — the
@@ -1094,7 +1209,7 @@ class ClusterKeeperSink:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"labels": ldir, "keepers": kdir,
+            json.dump({"labels": ldir, "keepers": kdir, "quality": qdir,
                        "last_batch_id": batch_id}, f)
         os.replace(tmp, self._manifest_path())
         for old in (meta["labels"], meta["keepers"]):

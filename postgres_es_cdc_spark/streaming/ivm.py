@@ -866,16 +866,29 @@ class JoinSink:
         # Land the delta logs FIRST, then derive each entry's bucket
         # list from the partition directory names and re-read the
         # deltas from their own files — zero extra Spark jobs for the
-        # bookkeeping (no collects, no checkpoints; per-batch job count
-        # is identical to the unbucketed layout: three writes). On a
+        # bookkeeping (no collects, no checkpoints). The two delta
+        # writes are independent jobs, so they run CONCURRENTLY from a
+        # tiny thread pool (guide §2.6: actions are only sequential
+        # because the driver calls them sequentially; the second job's
+        # tasks back-fill the first's tail) — protocol unchanged, both
+        # dirs land before the single manifest commit below. On a
         # remote FS the listdir becomes one FileSystem.listStatus.
-        ldir = _write(d_left, "left", bkt)
-        rdir = _write(d_right, "right", bkt)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fl = pool.submit(_write, d_left, "left", bkt)
+            fr = pool.submit(_write, d_right, "right", bkt)
+            ldir, rdir = fl.result(), fr.result()
 
         def _buckets_of(d: str) -> list:
             return sorted(int(f.split("=", 1)[1]) for f in os.listdir(d)
                           if f.startswith("_b="))
 
+        # The delta-join legs re-read the just-written delta FILES
+        # (both layouts): the view write's plan then scans two tiny
+        # parquet dirs instead of re-computing each delta from the base
+        # tables — one whole base-table scan per side per trigger
+        # removed (guide §2.3, shuffle/scan fewer bytes). Same rows by
+        # construction (the files are exactly the deltas).
         if bkt:
             lb, rb = _buckets_of(ldir), _buckets_of(rdir)
             dl = (spark.read.option("recursiveFileLookup", "true")
@@ -885,7 +898,12 @@ class JoinSink:
                        .parquet(rdir) if rb
                   else d_right.drop("_b"))
         else:
-            dl, dr = d_left, d_right
+            lf = [os.path.join(ldir, f) for f in os.listdir(ldir)
+                  if f.endswith(".parquet")]
+            rf = [os.path.join(rdir, f) for f in os.listdir(rdir)
+                  if f.endswith(".parquet")]
+            dl = spark.read.parquet(*lf) if lf else d_left
+            dr = spark.read.parquet(*rf) if rf else d_right
 
         # Each delta probes only the OTHER side's buckets it can match
         # (unbucketed entries read whole — _read_side handles both).
@@ -943,10 +961,15 @@ class JoinSink:
         new_meta = dict(meta)
         new_meta["compact_gen"] = gen
         dead = []
-        for store in stores:
+
+        def _fold(store: str):
+            """Fold one store to a snapshot dir; returns the new entry
+            list (or None for an empty store). Independent per store,
+            so the three folds run concurrently (guide §2.6) — the
+            manifest repoints all of them in the ONE commit below."""
             entries = meta[store]
             if not entries:
-                continue
+                return None
             bucketed = bkt and store != "view"
             parts = []
             for e in entries:
@@ -960,9 +983,7 @@ class JoinSink:
                     parts.append(spark.read.parquet(e["dir"]))
             cdir = os.path.join(self.base_dir, f"{store}.c{gen}")
             if not parts:
-                new_meta[store] = []
-                dead.extend(self._entry_dir(e) for e in entries)
-                continue
+                return []
             snap = parts[0]
             for p in parts[1:]:
                 snap = snap.unionByName(p)
@@ -973,11 +994,18 @@ class JoinSink:
                 buckets = sorted(
                     int(f.split("=", 1)[1]) for f in os.listdir(cdir)
                     if f.startswith("_b="))
-                new_meta[store] = [{"dir": cdir, "buckets": buckets}]
-            else:
-                snap.write.mode("overwrite").parquet(cdir)
-                new_meta[store] = [cdir]
-            dead.extend(self._entry_dir(e) for e in entries)
+                return [{"dir": cdir, "buckets": buckets}]
+            snap.write.mode("overwrite").parquet(cdir)
+            return [cdir]
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(stores)) as pool:
+            folded = dict(zip(stores, pool.map(_fold, stores)))
+        for store in stores:
+            if folded[store] is None:
+                continue
+            new_meta[store] = folded[store]
+            dead.extend(self._entry_dir(e) for e in meta[store])
         new_meta["tombstones"] = meta.get("tombstones", []) + dead
         self._commit(new_meta)
         return {"compacted": True, "gen": gen, "folded": len(dead)}

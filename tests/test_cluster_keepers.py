@@ -16,6 +16,8 @@ incrementally alongside the label store. Pins:
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from postgres_es_cdc_spark.llm.dedup import _label_union_find
@@ -59,6 +61,7 @@ def _keepers(sink, spark):
                   for r in sink.keepers(spark).collect())
 
 
+@pytest.mark.slow_soak
 def test_fold_equals_one_shot_under_batch_permutations(spark, tmp_path):
     pairs = [(10, 20), (20, 30), (30, 40), (70, 80), (80, 90), (40, 70)]
     q = {10: 0.1, 20: 0.9, 30: 0.5, 40: 0.2, 70: 0.8, 80: 0.95, 90: 0.3}

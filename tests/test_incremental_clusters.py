@@ -14,6 +14,8 @@ merge_cluster_labels folds rep-grain pair deltas into a persisted
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from pyspark.sql import functions as F
@@ -75,6 +77,7 @@ def test_late_smaller_id_relabels_whole_component(spark):
     assert got == [(3, 3), (10, 3), (11, 3), (12, 3)]
 
 
+@pytest.mark.slow_soak
 def test_deep_chain_beyond_propagation_depth(spark):
     # a 64-node chain folded two edges per batch: bounded-iteration
     # propagation (5 rounds) cannot close this; union-find must

@@ -19,6 +19,8 @@ claim→fold→swap machinery:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import threading
 
@@ -51,6 +53,7 @@ def _snapshots(meta, store):
             if os.path.basename(d).startswith("c")]
 
 
+@pytest.mark.slow_soak
 def test_inline_major_false_defers_whole_index_fold(
         spark, sf_dir, tmp_path):
     want = _want(spark, sf_dir)
@@ -79,6 +82,7 @@ def test_inline_major_false_defers_whole_index_fold(
     assert _pairs(sink, spark) == want
 
 
+@pytest.mark.slow_soak
 def test_maintenance_concurrent_with_trigger(spark, sf_dir, tmp_path):
     """The separate-process shape, simulated with a separate sink
     OBJECT on the same manifest (flock serializes either way): a

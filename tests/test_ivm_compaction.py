@@ -3,6 +3,8 @@ small-file compaction (sources/compaction.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -143,6 +145,7 @@ def _join_batches(n=8):
     return out
 
 
+@pytest.mark.slow_soak
 def test_join_sink_compact_mid_stream_equals_uncompacted(spark, tmp_path):
     """THE equivalence the snapshot fold must preserve: a sink that
     compacts every 2 batches (so compaction fires repeatedly MID-stream,
@@ -222,6 +225,7 @@ def test_join_sink_compact_noop_on_single_entry_log(spark, tmp_path):
     assert sink.meta().get("tombstones", []) == []
 
 
+@pytest.mark.slow_soak
 def test_join_sink_soak_stays_bounded_with_compaction(spark, tmp_path):
     """Mini-soak (30 fixed-size batches): with compact_after the
     manifest NEVER exceeds compact_after+1 entries per store at any

@@ -89,6 +89,46 @@ def test_decode_edge_kinds_and_column_drift(spark):
     assert sorted(t.tableName for t in truncs) == ["t", "w"]
 
 
+def test_decode_vectorized_escape_fallback_and_order(spark):
+    """Edge paths of the r14 VECTORIZED decode (numpy wave parse + one
+    fancy-gather JSON assembly): (1) values containing JSON-escape-
+    worthy bytes (quotes, backslashes, control chars, non-ASCII) take
+    the scalar fallback and must serialize exactly like json.dumps —
+    interleaved with fast-path rows so the position-merge is exercised;
+    (2) a 'b' binary field skips its bytes and lands as null; (3) rows
+    come back in input order across the mixed fast/slow/marker
+    categories."""
+    import json as _json
+    import struct as _s
+
+    esc = 'he said "hi"\\\t\x01 café'
+    msgs = [
+        encode_relation(OID, "t", COLS),
+        encode_insert(OID, [1, esc, 5]),                 # slow path
+        encode_insert(OID, [2, "plain", 6]),             # fast path
+        encode_begin(xid=9),
+        # binary 'b' field (never produced in text mode, but legal):
+        # value bytes skipped, column lands as explicit null
+        b"I" + _s.pack(">I", OID) + b"N"
+        + _s.pack(">H", 3) + b"t" + _s.pack(">I", 1) + b"3"
+        + b"b" + _s.pack(">I", 4) + b"\xde\xad\xbe\xef"
+        + b"t" + _s.pack(">I", 1) + b"7",
+        encode_insert(OID, [4, "x€", None]),        # slow (non-ASCII)
+        encode_commit(),
+    ]
+    df = _wal_df(spark, msgs)
+    ev = decode_messages(df, relation_cache(df)).collect()
+    assert [r.offset for r in ev] == [1, 2, 3, 4, 5, 6]
+    assert ev[0].payload == _json.dumps(
+        {"id": "1", "name": esc, "qty": "5"}, separators=(",", ":"))
+    assert ev[1].payload == '{"id":"2","name":"plain","qty":"6"}'
+    assert ev[2].operationType == "BEGIN" and ev[2].txn_id == 9
+    assert ev[3].payload == '{"id":"3","name":null,"qty":"7"}'
+    assert ev[4].payload == _json.dumps(
+        {"id": "4", "name": "x€", "qty": None}, separators=(",", ":"))
+    assert ev[5].operationType == "COMMIT"
+
+
 def test_truncate_and_txn_markers(spark):
     msgs = [
         encode_relation(OID, "t", COLS),

@@ -999,6 +999,7 @@ def _join_batch(spark, rows):
         rows, "k long, side string, name string, qty long")
 
 
+@pytest.mark.slow_soak
 def test_join_sink_matches_oneshot_join_any_batch_order(spark, tmp_path):
     """JoinSink's delta-join maintenance over a multiplexed two-table
     stream equals the one-shot inner join, for EVERY permutation of the

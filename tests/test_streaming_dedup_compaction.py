@@ -5,6 +5,8 @@ before repoint, replay gate, bounded mini-soak)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from postgres_es_cdc_spark.streaming.dedup import KeyedDedupSink
@@ -143,6 +145,7 @@ def test_dedup_sink_compact_noop_on_single_entry_log(spark, tmp_path):
     assert sink.meta().get("tombstones", []) == []
 
 
+@pytest.mark.slow_soak
 def test_dedup_sink_soak_stays_bounded_with_compaction(spark, tmp_path):
     """Mini-soak (30 fixed-size batches): with compact_after the
     manifest NEVER exceeds compact_after+1 entries per store at any

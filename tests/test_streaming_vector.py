@@ -7,6 +7,8 @@ test_streaming_dedup_compaction.py's)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from postgres_es_cdc_spark.llm.similarity import (
@@ -35,6 +37,7 @@ def _pairs(sink, spark):
     return sorted((r.id1, r.id2, r.cos_sim) for r in df.collect())
 
 
+@pytest.mark.slow_soak
 def test_vector_sink_fold_equals_one_shot_with_replay(
         spark, sf_dir, tmp_path):
     want = sorted((r.id1, r.id2, r.cos_sim)
@@ -56,6 +59,7 @@ def test_vector_sink_fold_equals_one_shot_with_replay(
     assert _pairs(sink2, spark) == want
 
 
+@pytest.mark.slow_soak
 def test_vector_sink_compact_mid_stream_equals_uncompacted(
         spark, sf_dir, tmp_path):
     batches = _batches(spark, sf_dir, 4)

@@ -34,6 +34,13 @@ def main() -> None:
     drop = set()
     if "--drop" in sys.argv:
         drop = set(sys.argv[sys.argv.index("--drop") + 1:])
+    # --rebase: re-value EVERY existing ledger entry under the current
+    # fingerprint definition/tree. Needed exactly once when the
+    # definition changes (r14: fingerprints now include the transitive
+    # helper-module closure), asserting "the current tree is the
+    # driver-validated baseline"; queries whose helpers were rewritten
+    # without driver re-verification must be re-validated via --drop.
+    rebase = "--rebase" in sys.argv
 
     arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     if not arts:
@@ -53,6 +60,11 @@ def main() -> None:
 
     # Unrotated specs: build from the raw registry modules via the
     # public REGISTRY (rotation reorders, never renames).
+    if rebase:
+        for name in list(ledger):
+            spec = Q.REGISTRY.get(name)
+            if spec is not None:
+                ledger[name] = query_fingerprint(spec)
     for name in newest_green:
         spec = Q.REGISTRY.get(name)
         if spec is not None:
