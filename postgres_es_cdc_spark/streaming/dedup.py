@@ -128,8 +128,16 @@ class KeyedDedupSink:
         cand = cand.localCheckpoint()  # one computation for both writes
         odir = os.path.join(self.out_path, f"b{batch_id}")
         sdir = os.path.join(self.seen_path, f"b{batch_id}")
-        cand.write.mode("overwrite").parquet(odir)
-        cand.select(*self.keys).write.mode("overwrite").parquet(sdir)
+        # independent writes off the checkpointed frame -> overlap them
+        # (guide §2.6); both land before the single manifest commit
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fo = pool.submit(
+                lambda: cand.write.mode("overwrite").parquet(odir))
+            fs = pool.submit(
+                lambda: cand.select(*self.keys)
+                .write.mode("overwrite").parquet(sdir))
+            fo.result(), fs.result()
         new_meta = dict(meta)
         new_meta.update({"out": meta["out"] + [odir],
                          "seen": meta["seen"] + [sdir],
@@ -844,15 +852,13 @@ class VectorIndexSink(_IndexSinkBase):
         # and serialize the whole probe/merge compute (measured in the
         # round-11 tiered iterations); the extra one-file shuffle of a
         # micro-batch-sized delta is noise by comparison.
-        (_probe_embedding_store(store, bmem, self.threshold,
-                                self.n_bands, self.bits,
-                                store_bands=store_bands,
-                                # r14 bucketed layout: the attach scan
-                                # re-enumerates the reps log pruned to
-                                # the candidates' bucket dirs
-                                store_reps_loader=lambda bks:
-                                self._read_reps(spark, meta["reps"], bks))
-         .repartition(1).write.mode("overwrite").parquet(pdir))
+        probe = _probe_embedding_store(
+            store, bmem, self.threshold, self.n_bands, self.bits,
+            store_bands=store_bands,
+            # r14 bucketed layout: the attach scan re-enumerates the
+            # reps log pruned to the candidates' bucket dirs
+            store_reps_loader=lambda bks:
+            self._read_reps(spark, meta["reps"], bks))
         # store_bands prefilters the merge's vector-equality scan too
         # (round 12): the reps log's q column is only read for reps
         # whose band-0 key collides with the batch — the last measured
@@ -863,8 +869,17 @@ class VectorIndexSink(_IndexSinkBase):
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
         bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
-        new_members.repartition(1).write.mode("overwrite").parquet(mdir)
-        new_reps.repartition(1).write.mode("overwrite").parquet(rdir)
+        # probe / member-delta / rep-delta writes are independent jobs
+        # -> run them CONCURRENTLY (guide §2.6); everything still lands
+        # before the single locked manifest commit below
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fs = [pool.submit(lambda df=df, d=d: df.repartition(1)
+                              .write.mode("overwrite").parquet(d))
+                  for df, d in ((probe, pdir), (new_members, mdir),
+                                (new_reps, rdir))]
+            for f in fs:
+                f.result()
         # band the WRITTEN rep rows (no recompute of the merge plan):
         # the band log stays row-for-row derived from the committed
         # reps log, the invariant tests pin
@@ -975,15 +990,23 @@ class SignatureIndexSink(_IndexSinkBase):
         # repartition(1), NOT coalesce(1): micro-batch-sized deltas,
         # one file each without serializing the probe compute into a
         # single task (the small-files note at _fold)
-        (_probe_signature_store(store, bmem, self.cap,
-                                store_bands=store_bands)
-         .repartition(1).write.mode("overwrite").parquet(pdir))
+        probe = _probe_signature_store(store, bmem, self.cap,
+                                       store_bands=store_bands)
         new_members, new_reps = merge_signature_deltas(store, bmem)
         mdir = os.path.join(self.index_path, "members", f"b{batch_id}")
         rdir = os.path.join(self.index_path, "reps", f"b{batch_id}")
         bdir = os.path.join(self.index_path, "bands", f"b{batch_id}")
-        new_members.repartition(1).write.mode("overwrite").parquet(mdir)
-        new_reps.repartition(1).write.mode("overwrite").parquet(rdir)
+        # probe / member-delta / rep-delta writes are independent jobs
+        # -> run them CONCURRENTLY (guide §2.6); everything still lands
+        # before the single locked manifest commit below
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fs = [pool.submit(lambda df=df, d=d: df.repartition(1)
+                              .write.mode("overwrite").parquet(d))
+                  for df, d in ((probe, pdir), (new_members, mdir),
+                                (new_reps, rdir))]
+            for f in fs:
+                f.result()
         # band the WRITTEN rep rows: the band log stays row-for-row
         # derived from the committed reps log (VectorIndexSink's
         # round-11 invariant, same rationale)
@@ -1201,11 +1224,17 @@ class ClusterKeeperSink:
         ldir = os.path.join(self.path, f"labels.v{batch_id}")
         kdir = os.path.join(self.path, f"keepers.v{batch_id}")
         # both writes land BEFORE the single manifest repoint — the
-        # parquet writes double as the per-batch lineage barrier
-        labels2.select("rep", "label").write.mode("overwrite") \
-               .parquet(ldir)
-        keepers2.select("label", "keep_id", "keep_q") \
-                .write.mode("overwrite").parquet(kdir)
+        # parquet writes double as the per-batch lineage barrier; they
+        # are independent jobs, so they run CONCURRENTLY (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fl = pool.submit(
+                lambda: labels2.select("rep", "label")
+                .write.mode("overwrite").parquet(ldir))
+            fk = pool.submit(
+                lambda: keepers2.select("label", "keep_id", "keep_q")
+                .write.mode("overwrite").parquet(kdir))
+            fl.result(), fk.result()
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
